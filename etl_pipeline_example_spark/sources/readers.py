@@ -1,0 +1,60 @@
+"""Schema-first readers for the engine's supported formats.
+
+The reference ingests gzipped JSONL from its land zone with a hand-rolled
+boto3 reader (reference: python_scripts/custom_functions.py:31-49
+``read_jsonl_from_s3``) and reads raw history with
+``spark.read.json`` (reference: glue_jobs/example_job/job.py:40). Here both
+collapse into Spark's native distributed readers — Spark's json source
+handles ``.gz`` transparently and scales out the decompression; there is no
+driver-side byte shuffling.
+
+All readers accept an optional ``TableSpec`` so the scan is schema-first:
+with an explicit schema Spark skips the inference pass entirely and the
+parquet reader prunes to exactly the requested columns (``ReadSchema`` in
+the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_pipeline_example_spark.metadata.spec import TableSpec, spark_schema_for
+
+_FORMAT_ALIASES = {
+    "jsonl": "json",
+    "json": "json",
+    "parquet": "parquet",
+    "csv": "csv",
+}
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    spec: TableSpec | None = None,
+) -> DataFrame:
+    """Read JSONL (optionally gzipped — by extension) as a DataFrame."""
+    reader = spark.read
+    if spec is not None:
+        reader = reader.schema(spark_schema_for(spec))
+    return reader.json(path)
+
+
+def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+    """Read ``path`` in the spec's declared ``data_format`` with its schema."""
+    fmt = _FORMAT_ALIASES.get(spec.data_format.lower())
+    if fmt is None:
+        raise ValueError(f"unsupported data_format: {spec.data_format!r}")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if fmt != "parquet":
+        # Parquet carries its own schema; partition columns in the path would
+        # conflict with an explicit schema that omits them.
+        reader = reader.schema(spark_schema_for(spec, exclude=spec.partitions))
+    return reader.load(path)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table: ``<sf_dir>/<name>.parquet``."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
