@@ -35,6 +35,10 @@ def get_spark(app_name: str = "etl-pipeline-example-spark") -> SparkSession:
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (e.g. pandas-written event data) is
+        # unreadable by Spark's vectorized reader; surface it as nanos-long
+        # and let read_table convert to a micros timestamp (DuckDB-equal).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

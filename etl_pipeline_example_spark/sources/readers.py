@@ -17,6 +17,7 @@ the plan).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.metadata.spec import TableSpec, spark_schema_for
 
@@ -55,6 +56,16 @@ def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
     return reader.load(path)
 
 
+# Tables whose parquet stores TIMESTAMP(NANOS): surfaced as nanos-longs
+# (spark.sql.legacy.parquet.nanosAsLong) and converted to micros timestamps
+# here — same truncation DuckDB applies when reading nanos into micros.
+_NANO_TS_COLUMNS = {"events": ["ts"]}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table: ``<sf_dir>/<name>.parquet``."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, []):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_pipeline_example_spark.sources.readers import read_table
+
 TESTDATA_TABLES = [
     "region",
     "nation",
@@ -28,7 +30,7 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     names = names or TESTDATA_TABLES
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: read_table(spark, sf_dir, n) for n in names}
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
