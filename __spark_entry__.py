@@ -2,9 +2,11 @@
 
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
 ``oracle_sql()`` expose every implemented operator from SURVEY.md §2 with
-its DuckDB oracle twin. Column names are aliased identically on both sides;
-aggregate arithmetic goes through exact decimal sums cast to double so
-value hashes match bit-for-bit across engines.
+its DuckDB oracle twin. Column names are aliased identically on both
+sides; aggregate arithmetic goes through exact decimal sums cast to
+double, and all content hashing uses a shared md5 construct, so value
+hashes match across engines bit-for-bit (including LSH candidate
+generation).
 """
 
 from __future__ import annotations
@@ -13,7 +15,19 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_pipeline_example_spark.operators import (
+    DEDUP_ORACLES,
+    DEDUP_QUERIES,
+    MM_ORACLES,
+    MM_QUERIES,
+    SIM_ORACLES,
+    SIM_QUERIES,
+    TEXT_ORACLES,
+    TEXT_QUERIES,
+)
 from etl_pipeline_example_spark.plans import ANALYTIC_ORACLES, ANALYTIC_QUERIES
+from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
+from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -23,11 +37,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(PARITY_QUERIES)
     out.update(ANALYTIC_QUERIES)
+    out.update(TEXT_QUERIES)
+    out.update(DEDUP_QUERIES)
+    out.update(SIM_QUERIES)
+    out.update(MM_QUERIES)
+    out.update(STREAM_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
+    out.update(PARITY_ORACLES)
     out.update(ANALYTIC_ORACLES)
+    out.update(TEXT_ORACLES)
+    out.update(DEDUP_ORACLES)
+    out.update(SIM_ORACLES)
+    out.update(MM_ORACLES)
+    out.update(STREAM_ORACLES)
     return out

@@ -1,0 +1,15 @@
+from etl_pipeline_example_spark.operators.text import TEXT_QUERIES, TEXT_ORACLES
+from etl_pipeline_example_spark.operators.dedup import DEDUP_QUERIES, DEDUP_ORACLES
+from etl_pipeline_example_spark.operators.similarity import SIM_QUERIES, SIM_ORACLES
+from etl_pipeline_example_spark.operators.multimodal import MM_QUERIES, MM_ORACLES
+
+__all__ = [
+    "TEXT_QUERIES",
+    "TEXT_ORACLES",
+    "DEDUP_QUERIES",
+    "DEDUP_ORACLES",
+    "SIM_QUERIES",
+    "SIM_ORACLES",
+    "MM_QUERIES",
+    "MM_ORACLES",
+]

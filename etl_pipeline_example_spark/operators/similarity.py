@@ -1,0 +1,299 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+- ``ann_bruteforce`` — exact cosine top-k per query vector. The query set
+  broadcasts; the corpus is scanned once with the dot product evaluated as
+  a JVM array fold (``aggregate(zip_with(...))`` — whole-stage codegen,
+  no Python). One pass, no shuffle except the per-query top-k, which is a
+  WindowGroupLimit (per-partition top-k, then merge) — the right baseline
+  and the right exact method at any corpus size when |queries| is small.
+- ``ann_lsh`` — random-hyperplane LSH (Charikar'02): B pseudo-random
+  ±1 hyperplanes derived deterministically from md5(plane, dim); corpus
+  bucketed by sign bits; queries probe only their own bucket. Sublinear
+  probe cost at scale; recall tested against the brute-force baseline.
+- ``dedup_embedding`` — near-dup pairs with cosine ≥ τ, blocked by the
+  ``label`` column (cluster id) so the pair space is per-block, not n².
+
+Cosine sums are sequential left-to-right folds in both engines (Spark
+``aggregate``, DuckDB list comprehension + ``list_sum``), and similarity is
+rounded to 6 dp before any rank/filter so cross-engine float agreement is
+exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.hashing import duck_hexint, spark_hexint
+from etl_pipeline_example_spark.sources.readers import read_table
+
+ANN_K = 10
+ANN_NUM_QUERIES = 5  # vec_id < 5 are the query vectors
+# The benchmark embeddings are near-uniform (max pairwise cosine ≈ 0.47);
+# τ is set where the data actually has pairs so the operator's output is
+# non-vacuous. A production near-dup pass would use τ ≈ 0.9.
+EMB_TAU = 0.4
+
+# cosine(a, b) with deterministic summation order, doubles throughout
+_SPARK_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+    " cast(0 as double), (acc, v) -> acc + v)"
+)
+_DUCK_DOT = "list_sum([ cast({a}[i] as double) * cast({b}[i] as double) for i in range(1, len({a}) + 1) ])"
+
+
+def _spark_cosine(a: str, b: str) -> str:
+    dot = _SPARK_DOT.format(a=a, b=b)
+    na = _SPARK_DOT.format(a=a, b=a)
+    nb = _SPARK_DOT.format(a=b, b=b)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(_spark_cosine("q_emb", "c_emb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {ANN_NUM_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_duck_cosine("q.q_emb", "c.embedding")} AS cosine
+  FROM embeddings c, queries q
+  WHERE c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+LSH_TABLES = 12
+LSH_BITS = 6
+LSH_DIM = 64
+
+
+def _lsh_plane_strings() -> list[str]:
+    """LSH_TABLES × LSH_BITS deterministic ±1 hyperplanes, each encoded as a
+    64-char '0'/'1' string (char i = sign of dim i). Derived from md5 so the
+    oracle can embed the identical literals; precomputing them here (instead
+    of hashing per row) keeps the bucket computation pure float arithmetic.
+    """
+    import hashlib
+
+    planes = []
+    for tp in range(LSH_TABLES * LSH_BITS):
+        bits = []
+        for i in range(LSH_DIM):
+            h = hashlib.md5(f"{tp}_{i}".encode()).hexdigest()
+            bits.append("1" if int(h[:15], 16) % 2 == 0 else "0")
+        planes.append("".join(bits))
+    return planes
+
+
+_PLANES = _lsh_plane_strings()
+
+
+def _spark_planes_df(spark: SparkSession):
+    """The 72 hyperplanes as a tiny broadcastable table (tp, plane)."""
+    return spark.createDataFrame(
+        [(tp, s) for tp, s in enumerate(_PLANES)], "tp int, plane string"
+    )
+
+
+_SIGN_DOT = (
+    "aggregate(sequence(1, size(embedding)), cast(0 as double),"
+    " (acc, i) -> acc + cast(element_at(embedding, i) as double)"
+    " * CASE WHEN substr(plane, i, 1) = '1' THEN 1.0 ELSE -1.0 END)"
+)
+
+
+def _spark_lsh_bucket_table(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) — one row per vector per hash table.
+
+    Broadcast cross-join against the 72-row plane table, sign-bit per
+    (vector, plane), then a groupBy builds each table's 6-bit code. The
+    plane string is a scalar column here — NOT a literal indexed inside a
+    lambda, which both engines re-materialize per element (measured 60×
+    slower).
+    """
+    planes = F.broadcast(_spark_planes_df(spark))
+    bits = emb.crossJoin(planes).select(
+        "vec_id",
+        "embedding",
+        F.expr(f"tp div {LSH_BITS}").alias("tbl"),
+        F.expr(
+            f"CASE WHEN ({_SIGN_DOT}) >= 0"
+            f" THEN shiftleft(cast(1 as bigint), tp % {LSH_BITS})"
+            " ELSE cast(0 as bigint) END"
+        ).alias("bitval"),
+    )
+    return bits.groupBy("vec_id", "tbl").agg(F.sum("bitval").alias("bucket"))
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table random-hyperplane LSH ANN: candidates are the union of
+    the query's bucket across 12 independent 6-bit tables, deduplicated,
+    then scored exactly and top-k'd.
+
+    Scale path: the corpus is hashed once (pure JVM float arithmetic
+    against a broadcast plane table), stored as (vec_id, table, bucket); a
+    query probes 12 buckets ≈ 12/64 of the corpus instead of all of it,
+    and the table/bucket join key is what a production system would
+    partition by. Recall is governed by (1-(1-p^bits)^tables), p = 1-θ/π:
+    ≈0.998 for cosine 0.9 pairs (the near-dup regime LSH is for), ≈0.45
+    for the cosine≈0.3 "neighbors" this uniform-random benchmark data has
+    — measured against ann_bruteforce in tests.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    buckets = _spark_lsh_bucket_table(spark, emb)
+    bucketed = buckets.join(emb, "vec_id").select("vec_id", "embedding", "tbl", "bucket")
+    queries = bucketed.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        bucketed.join(
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+_DUCK_PLANES_TBL = "(VALUES " + ", ".join(
+    f"({tp}, '{s}')" for tp, s in enumerate(_PLANES)
+) + ") AS planes(tp, plane)"
+
+_DUCK_SIGN_DOT = (
+    "list_sum([ cast(embedding[i] as double)"
+    " * (CASE WHEN substr(plane, i, 1) = '1' THEN 1.0 ELSE -1.0 END)"
+    " for i in range(1, len(embedding) + 1) ])"
+)
+
+ANN_LSH_SQL = f"""
+WITH bits AS (
+  SELECT vec_id, tp // {LSH_BITS} AS tbl,
+         CASE WHEN ({_DUCK_SIGN_DOT}) >= 0
+              THEN (1::BIGINT << (tp % {LSH_BITS})) ELSE 0::BIGINT END AS bitval
+  FROM embeddings, {_DUCK_PLANES_TBL}
+),
+bucketed AS (
+  SELECT b.vec_id, e.embedding, b.tbl, b.bucket
+  FROM (SELECT vec_id, tbl, sum(bitval)::BIGINT AS bucket
+        FROM bits GROUP BY vec_id, tbl) b
+  JOIN embeddings e ON e.vec_id = b.vec_id
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, tbl AS q_tbl, bucket AS q_bucket
+  FROM bucketed WHERE vec_id < {ANN_NUM_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM bucketed c JOIN queries q ON c.tbl = q.q_tbl AND c.bucket = q.q_bucket
+  WHERE c.vec_id != q.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_duck_cosine("qe.embedding", "ne.embedding")} AS cosine
+  FROM cand cd
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+  JOIN embeddings ne ON ne.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ τ within the same label block.
+
+    Blocking on the cluster label bounds the pair space to Σ|block|² —
+    the IVF-style coarse quantization step of a production near-dup
+    pipeline (at scale the label comes from k-means/IVF assignment).
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("blk"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label").alias("blk_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            F.col("blk").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.expr(_spark_cosine("ea", "eb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_TAU)
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_duck_cosine("a.embedding", "b.embedding")} AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_duck_cosine("a.embedding", "b.embedding")} >= {EMB_TAU}
+"""
+
+
+SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    "dedup_embedding": dedup_embedding,
+}
+
+SIM_ORACLES: dict[str, str] = {
+    "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    "ann_lsh": ANN_LSH_SQL,
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,74 @@
+"""Structured Streaming over the events table.
+
+The reference pipeline is batch-only; its streaming analogue — continuous
+arrival into the land zone — maps to Structured Streaming: a file source
+watching the directory, event-time tumbling windows with a watermark
+bounding state, and an idempotent sink. Here the op is expressed once and
+run with ``Trigger.AvailableNow`` so it drains the existing files and
+stops — the same code is a 24/7 stream on a cluster with checkpointing.
+
+``stream_events_tumbling`` produces exactly the batch ``q_events_tumbling``
+result (hour window + event_type counts/sums), so it carries a full SQL
+oracle: stream/batch parity is the correctness contract Structured
+Streaming is built around.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.plans.queries import SUM_VALUE, Q_TUMBLING_SQL
+
+
+def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window aggregation as a stream over the events
+    parquet, drain with AvailableNow, and return the final result.
+
+    Watermark: 1 hour — bounds in-flight window state on a real stream;
+    with AvailableNow + complete mode every window is emitted, giving
+    batch parity.
+    """
+    events = (
+        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
+                                " event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.expr(SUM_VALUE).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_events_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_events": stream_events_tumbling,
+}
+
+# Stream/batch parity: the oracle is the batch tumbling SQL.
+STREAM_ORACLES: dict[str, str] = {
+    "stream_events": Q_TUMBLING_SQL,
+}

@@ -1,0 +1,28 @@
+"""Quality (not just parity) checks for the similarity operators."""
+
+from __future__ import annotations
+
+from etl_pipeline_example_spark.operators.similarity import ann_bruteforce, ann_lsh
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    """Multi-table LSH must massively beat single-bucket recall on this
+    uniform-random data (theory: ~0.4+ at cos≈0.3; a broken bucketer or a
+    single-table regression lands near 0.02)."""
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in ann_lsh(spark, sf_dir).collect()}
+    recall = len(bf & lsh) / len(bf)
+    assert recall >= 0.25, f"LSH recall@10 regressed: {recall:.2f}"
+
+
+def test_bruteforce_self_excluded_and_ranked(spark, sf_dir):
+    rows = ann_bruteforce(spark, sf_dir).collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cosine for r in rs]
+        assert sims == sorted(sims, reverse=True)

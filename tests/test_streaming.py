@@ -1,0 +1,13 @@
+"""Stream/batch parity: the streaming tumbling agg equals the batch query
+and the DuckDB oracle."""
+
+from __future__ import annotations
+
+from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
+
+from tests.oracle_util import assert_matches_oracle
+
+
+def test_stream_events_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_events"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_events"])
