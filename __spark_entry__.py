@@ -25,7 +25,12 @@ from etl_pipeline_example_spark.operators import (
     TEXT_ORACLES,
     TEXT_QUERIES,
 )
-from etl_pipeline_example_spark.plans import ANALYTIC_ORACLES, ANALYTIC_QUERIES
+from etl_pipeline_example_spark.plans import (
+    ANALYTIC_ORACLES,
+    ANALYTIC_QUERIES,
+    RELATIONAL_ORACLES,
+    RELATIONAL_QUERIES,
+)
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -39,6 +44,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(PARITY_QUERIES)
     out.update(ANALYTIC_QUERIES)
+    out.update(RELATIONAL_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(SIM_QUERIES)
@@ -51,6 +57,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(PARITY_ORACLES)
     out.update(ANALYTIC_ORACLES)
+    out.update(RELATIONAL_ORACLES)
     out.update(TEXT_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(SIM_ORACLES)

@@ -1,3 +1,12 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
+from etl_pipeline_example_spark.plans.relational import (
+    RELATIONAL_QUERIES,
+    RELATIONAL_ORACLES,
+)
 
-__all__ = ["ANALYTIC_QUERIES", "ANALYTIC_ORACLES"]
+__all__ = [
+    "ANALYTIC_QUERIES",
+    "ANALYTIC_ORACLES",
+    "RELATIONAL_QUERIES",
+    "RELATIONAL_ORACLES",
+]
