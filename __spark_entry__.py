@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_example_spark.operators import (
+    CORPUS_ORACLES,
+    CORPUS_QUERIES,
     DEDUP_ORACLES,
     DEDUP_QUERIES,
     MM_ORACLES,
@@ -46,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ANALYTIC_QUERIES)
     out.update(RELATIONAL_QUERIES)
     out.update(TEXT_QUERIES)
+    out.update(CORPUS_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(SIM_QUERIES)
     out.update(MM_QUERIES)
@@ -59,6 +62,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ANALYTIC_ORACLES)
     out.update(RELATIONAL_ORACLES)
     out.update(TEXT_ORACLES)
+    out.update(CORPUS_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(SIM_ORACLES)
     out.update(MM_ORACLES)

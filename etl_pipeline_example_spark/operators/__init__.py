@@ -2,6 +2,7 @@ from etl_pipeline_example_spark.operators.text import TEXT_QUERIES, TEXT_ORACLES
 from etl_pipeline_example_spark.operators.dedup import DEDUP_QUERIES, DEDUP_ORACLES
 from etl_pipeline_example_spark.operators.similarity import SIM_QUERIES, SIM_ORACLES
 from etl_pipeline_example_spark.operators.multimodal import MM_QUERIES, MM_ORACLES
+from etl_pipeline_example_spark.operators.corpus import CORPUS_QUERIES, CORPUS_ORACLES
 
 __all__ = [
     "TEXT_QUERIES",
@@ -12,4 +13,6 @@ __all__ = [
     "SIM_ORACLES",
     "MM_QUERIES",
     "MM_ORACLES",
+    "CORPUS_QUERIES",
+    "CORPUS_ORACLES",
 ]

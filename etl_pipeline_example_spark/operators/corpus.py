@@ -1,0 +1,218 @@
+"""Corpus-preparation operators for LLM training-data pipelines: document
+chunking, deterministic sampling, TF-IDF term extraction, PII scrubbing.
+
+Each is a pure column-expression pipeline (JVM-side, whole-stage codegen;
+zero Python in the hot path) with a DuckDB oracle computing the identical
+result via the shared deterministic hash/tokenizer (operators/hashing.py).
+
+Scale notes (100 TB / 1000 executors):
+- ``doc_chunk`` is a per-row explode — embarrassingly parallel, output
+  rows ≈ token count / chunk size, no shuffle at all.
+- ``sample_hash`` replaces ``df.sample()`` for pipeline use: hash-gated
+  sampling is deterministic, re-runnable, and join-stable (the same doc is
+  in or out on every run and every replica) — seeded ``sample()`` is only
+  stable for a fixed partitioning, which repartitions silently break.
+- ``tfidf_top`` shuffles (term, df) then (doc, term, tf) — both bounded
+  by vocabulary/corpus size; the final top-k is a per-doc window
+  (WindowGroupLimit, no global sort). IDF uses the exact rational
+  (N+1)/(df+1) rather than its logarithm so ranking arithmetic is a
+  single IEEE division, bit-identical across engines; swap in
+  ``ln()`` when absolute scores (not ranks) matter.
+- ``pii_scrub`` is a regex pass per row; patterns are kept RE2-safe so
+  the same expressions run on Spark (Java regex) and DuckDB (RE2).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.hashing import (
+    duck_hexint,
+    duck_tokens,
+    spark_hexint,
+    spark_tokens,
+)
+from etl_pipeline_example_spark.sources.readers import read_table
+
+# ------------------------------------------------------------------ chunking
+
+CHUNK_TOKENS = 32
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into fixed-size token windows (stride = size).
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens). The last chunk may
+    be short; empty docs drop out. This is the standard pre-tokenization
+    windowing step before embedding/packing.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    return (
+        docs.select("doc_id", F.expr(toks).alias("tk"))
+        .filter(F.expr("size(tk) > 0"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, (size(tk) - 1) div {CHUNK_TOKENS}),"
+                    f" c -> concat_ws(' ', slice(tk, c * {CHUNK_TOKENS} + 1, {CHUNK_TOKENS})))"
+                )
+            ).alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("n_tokens", F.expr("size(split(chunk_text, ' '))"))
+    )
+
+
+DOC_CHUNK_SQL = f"""
+WITH tk_tbl AS (
+  SELECT doc_id, {duck_tokens("text")} AS tk FROM documents
+)
+SELECT doc_id, c AS chunk_id,
+       array_to_string(tk[c * {CHUNK_TOKENS} + 1 : (c + 1) * {CHUNK_TOKENS}], ' ') AS chunk_text,
+       len(tk[c * {CHUNK_TOKENS} + 1 : (c + 1) * {CHUNK_TOKENS}]) AS n_tokens
+FROM tk_tbl, (SELECT unnest(range(0, 256)) AS c)  -- bound: 256*32 = 8192 tokens/doc
+WHERE len(tk) > 0 AND c <= (len(tk) - 1) // {CHUNK_TOKENS}
+"""
+
+# ------------------------------------------------------------------ sampling
+
+SAMPLE_MOD = 8  # keep 1-in-8
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated sample: keep a doc iff
+    ``hash('sample:' || doc_id) % 8 == 0``.
+
+    Unlike seeded ``df.sample()`` this is stable across runs, partitionings
+    and engines — the property a reproducible training-data pipeline needs
+    (the sample is a *function of the row*, not of the scan order).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    gate = spark_hexint("concat('sample:', cast(doc_id as string))")
+    return docs.filter(F.expr(f"pmod({gate}, {SAMPLE_MOD}) = 0")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {duck_hexint("concat('sample:', cast(doc_id as varchar))")} % {SAMPLE_MOD} = 0
+"""
+
+# -------------------------------------------------------------------- tf-idf
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    score = tf/n_tok * (N+1)/(df+1), computed as one integer product per
+    side of a single double division — deterministic across engines. Rank
+    ties break on term (ascending) so the top-k set is unique.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    terms = docs.select("doc_id", F.explode(F.expr(toks)).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_tok = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    df_tbl = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = terms.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(n_tok, "doc_id")
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.expr(
+                "cast(tf * (n_docs + 1) as double) / (n_tok * (df + 1))"
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "term", "tf", "df", F.expr("round(score, 9)").alias("score"))
+    )
+
+
+TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({duck_tokens("text")}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+n_tok AS (SELECT doc_id, count(*) AS n_tok FROM terms GROUP BY doc_id),
+df_tbl AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n_docs FROM terms),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df_tbl.df,
+         cast(tf.tf * (n_docs.n_docs + 1) as double) / (n_tok.n_tok * (df_tbl.df + 1)) AS score
+  FROM tf JOIN n_tok USING (doc_id) JOIN df_tbl USING (term) CROSS JOIN n_docs
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df, round(score, 9) AS score
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+# ----------------------------------------------------------------- PII scrub
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\d{3}[- ]\d{3}[- ]\d{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact email/phone patterns; emit match counts + scrubbed-text hash.
+
+    The hash (not the text) is the output so the operator verifies the
+    *replacement* semantics cross-engine without shipping full text
+    through the compare. Patterns are RE2-compatible (no backrefs or
+    lookaround) so Java regex and RE2 agree.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{EMAIL_RE}')").alias("n_emails"),
+        F.expr(f"regexp_count(text, '{PHONE_RE}')").alias("n_phones"),
+        F.expr(
+            f"md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>'),"
+            f" '{PHONE_RE}', '<PHONE>'))"
+        ).alias("scrubbed_hash"),
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM documents
+"""
+
+
+CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_chunk": doc_chunk,
+    "sample_hash": sample_hash,
+    "tfidf_top": tfidf_top,
+    "pii_scrub": pii_scrub,
+}
+
+CORPUS_ORACLES: dict[str, str] = {
+    "doc_chunk": DOC_CHUNK_SQL,
+    "sample_hash": SAMPLE_HASH_SQL,
+    "tfidf_top": TFIDF_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
+}

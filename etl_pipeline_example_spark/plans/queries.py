@@ -343,6 +343,55 @@ GROUP BY user_id, session_seq
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native sessionization via ``session_window`` (30-min gap).
+
+    Same session membership as ``q_sessionize``'s lag+cumsum (split only
+    when the gap *exceeds* 30 min — verified empirically: an event at
+    exactly prev+30min merges), but expressed with the built-in session
+    window, which is also the streaming-capable form (state-store backed
+    under Structured Streaming). ``window.end`` is last event + gap.
+    """
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(SUM_VALUE).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q_SESSION_WINDOW_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events, {SUM_VALUE} AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order of that customer at or
     before the event time.
@@ -415,6 +464,7 @@ ANALYTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_events_tumbling": q_events_tumbling,
     "q_sessionize": q_sessionize,
+    "q_session_window": q_session_window,
     "q_asof_join": q_asof_join,
 }
 
@@ -428,5 +478,6 @@ ANALYTIC_ORACLES: dict[str, str] = {
     "q_rollup": Q_ROLLUP_SQL,
     "q_events_tumbling": Q_TUMBLING_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,
+    "q_session_window": Q_SESSION_WINDOW_SQL,
     "q_asof_join": Q_ASOF_SQL,
 }

@@ -72,3 +72,44 @@ STREAM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 STREAM_ORACLES: dict[str, str] = {
     "stream_events": Q_TUMBLING_SQL,
 }
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: drop duplicate content hashes as documents
+    arrive; output the distinct content-hash set.
+
+    On a 24/7 stream ``dropDuplicates`` keeps per-key state forever unless
+    watermark-bounded; here the key is the content hash itself and the
+    drain is AvailableNow, so the emitted set equals the batch DISTINCT —
+    the stream/batch parity contract. (With late-data bounds you'd add
+    ``withWatermark`` and ``dropDuplicatesWithinWatermark``.)
+    """
+    docs = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    from etl_pipeline_example_spark.operators.hashing import spark_norm_text
+
+    hashed = docs.select(F.expr(f"md5({spark_norm_text('text')})").alias("content_hash"))
+    deduped = hashed.dropDuplicates(["content_hash"])
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_QUERIES["stream_dedup"] = stream_dedup
+STREAM_ORACLES["stream_dedup"] = """
+SELECT DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash
+FROM documents
+"""

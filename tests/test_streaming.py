@@ -11,3 +11,8 @@ from tests.oracle_util import assert_matches_oracle
 def test_stream_events_matches_batch_oracle(spark, duck, sf_dir):
     df = STREAM_QUERIES["stream_events"](spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_events"])
+
+
+def test_stream_dedup_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_dedup"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_dedup"])
