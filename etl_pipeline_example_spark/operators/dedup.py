@@ -32,9 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.hashing import (
+    duck_h32,
     duck_hexint,
     duck_norm_text,
     duck_tokens,
+    spark_h32,
     spark_hexint,
     spark_norm_text,
     spark_tokens,
@@ -109,42 +111,52 @@ MH_NUM_HASHES = 16
 MH_BANDS = 8
 MH_ROWS = 2  # MH_BANDS * MH_ROWS == MH_NUM_HASHES
 MH_TAU = 0.5
+MH_PRIME = 2147483647  # 2^31 - 1; h1 + 16*h2 < 2^37 — no 64-bit overflow
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥ τ.
 
-    Plan shape: shingle explode → per-doc element-wise-min signature (one
-    groupBy on doc_id, the k hashes ride along as an array — no k× row
-    blowup) → band explode (b rows per doc) → self-join on (band, bucket)
-    → distinct candidate pairs → shingle-join Jaccard verify. Every join
-    key is content-derived; AQE's skew handling splits hot buckets.
+    Plan shape: shingle explode (persisted — reused by the signature pass
+    and both sides of the verify join, the standard multi-pass reuse
+    ``persist`` exists for) → per-doc signature as 16 scalar ``min()``
+    aggregates in ONE groupBy (partial-aggregated map-side, whole-stage
+    codegen; doc shingle-count rides in the same pass) → band explode
+    (b rows per doc) → self-join on (band, bucket) → distinct candidate
+    pairs → shingle-join Jaccard verify. Every join key is
+    content-derived; AQE's skew handling splits hot buckets.
+
+    Hashing is Kirsch–Mitzenmacher double hashing: ONE md5 per shingle
+    yields (h1, h2) 32-bit slices, and mh_i = (h1 + (i+1)·h2) mod p —
+    16 hash functions for 1/16th the md5 cost, same theoretical minhash
+    guarantees (Kirsch & Mitzenmacher, ESA'06).
     """
-    shingles = _spark_shingle_table(spark, sf_dir)
-    h = spark_hexint(f"concat(i, ':', shingle)")
-    sig = (
-        shingles.select(
-            "doc_id",
-            F.expr(f"transform(sequence(0, {MH_NUM_HASHES - 1}), i -> {h})").alias("hs"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                f"aggregate(collect_list(hs),"
-                f" array_repeat(cast(9223372036854775807 as bigint), {MH_NUM_HASHES}),"
-                " (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))"
-            ).alias("sig")
-        )
-    )
-    bands = sig.select(
+    shingles = _spark_shingle_table(spark, sf_dir).persist()
+    hashed = shingles.select(
         "doc_id",
-        F.explode(
+        F.expr(spark_h32("shingle", 1)).alias("h1"),
+        F.expr(spark_h32("shingle", 17)).alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
+            for i in range(MH_NUM_HASHES)
+        ],
+    )
+    band_cols = [
+        F.struct(
+            F.lit(j).alias("band"),
             F.expr(
-                f"transform(sequence(0, {MH_BANDS - 1}),"
-                f" j -> named_struct('band', j, 'bucket',"
-                f" md5(concat_ws('_', slice(sig, j * {MH_ROWS} + 1, {MH_ROWS})))))"
-            )
-        ).alias("bb"),
+                "md5(concat_ws('_', "
+                + ", ".join(f"m{j * MH_ROWS + r}" for r in range(MH_ROWS))
+                + "))"
+            ).alias("bucket"),
+        )
+        for j in range(MH_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -153,14 +165,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    shingle_counts = _spark_shingle_table(spark, sf_dir).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh")
-    )
-    sh = _spark_shingle_table(spark, sf_dir)
+    shingle_counts = sig.select("doc_id", "n_sh")
     common = (
-        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        cand.join(shingles.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(
-            sh.alias("sb"),
+            shingles.alias("sb"),
             (F.col("doc_b") == F.col("sb.doc_id"))
             & (F.col("sa.shingle") == F.col("sb.shingle")),
         )
@@ -182,31 +191,36 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_MINS = ",\n         ".join(
+    f"min((h1 + {i + 1} * h2) % {MH_PRIME}) AS m{i}" for i in range(MH_NUM_HASHES)
+)
+_DUCK_BANDS = " UNION ALL ".join(
+    "SELECT doc_id, "
+    + str(j)
+    + " AS band, md5(concat_ws('_', "
+    + ", ".join(f"m{j * MH_ROWS + r}" for r in range(MH_ROWS))
+    + ")) AS bucket FROM sig"
+    for j in range(MH_BANDS)
+)
+
 DEDUP_MINHASH_SQL = f"""
 WITH {_DUCK_SHINGLES_CTE},
 hashed AS (
-  SELECT doc_id, i, {duck_hexint("concat(i, ':', shingle)")} AS h
-  FROM shingle_tbl, (SELECT unnest(range(0, {MH_NUM_HASHES})) AS i)
+  SELECT doc_id, {duck_h32("shingle", 1)} AS h1, {duck_h32("shingle", 17)} AS h2
+  FROM shingle_tbl
 ),
 sig AS (
-  SELECT doc_id, i, min(h) AS mh
-  FROM hashed GROUP BY doc_id, i
-),
-sig_arr AS (
-  SELECT doc_id, list(mh ORDER BY i) AS sig FROM sig GROUP BY doc_id
+  SELECT doc_id, count(*) AS n_sh,
+         {_DUCK_MINS}
+  FROM hashed GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, j AS band,
-         md5(concat_ws('_', sig[j * {MH_ROWS} + 1], sig[j * {MH_ROWS} + 2])) AS bucket
-  FROM sig_arr, (SELECT unnest(range(0, {MH_BANDS})) AS j)
+  {_DUCK_BANDS}
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-),
-counts AS (
-  SELECT doc_id, count(*) AS n_sh FROM shingle_tbl GROUP BY doc_id
 ),
 common AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -218,8 +232,8 @@ common AS (
 SELECT m.doc_a, m.doc_b,
        round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) AS jaccard
 FROM common m
-JOIN counts ca ON ca.doc_id = m.doc_a
-JOIN counts cb ON cb.doc_id = m.doc_b
+JOIN sig ca ON ca.doc_id = m.doc_a
+JOIN sig cb ON cb.doc_id = m.doc_b
 WHERE round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) >= {MH_TAU}
 """
 
@@ -336,11 +350,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the capped shingle sets on both sides, so the metric is exact w.r.t.
     the capped representation and identical in the oracle.
     """
-    sh = _spark_shingle_table(spark, sf_dir)
+    sh = _spark_shingle_table(spark, sf_dir).persist()
     df_ok = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= NJ_DF_CAP
     )
-    capped = sh.join(F.broadcast(df_ok.select("shingle")), "shingle")
+    capped = sh.join(F.broadcast(df_ok.select("shingle")), "shingle").persist()
     counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = capped.alias("a"), capped.alias("b")
     common = (

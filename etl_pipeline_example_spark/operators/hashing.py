@@ -29,6 +29,21 @@ def duck_hexint(expr: str) -> str:
     return f"cast(concat('0x', substr(md5({expr}),1,15)) as bigint)"
 
 
+def spark_h32(expr: str, pos: int) -> str:
+    """32-bit hash slice: hex chars [pos, pos+8) of md5 parsed as bigint.
+
+    Two independent slices of ONE md5 give the (h1, h2) pair for
+    Kirsch–Mitzenmacher double hashing (mh_i = h1 + i*h2 mod p): k minhash
+    functions for the price of a single md5 per value.
+    """
+    return f"cast(conv(substr(md5({expr}),{pos},8),16,10) as bigint)"
+
+
+def duck_h32(expr: str, pos: int) -> str:
+    """Same 32-bit slice in DuckDB SQL."""
+    return f"cast(concat('0x', substr(md5({expr}),{pos},8)) as bigint)"
+
+
 def spark_tokens(col: str = "text") -> str:
     return (
         f"filter(split(trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ')), ' '),"

@@ -146,40 +146,44 @@ _PLANES = _lsh_plane_strings()
 
 
 def _spark_planes_df(spark: SparkSession):
-    """The 72 hyperplanes as a tiny broadcastable table (tp, plane)."""
-    return spark.createDataFrame(
-        [(tp, s) for tp, s in enumerate(_PLANES)], "tp int, plane string"
-    )
+    """12 rows (tbl, pvs): each table's 6 hyperplanes as ±1.0 vectors.
+
+    Shipping the planes as array<array<double>> columns (one row per
+    TABLE, not per plane) lets the bucket be computed in a single
+    projection per (vector, table) row — no per-char ``substr`` decode in
+    the hot loop, no groupBy to assemble bits, hence zero shuffles in the
+    whole corpus-hashing stage. Plane vectors are scalar columns, NOT
+    literals indexed inside a lambda, which both engines re-materialize
+    per element (measured 60× slower).
+    """
+    rows = []
+    for t in range(LSH_TABLES):
+        pvs = [
+            [1.0 if c == "1" else -1.0 for c in _PLANES[t * LSH_BITS + b]]
+            for b in range(LSH_BITS)
+        ]
+        rows.append((t, pvs))
+    return spark.createDataFrame(rows, "tbl int, pvs array<array<double>>")
 
 
-_SIGN_DOT = (
-    "aggregate(sequence(1, size(embedding)), cast(0 as double),"
-    " (acc, i) -> acc + cast(element_at(embedding, i) as double)"
-    " * CASE WHEN substr(plane, i, 1) = '1' THEN 1.0 ELSE -1.0 END)"
+# 6-bit bucket for one (vector, table) row: fold over the table's planes,
+# inner fold is the sign dot product. Same per-element products and
+# left-to-right sum order as the oracle, so signs agree bit-for-bit.
+_BUCKET_EXPR = (
+    f"aggregate(sequence(0, {LSH_BITS - 1}), cast(0 as bigint), (acc, b) ->"
+    " acc + CASE WHEN aggregate(zip_with(embedding, element_at(pvs, b + 1),"
+    " (x, p) -> cast(x as double) * p), cast(0 as double), (a2, v) -> a2 + v) >= 0"
+    " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
 )
 
 
 def _spark_lsh_bucket_table(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, tbl, bucket) — one row per vector per hash table.
-
-    Broadcast cross-join against the 72-row plane table, sign-bit per
-    (vector, plane), then a groupBy builds each table's 6-bit code. The
-    plane string is a scalar column here — NOT a literal indexed inside a
-    lambda, which both engines re-materialize per element (measured 60×
-    slower).
-    """
+    """(vec_id, embedding, tbl, bucket) — one row per vector per hash table,
+    computed in one shuffle-free projection over a broadcast cross-join."""
     planes = F.broadcast(_spark_planes_df(spark))
-    bits = emb.crossJoin(planes).select(
-        "vec_id",
-        "embedding",
-        F.expr(f"tp div {LSH_BITS}").alias("tbl"),
-        F.expr(
-            f"CASE WHEN ({_SIGN_DOT}) >= 0"
-            f" THEN shiftleft(cast(1 as bigint), tp % {LSH_BITS})"
-            " ELSE cast(0 as bigint) END"
-        ).alias("bitval"),
+    return emb.crossJoin(planes).select(
+        "vec_id", "embedding", "tbl", F.expr(_BUCKET_EXPR).alias("bucket")
     )
-    return bits.groupBy("vec_id", "tbl").agg(F.sum("bitval").alias("bucket"))
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,8 +201,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — measured against ann_bruteforce in tests.
     """
     emb = read_table(spark, sf_dir, "embeddings")
-    buckets = _spark_lsh_bucket_table(spark, emb)
-    bucketed = buckets.join(emb, "vec_id").select("vec_id", "embedding", "tbl", "bucket")
+    bucketed = _spark_lsh_bucket_table(spark, emb)
     queries = bucketed.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -204,7 +204,10 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-part average is one map-side-combined agg over l_partkey, then
     joined back; Catalyst would produce the same plan from the correlated
     SQL, written explicitly here so the join side can be broadcast when the
-    part count is bounded.
+    part count is bounded. The broadcast hint assumes the real Q17's
+    part-brand/container filter bounds the agg side; unfiltered at 100 TB
+    the hint should be dropped and AQE's runtime stats pick the strategy
+    (sort-merge on l_partkey with map-side partial agg).
     """
     li = read_table(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg(
@@ -213,7 +216,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(avg_qty.withColumnRenamed("l_partkey", "p_key"),
+        li.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "p_key")),
                 li.l_partkey == F.col("p_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -240,7 +243,11 @@ WHERE l_quantity < 0.5 * avg_qty
 
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: HAVING-driven semi join — orders whose total
-    quantity exceeds a threshold, joined back to customer detail."""
+    quantity exceeds a threshold, joined back to customer detail.
+
+    The HAVING filter is highly selective (top ~0.01% of orders), so the
+    filtered agg broadcasts at any SF — the selectivity, not the input
+    size, is what makes the hint scale-safe."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -250,7 +257,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("total_qty") > 150)
     )
     return (
-        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
