@@ -34,6 +34,10 @@ from etl_pipeline_example_spark.plans import (
     RELATIONAL_QUERIES,
 )
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
+from etl_pipeline_example_spark.plans.tpch_extra import (
+    TPCH_EXTRA_ORACLES,
+    TPCH_EXTRA_QUERIES,
+)
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
 
@@ -47,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PARITY_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(RELATIONAL_QUERIES)
+    out.update(TPCH_EXTRA_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(CORPUS_QUERIES)
     out.update(DEDUP_QUERIES)
@@ -61,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PARITY_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(RELATIONAL_ORACLES)
+    out.update(TPCH_EXTRA_ORACLES)
     out.update(TEXT_ORACLES)
     out.update(CORPUS_ORACLES)
     out.update(DEDUP_ORACLES)
