@@ -29,16 +29,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
-    # Warmup: touch every table once so OS page cache and codegen are warm.
+    # Warmup: touch every table once so OS page cache and codegen are warm,
+    # and spin up the Python worker pool so the first Pandas-UDF query
+    # measures its plan, not worker fork+import time.
     for t in ["lineitem", "orders", "customer", "events", "documents", "embeddings"]:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
 
+    # Best-of-2: a second full pass absorbs environment noise (CPU
+    # contention, GC) so the number reflects the plan, not the neighbour.
     timings: dict[str, float] = {}
-    for name in sorted(queries):
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+    for rnd in range(2):
+        for name in sorted(queries):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            print(f"# r{rnd} {name}: {dt}s", file=sys.stderr)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -49,7 +49,7 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     be short; empty docs drop out. This is the standard pre-tokenization
     windowing step before embedding/packing.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
     return (
         docs.select("doc_id", F.expr(toks).alias("tk"))
@@ -91,7 +91,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engines — the property a reproducible training-data pipeline needs
     (the sample is a *function of the row*, not of the scan order).
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     gate = spark_hexint("concat('sample:', cast(doc_id as string))")
     return docs.filter(F.expr(f"pmod({gate}, {SAMPLE_MOD}) = 0")).select(
         "doc_id", "lang", "source", "n_chars"
@@ -116,9 +116,14 @@ def tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     side of a single double division — deterministic across engines. Rank
     ties break on term (ascending) so the top-k set is unique.
     """
+    # parallel=False: the tokenize here is one cheap regex per row — the
+    # repartition shuffle costs more than the 32× compute fan-out buys
+    # (unlike the md5-heavy shingle operators); at scale the scan itself
+    # carries the parallelism
     docs = read_table(spark, sf_dir, "documents")
     toks = spark_tokens("text")
-    terms = docs.select("doc_id", F.explode(F.expr(toks)).alias("term"))
+    # persisted: tf, n_tok, df and N are four scans of the same explode
+    terms = docs.select("doc_id", F.explode(F.expr(toks)).alias("term")).persist()
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     n_tok = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
     df_tbl = terms.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -181,7 +186,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the compare. Patterns are RE2-compatible (no backrefs or
     lookaround) so Java regex and RE2 agree.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     return docs.select(
         "doc_id",
         F.expr(f"regexp_count(text, '{EMAIL_RE}')").alias("n_emails"),

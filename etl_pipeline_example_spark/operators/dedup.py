@@ -52,6 +52,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Emits one row per distinct content with n_dups and the kept (minimum)
     doc_id — the survivor list of an exact-dedup pass.
     """
+    # parallel=False: one regex+md5 per row is lighter than a repartition
     docs = read_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", F.expr(f"md5({spark_norm_text('text')})").alias("content_hash"))
@@ -75,7 +76,7 @@ SHINGLE_K = 3
 
 def _spark_shingle_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) distinct rows; docs with < K tokens drop out."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
     return (
         docs.select("doc_id", F.expr(toks).alias("tk"))
@@ -253,7 +254,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk equal), then exact
     popcount(xor) filter. The chunk join is the only shuffle.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
     th = spark_hexint("t")
     # One scalar sum per bit instead of an array fold: 60 partial-aggregated

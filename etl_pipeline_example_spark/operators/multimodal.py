@@ -73,7 +73,7 @@ def extract_media_metadata(df: DataFrame) -> DataFrame:
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize binary payloads from documents and run the decode pipeline."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
     media = docs.select(
         "doc_id",
         F.expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'"

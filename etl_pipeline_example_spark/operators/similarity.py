@@ -69,7 +69,7 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank)."""
-    emb = _with_norm(read_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm")
     queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -200,7 +200,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the cosine≈0.3 "neighbors" this uniform-random benchmark data has
     — measured against ann_bruteforce in tests.
     """
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
     bucketed = _spark_lsh_bucket_table(spark, emb)
     queries = bucketed.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -281,7 +281,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF-style coarse quantization step of a production near-dup
     pipeline (at scale the label comes from k-means/IVF assignment).
     """
-    emb = _with_norm(read_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm")
     a = emb.select(
         F.col("label").alias("blk"),
         F.col("vec_id").alias("vec_a"),

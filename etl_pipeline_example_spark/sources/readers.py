@@ -62,10 +62,23 @@ def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table: ``<sf_dir>/<name>.parquet``."""
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
+    """Read one testdata table: ``<sf_dir>/<name>.parquet``.
+
+    ``parallel=True`` repartitions the scan to the session's default
+    parallelism. Use it in front of CPU-heavy per-row stages (tokenize,
+    hash, cosine): a small input (here: one sub-row-group parquet file →
+    ONE scan partition) otherwise serializes the whole expensive stage on
+    a single core. The shuffle moves only the small raw input; at scale
+    the same guard applies whenever scan parallelism < cluster
+    parallelism (few huge gzip files, a coalesced upstream write, ...).
+    """
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if parallel:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
