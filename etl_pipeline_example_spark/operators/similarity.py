@@ -178,11 +178,13 @@ _BUCKET_EXPR = (
 
 
 def _spark_lsh_bucket_table(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """(vec_id, embedding, tbl, bucket) — one row per vector per hash table,
-    computed in one shuffle-free projection over a broadcast cross-join."""
+    """(vec_id, embedding, nrm, tbl, bucket) — one row per vector per hash
+    table, computed in one shuffle-free projection over a broadcast
+    cross-join. The L2 norm rides along so candidate scoring needs one
+    dot product, not three."""
     planes = F.broadcast(_spark_planes_df(spark))
     return emb.crossJoin(planes).select(
-        "vec_id", "embedding", "tbl", F.expr(_BUCKET_EXPR).alias("bucket")
+        "vec_id", "embedding", "nrm", "tbl", F.expr(_BUCKET_EXPR).alias("bucket")
     )
 
 
@@ -200,11 +202,14 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the cosine≈0.3 "neighbors" this uniform-random benchmark data has
     — measured against ann_bruteforce in tests.
     """
-    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
     bucketed = _spark_lsh_bucket_table(spark, emb)
     queries = bucketed.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
@@ -214,13 +219,21 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
         )
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding")
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            F.col("nrm").alias("c_nrm"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    dot = _SPARK_DOT.format(a="q_emb", b="embedding")
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.expr(_spark_cosine("q_emb", "embedding")).alias("cosine"),
+        F.expr(f"round(({dot}) / (q_nrm * c_nrm), 6)").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)

@@ -436,25 +436,23 @@ def q21_sole_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders shipped by ≥2 suppliers where exactly one supplier has a
     returned line — count such orders per culprit supplier.
 
-    One grouped pass computes both distinct counts; the culprit join is a
-    semi-join of the R-lines against the qualifying order set.
+    One grouped pass collapses lineitem to (order, supplier, has_return);
+    window counts over the order partition find qualifying orders and the
+    culprit row in the same shuffle — no second lineitem scan, no join
+    back, no distinct.
     """
     li = read_table(spark, sf_dir, "lineitem")
     supplier = read_table(spark, sf_dir, "supplier")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_r_supp"),
+    os_level = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
     )
-    qualifying = per_order.filter(
-        (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
-    ).select("l_orderkey")
+    w = Window.partitionBy("l_orderkey")
     culprits = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(qualifying, "l_orderkey")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        os_level.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_r_supp", F.sum("has_r").over(w))
+        .filter(
+            (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1) & (F.col("has_r") == 1)
+        )
     )
     return (
         culprits.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)

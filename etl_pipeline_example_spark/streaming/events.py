@@ -22,7 +22,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_example_spark.plans.queries import SUM_VALUE, Q_TUMBLING_SQL
+from etl_pipeline_example_spark.plans.queries import (
+    Q_SESSION_WINDOW_SQL,
+    Q_TUMBLING_SQL,
+    SUM_VALUE,
+)
 
 
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +111,53 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     return spark.table(sink)
 
+
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: native ``session_window`` (30-min gap) per
+    user over the event stream — the state-store-backed streaming form of
+    ``q_session_window``, drained with AvailableNow for batch parity.
+
+    On a 24/7 stream the watermark closes a session once event time passes
+    its end + gap, emitting it exactly once and freeing its state — the
+    mechanism that keeps session state bounded at any scale; with the
+    drain-and-stop trigger plus complete mode, every session is emitted,
+    so the result equals the batch session_window query and carries its
+    full SQL oracle.
+    """
+    events = (
+        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
+                                " event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.expr(SUM_VALUE).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_QUERIES["stream_sessions"] = stream_sessions
+STREAM_ORACLES["stream_sessions"] = Q_SESSION_WINDOW_SQL
 
 STREAM_QUERIES["stream_dedup"] = stream_dedup
 STREAM_ORACLES["stream_dedup"] = """

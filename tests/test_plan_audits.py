@@ -1,0 +1,82 @@
+"""Physical-plan audits — the scale properties correctness tests can't see.
+
+Each assertion pins a plan shape that matters at 100 TB:
+- filter/column pushdown reaches the parquet scan (don't read what you
+  don't need);
+- dimension joins broadcast (the fact side never shuffles for them);
+- aggregates partial-aggregate map-side (shuffle carries groups, not rows);
+- hot expressions run inside whole-stage codegen.
+
+A regression here won't flip a row count at sf0.001 — it flips the 100 TB
+runtime, which is why the plan itself is under test.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+from etl_pipeline_example_spark.operators.similarity import ann_lsh
+from etl_pipeline_example_spark.plans.queries import q1_pricing, q5_local_supplier
+from etl_pipeline_example_spark.plans.relational import q6_forecast
+from etl_pipeline_example_spark.plans.tpch_extra import q19_disjunctive
+
+
+def plan_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q6_filters_push_to_scan(spark, sf_dir):
+    plan = plan_str(q6_forecast(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # the tight scan predicates must reach the parquet reader
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln or "l_discount" in ln for ln in pushed), pushed
+
+
+def test_q6_prunes_columns(spark, sf_dir):
+    plan = plan_str(q6_forecast(spark, sf_dir))
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines, plan
+    # projection needs 4 of lineitem's 11 columns; the scan must not read
+    # the text/dimension columns
+    assert all("l_returnflag" not in ln for ln in schema_lines), schema_lines
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir):
+    plan = plan_str(q5_local_supplier(spark, sf_dir))
+    # supplier, customer, nation, region all broadcast; only lineitem↔orders
+    # is allowed to shuffle
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
+    plan = plan_str(q1_pricing(spark, sf_dir))
+    # two HashAggregate nodes = map-side partial + reduce-side final
+    assert plan.count("HashAggregate") >= 2, plan
+    codegen = plan_str(q1_pricing(spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in codegen, codegen
+
+
+def test_q19_or_predicate_stays_out_of_join_build(spark, sf_dir):
+    plan = plan_str(q19_disjunctive(spark, sf_dir))
+    # part side broadcasts; the OR-of-ANDs evaluates post-join without
+    # expanding to a cartesian
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_lsh_bucket_stage_is_shuffle_free(spark, sf_dir):
+    plan = plan_str(ann_lsh(spark, sf_dir), mode="simple")
+    # corpus hashing is a projection over a broadcast cross-join; the only
+    # exchanges allowed are the candidate dedup and the final top-k window
+    # (plus AQE reuse wrappers). A groupBy in the bucket computation would
+    # add one more.
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
