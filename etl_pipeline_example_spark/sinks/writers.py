@@ -37,6 +37,9 @@ def write_curated(
     the layout is standard hive-style and dynamic overwrite replaces only
     the affected partitions.
     """
+    from etl_pipeline_example_spark.sources.readers import _FORMAT_ALIASES
+
+    fmt = _FORMAT_ALIASES.get(spec.data_format.lower(), "parquet")
     partition_values = partition_values or {}
     out = align_df_to_meta(df, spec, drop_columns=spec.partitions)
     if spec.partitions:
@@ -48,9 +51,12 @@ def write_curated(
                 out = out.withColumn(p, df[p].cast(ptype))
             else:
                 raise ValueError(f"no value for partition column {p!r}")
-        out.write.mode("overwrite").partitionBy(*spec.partitions).parquet(path)
+        writer = out.write.mode("overwrite").partitionBy(*spec.partitions)
     else:
-        out.write.mode("overwrite").parquet(path)
+        writer = out.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
     # Invalidate cached file listings for this location: a stale cache would
     # serve the pre-rewrite file names (FileNotFoundException on next query).
     # Path-based reads are covered by refreshByPath; a registered catalog

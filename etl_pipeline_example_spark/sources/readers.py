@@ -25,6 +25,7 @@ _FORMAT_ALIASES = {
     "jsonl": "json",
     "json": "json",
     "parquet": "parquet",
+    "orc": "orc",
     "csv": "csv",
 }
 
@@ -49,9 +50,9 @@ def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
-    if fmt != "parquet":
-        # Parquet carries its own schema; partition columns in the path would
-        # conflict with an explicit schema that omits them.
+    if fmt not in ("parquet", "orc"):
+        # Parquet/ORC carry their own schema; partition columns in the path
+        # would conflict with an explicit schema that omits them.
         reader = reader.schema(spark_schema_for(spec, exclude=spec.partitions))
     return reader.load(path)
 

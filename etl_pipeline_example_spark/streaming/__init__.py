@@ -3,5 +3,18 @@ from etl_pipeline_example_spark.streaming.events import (
     STREAM_ORACLES,
     stream_events_tumbling,
 )
+from etl_pipeline_example_spark.streaming.stateful import (
+    STATEFUL_ORACLES,
+    STATEFUL_QUERIES,
+    stream_user_stats,
+)
 
-__all__ = ["STREAM_QUERIES", "STREAM_ORACLES", "stream_events_tumbling"]
+STREAM_QUERIES.update(STATEFUL_QUERIES)
+STREAM_ORACLES.update(STATEFUL_ORACLES)
+
+__all__ = [
+    "STREAM_QUERIES",
+    "STREAM_ORACLES",
+    "stream_events_tumbling",
+    "stream_user_stats",
+]

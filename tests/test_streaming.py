@@ -21,3 +21,8 @@ def test_stream_dedup_matches_batch_oracle(spark, duck, sf_dir):
 def test_stream_sessions_matches_batch_oracle(spark, duck, sf_dir):
     df = STREAM_QUERIES["stream_sessions"](spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_sessions"])
+
+
+def test_stream_user_stats_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_user_stats"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_user_stats"])
