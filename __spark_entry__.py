@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_example_spark.operators import (
+    CLUSTER_ORACLES,
+    CLUSTER_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
     DEDUP_ORACLES,
@@ -32,6 +34,8 @@ from etl_pipeline_example_spark.plans import (
     ANALYTIC_QUERIES,
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
+    SCALE_ORACLES,
+    SCALE_QUERIES,
 )
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
 from etl_pipeline_example_spark.plans.tpch_extra import (
@@ -52,9 +56,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ANALYTIC_QUERIES)
     out.update(RELATIONAL_QUERIES)
     out.update(TPCH_EXTRA_QUERIES)
+    out.update(SCALE_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(CORPUS_QUERIES)
     out.update(DEDUP_QUERIES)
+    out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
     out.update(MM_QUERIES)
     out.update(STREAM_QUERIES)
@@ -67,9 +73,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(ANALYTIC_ORACLES)
     out.update(RELATIONAL_ORACLES)
     out.update(TPCH_EXTRA_ORACLES)
+    out.update(SCALE_ORACLES)
     out.update(TEXT_ORACLES)
     out.update(CORPUS_ORACLES)
     out.update(DEDUP_ORACLES)
+    out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)
     out.update(MM_ORACLES)
     out.update(STREAM_ORACLES)

@@ -3,6 +3,7 @@ from etl_pipeline_example_spark.operators.dedup import DEDUP_QUERIES, DEDUP_ORAC
 from etl_pipeline_example_spark.operators.similarity import SIM_QUERIES, SIM_ORACLES
 from etl_pipeline_example_spark.operators.multimodal import MM_QUERIES, MM_ORACLES
 from etl_pipeline_example_spark.operators.corpus import CORPUS_QUERIES, CORPUS_ORACLES
+from etl_pipeline_example_spark.operators.cluster import CLUSTER_QUERIES, CLUSTER_ORACLES
 
 __all__ = [
     "TEXT_QUERIES",
@@ -15,4 +16,6 @@ __all__ = [
     "MM_ORACLES",
     "CORPUS_QUERIES",
     "CORPUS_ORACLES",
+    "CLUSTER_QUERIES",
+    "CLUSTER_ORACLES",
 ]

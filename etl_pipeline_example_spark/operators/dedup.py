@@ -204,8 +204,9 @@ _DUCK_BANDS = " UNION ALL ".join(
     for j in range(MH_BANDS)
 )
 
-DEDUP_MINHASH_SQL = f"""
-WITH {_DUCK_SHINGLES_CTE},
+# CTE chain up to the verified pair set, reusable by downstream oracles
+# (operators/cluster.py wraps it in a WITH RECURSIVE for components).
+MINHASH_PAIR_CTES = f"""{_DUCK_SHINGLES_CTE},
 hashed AS (
   SELECT doc_id, {duck_h32("shingle", 1)} AS h1, {duck_h32("shingle", 17)} AS h2
   FROM shingle_tbl
@@ -229,13 +230,19 @@ common AS (
   JOIN shingle_tbl sa ON sa.doc_id = c.doc_a
   JOIN shingle_tbl sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT m.doc_a, m.doc_b,
-       round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) AS jaccard
-FROM common m
-JOIN sig ca ON ca.doc_id = m.doc_a
-JOIN sig cb ON cb.doc_id = m.doc_b
-WHERE round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) >= {MH_TAU}
+),
+mh_pairs AS (
+  SELECT m.doc_a, m.doc_b,
+         round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) AS jaccard
+  FROM common m
+  JOIN sig ca ON ca.doc_id = m.doc_a
+  JOIN sig cb ON cb.doc_id = m.doc_b
+  WHERE round(cast(m.n_common as double) / (ca.n_sh + cb.n_sh - m.n_common), 6) >= {MH_TAU}
+)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
 """
 
 # ------------------------------------------------------------------- simhash

@@ -1,4 +1,5 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
+from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
 from etl_pipeline_example_spark.plans.relational import (
     RELATIONAL_QUERIES,
     RELATIONAL_ORACLES,
@@ -9,4 +10,6 @@ __all__ = [
     "ANALYTIC_ORACLES",
     "RELATIONAL_QUERIES",
     "RELATIONAL_ORACLES",
+    "SCALE_QUERIES",
+    "SCALE_ORACLES",
 ]

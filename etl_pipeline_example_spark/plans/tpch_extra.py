@@ -427,6 +427,108 @@ FROM ranked JOIN supplier ON l_suppkey = s_suppkey
 WHERE rn = 1
 """
 
+# ----------------------------------------------------------------- Q12 shape
+
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-class line counts per line status (TPC-H Q12 shape;
+    l_linestatus stands in for the missing l_shipmode). The only shuffle
+    is the lineitem↔orders fact-fact join — both sides filter/prune in
+    their scans, AQE coalesces the post-join partitions; the conditional
+    counts fold into one grouped pass."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN {Q12_HIGH} THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN {Q12_HIGH} THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+"""
+
+# ----------------------------------------------------------------- Q20 shape
+
+Q20_LIKE = "cold%"
+Q20_FACTOR = 1.5
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers shipping an outsized share of a part family (TPC-H Q20
+    shape; the availqty-vs-half-of-shipped test becomes shipped-qty vs a
+    multiple of the part's mean per-supplier qty, as partsupp is absent).
+
+    The nested-IN chain decorrelates to agg → agg → join: per-(part,supp)
+    quantities in one grouped pass, part-level stats from that (already
+    small — bounded by the filtered part family), broadcast back, then a
+    broadcast supplier join with DISTINCT collapsing multi-part culprits.
+    Quantity sums stay DECIMAL end-to-end; one cast to double at the
+    threshold compare, same expression text in both engines.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like(Q20_LIKE))
+    supplier = read_table(spark, sf_dir, "supplier")
+    ps = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.expr("sum(cast(l_quantity as decimal(18,2)))").alias("qty_dec"))
+    )
+    pstat = ps.groupBy("l_partkey").agg(
+        F.expr("cast(sum(qty_dec) as double)").alias("total_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    return (
+        ps.join(F.broadcast(pstat), "l_partkey")
+        .filter(
+            (F.col("n_supp") >= 2)
+            & F.expr(
+                f"cast(qty_dec as double) > {Q20_FACTOR} * (total_qty / n_supp)"
+            )
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+Q20_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(cast(l_quantity as decimal(18,2))) AS qty_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_LIKE}'
+  GROUP BY 1, 2
+),
+pstat AS (
+  SELECT l_partkey, cast(sum(qty_dec) as double) AS total_qty,
+         count(*) AS n_supp
+  FROM ps GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM ps
+JOIN pstat USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp >= 2
+  AND cast(qty_dec as double) > {Q20_FACTOR} * (total_qty / n_supp)
+"""
+
 # ----------------------------------------------------------------- Q21 shape
 
 
@@ -489,9 +591,11 @@ TPCH_EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_profit": q9_profit,
     "q10_returns": q10_returns,
     "q11_part_value": q11_part_value,
+    "q12_priority": q12_priority,
     "q15_top_supplier": q15_top_supplier,
     "q16_supplier_cnt": q16_supplier_cnt,
     "q19_disjunctive": q19_disjunctive,
+    "q20_excess_suppliers": q20_excess_suppliers,
     "q21_sole_fault": q21_sole_fault,
 }
 
@@ -502,8 +606,10 @@ TPCH_EXTRA_ORACLES: dict[str, str] = {
     "q9_profit": Q9_SQL,
     "q10_returns": Q10_SQL,
     "q11_part_value": Q11_SQL,
+    "q12_priority": Q12_SQL,
     "q15_top_supplier": Q15_SQL,
     "q16_supplier_cnt": Q16_SQL,
     "q19_disjunctive": Q19_SQL,
+    "q20_excess_suppliers": Q20_SQL,
     "q21_sole_fault": Q21_SQL,
 }
