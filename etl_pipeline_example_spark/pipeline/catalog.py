@@ -17,6 +17,22 @@ from pyspark.sql import SparkSession
 from etl_pipeline_example_spark.metadata.spec import DatabaseSpec, spark_schema_for
 
 
+def _ensure_location(spark: SparkSession, location: str) -> None:
+    """Create the table location if absent, through the Hadoop FS layer.
+
+    Deploying the catalog before the first curated write is legal (the
+    reference's DAG order is rebuildable in any order); on local FS a
+    partition-discovery scan over a missing dir raises where S3 would just
+    list empty, so level the two by creating the directory.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(location)
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        fs.mkdirs(path)
+
+
 def deploy_database(
     spark: SparkSession,
     db: DatabaseSpec,
@@ -37,6 +53,7 @@ def deploy_database(
             spec, exclude=[c.name for c in spec.columns if c.name not in spec.partitions]
         )
         location = f"{curated_root}/{spec.location or spec.name}"
+        _ensure_location(spark, location)
         stmt = f"CREATE TABLE {fq} ({ddl_cols}) USING {spec.data_format}"
         if spec.partitions:
             part_cols = ", ".join(

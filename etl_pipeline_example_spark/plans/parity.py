@@ -34,14 +34,20 @@ _ALIGN_SPEC = TableSpec.from_dict(
 
 def meta_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """align_df_to_meta on customer: reorder, cast, null-fill a missing column
-    (reference: glue_jobs/example_job/job.py:60 align_df_to_meta)."""
-    return align_df_to_meta(read_table(spark, sf_dir, "customer"), _ALIGN_SPEC)
+    (reference: glue_jobs/example_job/job.py:60 align_df_to_meta).
+
+    The aligned ``c_acctbal`` is decimal(12,2) per the spec; for the
+    cross-engine hash it is canonicalized to double (the repo-wide
+    decimal-to-double convention) so both engines serialize identically.
+    """
+    aligned = align_df_to_meta(read_table(spark, sf_dir, "customer"), _ALIGN_SPEC)
+    return aligned.withColumn("c_acctbal", F.col("c_acctbal").cast("double"))
 
 
 META_ALIGN_SQL = """
 SELECT c_name,
        c_custkey,
-       CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+       CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS c_acctbal,
        CAST(NULL AS VARCHAR) AS loyalty_tier
 FROM customer
 """

@@ -63,6 +63,22 @@ def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame
 _NANO_TS_COLUMNS = {"events": ["ts"]}
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """Make nanos-timestamp parquet readable on ANY session.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is runtime-settable; without
+    it a vanilla session raises ``PARQUET_TYPE_ILLEGAL`` on
+    INT64(TIMESTAMP(NANOS)). The engine must not depend on its own session
+    factory having run — a caller may hand us any SparkSession — so every
+    reader that can touch a nanos table sets it idempotently here. The
+    session timezone is pinned to UTC alongside it: the nanos-long →
+    timestamp conversion must render the same instant on any host, and the
+    DuckDB oracle treats these as naive UTC timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
@@ -76,6 +92,8 @@ def read_table(
     the same guard applies whenever scan parallelism < cluster
     parallelism (few huge gzip files, a coalesced upstream write, ...).
     """
+    if name in _NANO_TS_COLUMNS:
+        ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

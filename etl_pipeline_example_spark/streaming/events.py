@@ -27,6 +27,7 @@ from etl_pipeline_example_spark.plans.queries import (
     Q_TUMBLING_SQL,
     SUM_VALUE,
 )
+from etl_pipeline_example_spark.sources.readers import ensure_nanos_conf
 
 
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,6 +38,7 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     with AvailableNow + complete mode every window is emitted, giving
     batch parity.
     """
+    ensure_nanos_conf(spark)
     events = (
         spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
                                 " event_type string, value double, props string")
@@ -124,6 +126,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result equals the batch session_window query and carries its
     full SQL oracle.
     """
+    ensure_nanos_conf(spark)
     events = (
         spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
                                 " event_type string, value double, props string")

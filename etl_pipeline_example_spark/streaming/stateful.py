@@ -50,6 +50,9 @@ def _fold_user_stats(
 
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user order-dependent stats with explicit state."""
+    from etl_pipeline_example_spark.sources.readers import ensure_nanos_conf
+
+    ensure_nanos_conf(spark)
     events = (
         spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
                                 " event_type string, value double, props string")
