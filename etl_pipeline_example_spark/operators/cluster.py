@@ -10,17 +10,21 @@ near-dedup stage described in Lee et al., "Deduplicating Training Data
 Makes Language Models Better", and the MapReduce connected-components
 literature: Kiveris et al., SoCC'14).
 
-Algorithm: iterated min-label propagation to a fixed point —
-``comp(v) ← min(comp(v), min over neighbours comp(u))`` each round, all
-as DataFrame joins/aggregations (no driver-side graph, no collect). Each
-round is one shuffle on doc_id; rounds needed = component diameter.
-Near-dup graphs are dense clique-ish blobs (diameter 2-4), so this
-converges in a handful of rounds; ITER_CAP bounds pathological chains,
-and convergence is detected by counting label changes (one tiny action
-per round on an aggregated frame — never a row collect). Intermediates
-``persist()`` per round and unpersist two rounds back, keeping lineage
-flat — at cluster scale swap persist for ``localCheckpoint`` to truncate
-lineage entirely.
+Algorithm: min-label propagation with pointer doubling —
+``comp(v) ← min(comp(v), min over neighbours comp(u), comp(comp(v)))``
+each round, all as DataFrame joins/aggregations (no driver-side graph, no
+collect). Neighbour propagation alone needs diameter rounds; folding in
+the label-of-label step (the shortcutting half of Kiveris et al.'s
+large-star/small-star, SoCC'14) makes label trees halve in height each
+round, so convergence is O(log diameter) — 2-3 rounds on the clique-ish
+blobs near-dup graphs produce, and a long chain of chained near-dups
+can't push it past the cap. Labels are ``localCheckpoint``-ed per round:
+the plan each round is 3 bounded shuffles over (node, component), never a
+lineage that grows with round count (Catalyst re-planning over an
+iterated lineage is the classic silent O(rounds²) driver cost).
+Convergence is one ``limit(1).count()`` on the checkpointed diff; if the
+cap is hit before the fixed point the op RAISES rather than return wrong
+labels.
 
 The oracle is a DuckDB ``WITH RECURSIVE`` reachability closure over the
 same (cross-engine-deterministic) MinHash pair set: min reachable node =
@@ -44,12 +48,18 @@ from etl_pipeline_example_spark.operators.dedup import MINHASH_PAIR_CTES, dedup_
 ITER_CAP = 20
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Raised when label propagation hits ITER_CAP before the fixed point —
+    returning the unconverged labels would silently mis-cluster."""
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Components of an undirected graph given one-direction edge rows.
 
     Returns (node, component) with component = min node id reachable.
-    Pure DataFrame iteration: per round, every node takes the min of its
-    own label and its neighbours' labels.
+    Pure DataFrame iteration: per round every node takes the min of its
+    own label, its neighbours' labels, and its label's label (pointer
+    doubling — O(log diameter) rounds).
     """
     both = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -59,20 +69,27 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
-    prev: DataFrame | None = None
     for _ in range(ITER_CAP):
-        # neighbour minimum, then fold in the node's own current label
+        # 1) neighbour minimum (sym graph ⇒ every node appears as `a`)
         neigh = (
             both.join(labels, both.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("neigh_min"))
         )
+        stepped = labels.join(neigh, "node").select(
+            "node", F.least("component", "neigh_min").alias("component")
+        )
+        # 2) pointer doubling: follow the label one hop (components are
+        # always node ids, so the self-join always hits)
+        hop = stepped.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
         updated = (
-            labels.join(neigh, "node")
-            .select("node", F.least("component", "neigh_min").alias("component"))
-            .persist()
+            stepped.join(hop, stepped.component == hop.c_node)
+            .select("node", F.least("component", "c_comp").alias("component"))
+            .localCheckpoint()
         )
         changed = (
             updated.alias("u")
@@ -81,11 +98,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .limit(1)
             .count()
         )
-        if prev is not None:
-            prev.unpersist()
-        prev, labels = labels, updated
+        labels = updated
         if changed == 0:
             break
+    else:
+        both.unpersist()
+        raise ComponentsNotConverged(
+            f"connected_components did not converge within {ITER_CAP} rounds"
+        )
     both.unpersist()
     return labels
 

@@ -74,7 +74,9 @@ WITH tk_tbl AS (
 SELECT doc_id, c AS chunk_id,
        array_to_string(tk[c * {CHUNK_TOKENS} + 1 : (c + 1) * {CHUNK_TOKENS}], ' ') AS chunk_text,
        len(tk[c * {CHUNK_TOKENS} + 1 : (c + 1) * {CHUNK_TOKENS}]) AS n_tokens
-FROM tk_tbl, (SELECT unnest(range(0, 256)) AS c)  -- bound: 256*32 = 8192 tokens/doc
+FROM tk_tbl, (SELECT unnest(range(0, (
+    SELECT coalesce(max((len(tk) - 1) // {CHUNK_TOKENS}), 0) + 1 FROM tk_tbl
+  ))) AS c)
 WHERE len(tk) > 0 AND c <= (len(tk) - 1) // {CHUNK_TOKENS}
 """
 
@@ -174,8 +176,13 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 # ----------------------------------------------------------------- PII scrub
 
-EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
-PHONE_RE = r"\d{3}[- ]\d{3}[- ]\d{4}"
+# Backslash-free on purpose: these are interpolated into SQL string
+# literals on BOTH engines, and Spark SQL literal parsing eats lone
+# backslashes ('\d' becomes 'd', '\.' becomes '.'), silently changing the
+# pattern. Character classes ([0-9], [.]) survive literal parsing intact
+# and mean the same thing in Java regex and RE2.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PHONE_RE = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,6 +22,14 @@ pipelines whose shuffles are bounded by design (no O(n²) pair blowup):
 All hashing is the cross-engine md5 construct (operators/hashing.py), so
 every operator has a DuckDB oracle computing the identical result — LSH
 candidate generation included.
+
+Caching contract: multi-pass operators (``dedup_minhash``,
+``ngram_jaccard``) ``persist()`` their reused intermediate and leave it
+cached — the returned DataFrame is lazy, so the operator can't know when
+its consumer is done. Cached blocks are evicted LRU under memory
+pressure, but a long-lived session running many operators should call
+``spark.catalog.clearCache()`` between queries (bench.py and the test
+harness do).
 """
 
 from __future__ import annotations

@@ -7,10 +7,11 @@ joins, windows, rollups, time buckets, sessionization, as-of joins) over the
 benchmark tables.
 
 Scale notes (100 TB / 1000 executors):
-- Dimension tables (region, nation, supplier, part, customer at TPC-H
-  ratios) are broadcast — ``F.broadcast`` pins the strategy so the big
-  fact side never shuffles for the join; AQE would pick this anyway for
-  sub-threshold sides but being explicit survives stats going stale.
+- Broadcast hints ONLY on fixed-cardinality dims (region: 5 rows,
+  nation: 25) and one-row scalar aggregates. supplier/part/customer/
+  orders scale linearly with SF — a pinned broadcast of any of them OOMs
+  executors at 100×, so their join strategy is left to AQE's runtime
+  stats (which broadcast them while they're genuinely small).
 - All aggregates are partial-aggregated map-side by Catalyst; the shuffle
   carries (key, partial) pairs, bounded by group cardinality not row count.
 - Windows partition by high-cardinality keys (custkey, user_id) — state per
@@ -104,9 +105,11 @@ GROUP BY l_returnflag, l_linestatus
 def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → agg → top-10.
 
-    Customer (filtered) broadcasts to orders; orders→lineitem is the only
-    shuffle join. Top-10 with a total order (revenue desc, orderkey) is a
-    TakeOrdered — no global sort.
+    No forced broadcasts: orders and customer both scale with SF, so a
+    pinned broadcast of either would OOM executors at 100×. AQE's runtime
+    stats pick broadcast when the filtered sides are genuinely small (they
+    are at test scale) and shuffle when they aren't. Top-10 with a total
+    order (revenue desc, orderkey) is a TakeOrdered — no global sort.
     """
     customer = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read_table(spark, sf_dir, "orders").filter(
@@ -116,7 +119,7 @@ def q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)),
+        li.join(orders.join(customer, orders.o_custkey == customer.c_custkey),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.expr(REVENUE).alias("revenue"))
@@ -140,8 +143,10 @@ LIMIT 10
 
 
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with every dimension broadcast; the only
-    shuffles are the lineitem↔orders join and the final small agg."""
+    """TPC-H Q5 shape: star join. Only the fixed-cardinality dims
+    (region: 5 rows, nation: 25) carry broadcast hints; supplier and
+    customer scale with SF, so their join strategy is left to AQE — it
+    broadcasts them at small SF and shuffles at large."""
     region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read_table(spark, sf_dir, "nation")
     customer = read_table(spark, sf_dir, "customer")
@@ -152,9 +157,9 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = read_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)

@@ -161,13 +161,14 @@ GROUP BY c_count
 
 def q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
-    broadcast part join — promo revenue share."""
+    part join — promo revenue share. part scales with SF so the join
+    strategy is AQE's call (broadcast at small SF, shuffle at large)."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     part = read_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     promo_dec = (
         "cast(sum(CASE WHEN p_type LIKE 'PROMO%' THEN"
         " cast(cast(l_extendedprice as decimal(18,2))"
@@ -203,11 +204,9 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The per-part average is one map-side-combined agg over l_partkey, then
     joined back; Catalyst would produce the same plan from the correlated
-    SQL, written explicitly here so the join side can be broadcast when the
-    part count is bounded. The broadcast hint assumes the real Q17's
-    part-brand/container filter bounds the agg side; unfiltered at 100 TB
-    the hint should be dropped and AQE's runtime stats pick the strategy
-    (sort-merge on l_partkey with map-side partial agg).
+    SQL. The agg side is unbounded (one row per part — 200M rows at
+    sf1000), so no broadcast hint: AQE's runtime stats broadcast it at
+    small SF and sort-merge on l_partkey at large.
     """
     li = read_table(spark, sf_dir, "lineitem")
     avg_qty = li.groupBy("l_partkey").agg(
@@ -216,7 +215,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(avg_qty.withColumnRenamed("l_partkey", "p_key")),
+        li.join(avg_qty.withColumnRenamed("l_partkey", "p_key"),
                 li.l_partkey == F.col("p_key"))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
@@ -247,7 +246,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The HAVING filter is highly selective (top ~0.01% of orders), so the
     filtered agg broadcasts at any SF — the selectivity, not the input
-    size, is what makes the hint scale-safe."""
+    size, is what makes that hint scale-safe. customer has no hint (it
+    scales with SF); AQE picks its strategy from runtime stats."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -258,7 +258,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_name",
             "c_custkey",

@@ -49,8 +49,8 @@ Q7_N1, Q7_N2 = "NATION_1", "NATION_2"
 def q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-nation trade volume by year (TPC-H Q7 shape).
 
-    supplier/customer/nation broadcast; the only shuffles are
-    lineitem↔orders and the final 3-key agg.
+    Only the fixed-size nation views carry broadcast hints;
+    supplier/customer scale with SF so AQE picks their join strategy.
     """
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -67,9 +67,9 @@ def q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
@@ -116,7 +116,9 @@ _SHARE_DEN = f"cast(sum({DISC_PRICE_DEC}) as double)"
 
 def q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market share of one supplier nation within a region+part-type market
-    by year (TPC-H Q8 shape) — conditional decimal SUM, single agg pass."""
+    by year (TPC-H Q8 shape) — conditional decimal SUM, single agg pass.
+    Hints only on region/nation (fixed-size); part/supplier/customer scale
+    with SF, so AQE decides those joins from runtime stats."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
@@ -131,10 +133,10 @@ def q8_mktshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_regionkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("c_regionkey") == region.r_regionkey)
         .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
@@ -175,15 +177,16 @@ _SUM_PROFIT = f"cast(sum({_PROFIT_DEC}) as double)"
 
 def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Profit by supplier nation × year for a part-name family (TPC-H Q9
-    shape; supplycost ≈ p_retailprice·quantity as partsupp is absent)."""
+    shape; supplycost ≈ p_retailprice·quantity as partsupp is absent).
+    part/supplier joins are unhinted — they scale with SF; AQE decides."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     supplier = read_table(spark, sf_dir, "supplier")
     nation = read_table(spark, sf_dir, "nation")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like(Q9_LIKE))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .groupBy(
@@ -222,7 +225,7 @@ def q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.expr(REVENUE).alias("revenue"))
@@ -292,7 +295,9 @@ WHERE part_value > {Q11_FACTOR} * (total_value / n_parts)
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) with the maximum quarterly revenue (TPC-H Q15 shape).
     The scalar max is a one-row broadcast; the equality compare is exact
-    because both sides derive from the same decimal sum."""
+    because both sides derive from the same decimal sum. The max-filtered
+    rev side is ~1 row at any SF — AQE broadcasts it at runtime, so the
+    SF-scaling supplier table needs no hint."""
     li = read_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -303,7 +308,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -335,7 +340,7 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand") != Q16_EXCLUDE_BRAND
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -365,7 +370,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(F.expr(_Q19_PRED))
         .agg(
             F.expr(REVENUE).alias("revenue"),
@@ -401,7 +406,7 @@ def q2_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         qty.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select(
             F.col("l_partkey").alias("p_key"),
             F.col("s_name").alias("top_supplier"),
@@ -476,17 +481,18 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiple of the part's mean per-supplier qty, as partsupp is absent).
 
     The nested-IN chain decorrelates to agg → agg → join: per-(part,supp)
-    quantities in one grouped pass, part-level stats from that (already
-    small — bounded by the filtered part family), broadcast back, then a
-    broadcast supplier join with DISTINCT collapsing multi-part culprits.
-    Quantity sums stay DECIMAL end-to-end; one cast to double at the
-    threshold compare, same expression text in both engines.
+    quantities in one grouped pass, part-level stats from that, joined
+    back, then a supplier join with DISTINCT collapsing multi-part
+    culprits. part, the per-part stats, and supplier all scale with SF so
+    none carries a broadcast hint — AQE broadcasts what its runtime stats
+    say is small. Quantity sums stay DECIMAL end-to-end; one cast to
+    double at the threshold compare, same expression text in both engines.
     """
     li = read_table(spark, sf_dir, "lineitem")
     part = read_table(spark, sf_dir, "part").filter(F.col("p_name").like(Q20_LIKE))
     supplier = read_table(spark, sf_dir, "supplier")
     ps = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.expr("sum(cast(l_quantity as decimal(18,2)))").alias("qty_dec"))
     )
@@ -495,14 +501,14 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_supp"),
     )
     return (
-        ps.join(F.broadcast(pstat), "l_partkey")
+        ps.join(pstat, "l_partkey")
         .filter(
             (F.col("n_supp") >= 2)
             & F.expr(
                 f"cast(qty_dec as double) > {Q20_FACTOR} * (total_qty / n_supp)"
             )
         )
-        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .select("s_suppkey", "s_name")
         .distinct()
     )
@@ -557,7 +563,7 @@ def q21_sole_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        culprits.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        culprits.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

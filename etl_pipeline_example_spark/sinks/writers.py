@@ -37,9 +37,9 @@ def write_curated(
     the layout is standard hive-style and dynamic overwrite replaces only
     the affected partitions.
     """
-    from etl_pipeline_example_spark.sources.readers import _FORMAT_ALIASES
+    from etl_pipeline_example_spark.sources.readers import resolve_format
 
-    fmt = _FORMAT_ALIASES.get(spec.data_format.lower(), "parquet")
+    fmt = resolve_format(spec.data_format)
     partition_values = partition_values or {}
     out = align_df_to_meta(df, spec, drop_columns=spec.partitions)
     if spec.partitions:

@@ -30,6 +30,18 @@ _FORMAT_ALIASES = {
 }
 
 
+def resolve_format(data_format: str) -> str:
+    """Map a spec ``data_format`` to the Spark source name, or raise.
+
+    Shared by readers AND writers so a typo'd format fails loudly at
+    write time instead of silently writing parquet and mis-reading later.
+    """
+    fmt = _FORMAT_ALIASES.get(data_format.lower())
+    if fmt is None:
+        raise ValueError(f"unsupported data_format: {data_format!r}")
+    return fmt
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -44,9 +56,7 @@ def read_jsonl(
 
 def read_with_meta(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
     """Read ``path`` in the spec's declared ``data_format`` with its schema."""
-    fmt = _FORMAT_ALIASES.get(spec.data_format.lower())
-    if fmt is None:
-        raise ValueError(f"unsupported data_format: {spec.data_format!r}")
+    fmt = resolve_format(spec.data_format)
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")

@@ -14,3 +14,46 @@ from tests.oracle_util import assert_matches_oracle
 def test_corpus_matches_oracle(spark, duck, sf_dir, name):
     df = CORPUS_QUERIES[name](spark, sf_dir)
     assert_matches_oracle(df, duck, CORPUS_ORACLES[name])
+
+
+def test_pii_scrub_matches_real_pii(spark, duck):
+    """The scrub must actually match: the synthetic corpus contains no
+    emails/phones, so this feeds documents that DO and checks counts and
+    replacement semantics on both engines (guards against the SQL literal
+    parser silently rewriting the pattern)."""
+    import duckdb
+
+    from etl_pipeline_example_spark.operators.corpus import (
+        EMAIL_RE,
+        PHONE_RE,
+        PII_SCRUB_SQL,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or call 555-123-4567 now"),
+        (2, "two phones 111-222-3333 and 444 555 6666, no email"),
+        (3, "plain text, d{3} literal, not-an-email@nodot"),
+        (4, "bob@host.org bob@host.org"),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = sdf.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{EMAIL_RE}')").alias("n_emails"),
+        F.expr(f"regexp_count(text, '{PHONE_RE}')").alias("n_phones"),
+        F.expr(
+            f"md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>'),"
+            f" '{PHONE_RE}', '<PHONE>'))"
+        ).alias("scrubbed_hash"),
+    )
+    got = {r["doc_id"]: (r["n_emails"], r["n_phones"]) for r in out.collect()}
+    assert got == {1: (1, 1), 2: (0, 2), 3: (0, 0), 4: (2, 0)}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") AS t(doc_id, text)"
+    )
+    assert_matches_oracle(out, con, PII_SCRUB_SQL)
+    con.close()

@@ -40,3 +40,12 @@ def test_roundtrip_preserves_values(spark, fmt):
         got = sorted(tuple(r) for r in back.collect())
         want = sorted(tuple(r) for r in df.collect())
         assert got == want
+
+
+def test_unknown_format_raises_on_write(spark):
+    spec = TableSpec.from_dict({**SPEC_DICT, "data_format": "avroo"})
+    df = spark.range(3).select(F.col("id"), F.lit("x").alias("name"),
+                               F.lit(1.0).alias("score"), F.lit(True).alias("flag"))
+    with tempfile.TemporaryDirectory() as tmp:
+        with pytest.raises(ValueError, match="unsupported data_format"):
+            write_curated(df, spec, f"{tmp}/t")

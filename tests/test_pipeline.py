@@ -14,7 +14,14 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.functions import calculated_counts, flatten_structs, version_stamp
 from etl_pipeline_example_spark.metadata import TableSpec, align_df_to_meta
-from etl_pipeline_example_spark.pipeline import Pipeline, ValidationError, ZoneStore, validate_landed
+from etl_pipeline_example_spark.pipeline import (
+    Pipeline,
+    ValidationError,
+    ZoneStore,
+    extract_to_land,
+    promote_to_raw_distributed,
+    validate_landed,
+)
 from etl_pipeline_example_spark.pipeline.catalog import deploy_database
 from etl_pipeline_example_spark.metadata.spec import DatabaseSpec
 from etl_pipeline_example_spark.sinks import write_curated
@@ -73,12 +80,33 @@ def land_records(zones: ZoneStore, n: int = 120, ts: int = 1700000000) -> str:
     return str(out_dir)
 
 
+def make_synth_fetch():
+    """Stand-in for the reference's API fetch: one nested record per call
+    (reference: python_scripts/write_data_to_land.py:30-37). Built as a
+    closure so cloudpickle ships it by VALUE to executors — a module-level
+    function in tests/ would pickle by reference and fail to import on
+    workers (exactly what a user's fetch callable must avoid too)."""
+
+    def synth_fetch(i: int) -> dict:
+        return {
+            "name": f"rec{i}",
+            "region": ["London", "WALES", "scotland"][i % 3],
+            "codes": {"a": f"A{i}", "b": f"B{i}"},
+        }
+
+    return synth_fetch
+
+
 def test_full_pipeline(spark, tmp_path):
     zones = ZoneStore(str(tmp_path))
     results = {}
 
     def extract():
-        return land_records(zones)
+        # distributed fetch → unpack → jsonl.gz under file_land_timestamp=
+        return extract_to_land(
+            spark, zones, "open_data", "random_records",
+            fetch=make_synth_fetch(), n_records=120, run_timestamp=1700000000,
+        )
 
     def test_extract():
         raw = read_jsonl(spark, zones.land_path("open_data", "random_records"))
@@ -88,7 +116,7 @@ def test_full_pipeline(spark, tmp_path):
         # flattened columns must match the raw meta
         assert set(flat.columns) >= set(RAW_SPEC.column_names)
         assert report.ok, report.failures
-        return zones.promote_to_raw("open_data", "random_records")
+        return promote_to_raw_distributed(spark, zones, "open_data", "random_records")
 
     def run_curated():
         raw = read_jsonl(spark, zones.raw_hist_path("open_data", "random_records"))
@@ -158,3 +186,36 @@ def test_promote_missing_land_raises(tmp_path):
     zones = ZoneStore(str(tmp_path))
     with pytest.raises(FileNotFoundError, match="nothing was found"):
         zones.promote_to_raw("open_data", "nope")
+
+
+def test_extract_to_land_unpacks_nested(spark, tmp_path):
+    zones = ZoneStore(str(tmp_path))
+    path = extract_to_land(
+        spark, zones, "open_data", "random_records",
+        fetch=make_synth_fetch(), n_records=30, run_timestamp=1700009999,
+    )
+    assert "file_land_timestamp=1700009999" in path
+    back = read_jsonl(spark, path)
+    assert set(back.columns) == {"index", "name", "region", "codes_a", "codes_b"}
+    rows = {r["index"]: r for r in back.collect()}
+    assert len(rows) == 30 and rows[7]["codes_b"] == "B7"
+
+
+def test_distributed_promotion_matches_local(spark, tmp_path):
+    """Both promotion paths must produce identical raw-hist content and
+    clear land."""
+    z1 = ZoneStore(str(tmp_path / "a"))
+    z2 = ZoneStore(str(tmp_path / "b"))
+    for z in (z1, z2):
+        land_records(z, n=20, ts=1700000001)
+        land_records(z, n=20, ts=1700000002)
+    moved_local = z1.promote_to_raw("open_data", "random_records")
+    moved_dist = promote_to_raw_distributed(spark, z2, "open_data", "random_records")
+    assert [Path(p).name for p in moved_local] == [Path(p).name for p in moved_dist]
+    a = sorted(tuple(r) for r in read_jsonl(
+        spark, z1.raw_hist_path("open_data", "random_records")).collect())
+    b = sorted(tuple(r) for r in read_jsonl(
+        spark, z2.raw_hist_path("open_data", "random_records")).collect())
+    assert a == b and len(a) == 40
+    for z in (z1, z2):
+        assert not list(Path(z.land_path("open_data", "random_records")).glob("file_land_*"))

@@ -48,11 +48,47 @@ def test_q6_prunes_columns(spark, sf_dir):
     assert all("l_returnflag" not in ln for ln in schema_lines), schema_lines
 
 
+def hint_count(df: DataFrame) -> int:
+    """Number of explicit join-strategy hints in the analyzed plan.
+
+    Forced broadcasts are a scale hazard on SF-scaling tables (the hint
+    overrides AQE's runtime stats), so these audits pin exactly which
+    joins are ALLOWED to carry one: fixed-cardinality dims and one-row
+    scalar aggregates only.
+    """
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
 def test_q5_dimensions_broadcast(spark, sf_dir):
     plan = plan_str(q5_local_supplier(spark, sf_dir))
-    # supplier, customer, nation, region all broadcast; only lineitem↔orders
-    # is allowed to shuffle
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # nation and region (fixed cardinality) broadcast; at test scale AQE
+    # broadcasts supplier/customer too, but only from runtime stats
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # exactly 2 forced hints: nation + region — supplier/customer scale
+    # with SF and must stay AQE-decided
+    assert hint_count(q5_local_supplier(spark, sf_dir)) == 2
+
+
+def test_scaling_tables_carry_no_broadcast_hints(spark, sf_dir):
+    from etl_pipeline_example_spark.plans.queries import q3_shipping
+    from etl_pipeline_example_spark.plans.relational import (
+        q14_promo,
+        q17_small_quantity,
+        q18_large_orders,
+    )
+    from etl_pipeline_example_spark.plans.tpch_extra import (
+        q2_argmin,
+        q16_supplier_cnt,
+        q20_excess_suppliers,
+        q21_sole_fault,
+    )
+
+    # no forced joins at all in these: every build side scales with SF
+    for q in (q3_shipping, q14_promo, q17_small_quantity, q2_argmin,
+              q16_supplier_cnt, q20_excess_suppliers, q21_sole_fault):
+        assert hint_count(q(spark, sf_dir)) == 0, q.__name__
+    # q18 keeps exactly one: the HAVING-filtered agg (selectivity-bounded)
+    assert hint_count(q18_large_orders(spark, sf_dir)) == 1
 
 
 def test_q1_partial_aggregation_and_codegen(spark, sf_dir):
