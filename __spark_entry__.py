@@ -65,8 +65,10 @@ _REGISTER_FIRST = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_meta",
     "pii_scrub",
+    "doc_pack",
     "stream_events",
     "stream_dedup",
     "stream_sessions",

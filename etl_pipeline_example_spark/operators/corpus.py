@@ -215,11 +215,84 @@ FROM documents
 """
 
 
+# ----------------------------------------------------------------- packing
+
+PACK_BUDGET = 256  # tokens per training sequence bin
+PACK_SHARDS = 8  # independent packing streams per lang
+
+
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document a bin and
+    offset in a stream of ``PACK_BUDGET``-token training sequences.
+
+    Documents are ordered deterministically (doc_id) within a
+    (lang, shard) stream; each doc's bin is its starting token offset
+    div the budget — the standard "concatenate everything, then cut
+    fixed windows" packing used to build LLM pretraining batches (docs
+    may straddle a boundary; the tokenizer's EOD handling deals with it).
+
+    Scale: the window partitions by (lang, shard = doc_id % 8), never by
+    lang alone — lang cardinality is tiny, so per-lang windows would put
+    an entire language's corpus in ONE task; sharding keeps window state
+    bounded while each shard remains a deterministic, independently
+    packable stream (packing streams are embarrassingly parallel by
+    construction — a cluster would use thousands of shards).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    with_len = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"doc_id % {PACK_SHARDS}").alias("shard"),
+        F.expr(f"size({toks})").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return with_len.select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset"),
+    ).select(
+        "doc_id",
+        "lang",
+        "shard",
+        "n_tokens",
+        F.expr(f"cast(start_offset div {PACK_BUDGET} as bigint)").alias("bin_id"),
+        F.expr(f"start_offset % {PACK_BUDGET}").alias("bin_offset"),
+    )
+
+
+DOC_PACK_SQL = f"""
+WITH with_len AS (
+  SELECT doc_id, lang, doc_id % {PACK_SHARDS} AS shard,
+         len({duck_tokens("text")}) AS n_tokens
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, lang, shard, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang, shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM with_len WHERE n_tokens > 0
+)
+SELECT doc_id, lang, shard, n_tokens,
+       cast(start_offset // {PACK_BUDGET} as bigint) AS bin_id,
+       start_offset % {PACK_BUDGET} AS bin_offset
+FROM offs
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": doc_chunk,
     "sample_hash": sample_hash,
     "tfidf_top": tfidf_top,
     "pii_scrub": pii_scrub,
+    "doc_pack": doc_pack,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -227,4 +300,5 @@ CORPUS_ORACLES: dict[str, str] = {
     "sample_hash": SAMPLE_HASH_SQL,
     "tfidf_top": TFIDF_SQL,
     "pii_scrub": PII_SCRUB_SQL,
+    "doc_pack": DOC_PACK_SQL,
 }

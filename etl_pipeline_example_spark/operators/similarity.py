@@ -334,14 +334,135 @@ WHERE round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
 """
 
 
+# --------------------------------------------------------------------- IVF
+
+# Deterministic coarse quantizer: centroids are the corpus vectors with
+# vec_id ≡ 7 (mod 31) — ~N/31 cells, so cell count grows with the corpus
+# (the √N-ish scaling a real IVF uses), identical in both engines, and
+# disjoint from the query ids (0..4). A production pipeline would train
+# k-means centroids; the *plan shape* — assign in one broadcast pass,
+# probe nprobe cells, score only candidates — is the same either way.
+IVF_MOD = 31
+IVF_RESIDUE = 7
+IVF_NPROBE = 4
+
+
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into cells, probe the query's
+    ``IVF_NPROBE`` nearest cells, score candidates exactly, top-k.
+
+    Scale path: assignment is ONE broadcast pass (corpus × K centroids,
+    narrow (vec_id, cell) output — the embedding column is dropped before
+    any shuffle); probing touches nprobe/K of the corpus instead of all
+    of it. The cell id is what a production system partitions (and
+    bucket-writes) the index by, so a probe is a partition-pruned scan.
+    """
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
+    cents = emb.filter(
+        F.expr(f"vec_id % {IVF_MOD} = {IVF_RESIDUE}")
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("nrm").alias("cent_nrm"),
+    )
+    dot_c = _SPARK_DOT.format(a="embedding", b="cent_emb")
+    # narrow (vec_id, cent_id, cosine) rows — nothing wide shuffles
+    cell_scores = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(f"round(({dot_c}) / (nrm * cent_nrm), 6)").alias("ccos"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = cell_scores.withColumn("crn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("crn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") < ANN_NUM_QUERIES) & (F.col("crn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    dot_q = _SPARK_DOT.format(a="q_emb", b="embedding")
+    scored = (
+        cand.join(emb, cand.neighbor_id == emb.vec_id)
+        .join(F.broadcast(queries), cand.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"round(({dot_q}) / (q_nrm * nrm), 6)").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+ANN_IVF_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+  FROM normed WHERE vec_id % {IVF_MOD} = {IVF_RESIDUE}
+),
+cell_scores AS (
+  SELECT n.vec_id, c.cent_id,
+         round(({_DUCK_DOT.format(a="n.embedding", b="c.cent_emb")})
+               / (n.nrm * c.cent_nrm), 6) AS ccos
+  FROM normed n, cents c
+),
+ranked AS (
+  SELECT vec_id, cent_id, ccos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cent_id) AS crn
+  FROM cell_scores
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE vec_id < {ANN_NUM_QUERIES} AND crn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM assign a JOIN probes p USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(({_DUCK_DOT.format(a="q.embedding", b="n.embedding")})
+               / (q.nrm * n.nrm), 6) AS cosine
+  FROM cand cd
+  JOIN normed q ON q.vec_id = cd.query_id
+  JOIN normed n ON n.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
 SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "dedup_embedding": dedup_embedding,
 }
 
 SIM_ORACLES: dict[str, str] = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
 }

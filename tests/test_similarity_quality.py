@@ -26,3 +26,15 @@ def test_bruteforce_self_excluded_and_ranked(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         sims = [r.cosine for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """Probing 4 of ~16 cells must recover a meaningful share of the true
+    top-10 (uniform-random data is IVF's worst case; a broken assignment
+    or single-cell probe lands near 1/16)."""
+    from etl_pipeline_example_spark.operators.similarity import ann_ivf
+
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
+    ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf(spark, sf_dir).collect()}
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.25, f"IVF recall@10 regressed: {recall:.2f}"
