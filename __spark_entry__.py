@@ -20,6 +20,8 @@ from etl_pipeline_example_spark.operators import (
     CLUSTER_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
+    DECONTAM_ORACLES,
+    DECONTAM_QUERIES,
     DEDUP_ORACLES,
     DEDUP_QUERIES,
     MM_ORACLES,
@@ -69,6 +71,9 @@ _REGISTER_FIRST = [
     "multimodal_meta",
     "pii_scrub",
     "doc_pack",
+    "sample_stratified",
+    "contamination_ngram",
+    "stream_enrich",
     "stream_events",
     "stream_dedup",
     "stream_sessions",
@@ -100,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PARITY_QUERIES)
     out.update(TEXT_QUERIES)
     out.update(CORPUS_QUERIES)
+    out.update(DECONTAM_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -117,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PARITY_ORACLES)
     out.update(TEXT_ORACLES)
     out.update(CORPUS_ORACLES)
+    out.update(DECONTAM_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -4,8 +4,14 @@ from etl_pipeline_example_spark.operators.similarity import SIM_QUERIES, SIM_ORA
 from etl_pipeline_example_spark.operators.multimodal import MM_QUERIES, MM_ORACLES
 from etl_pipeline_example_spark.operators.corpus import CORPUS_QUERIES, CORPUS_ORACLES
 from etl_pipeline_example_spark.operators.cluster import CLUSTER_QUERIES, CLUSTER_ORACLES
+from etl_pipeline_example_spark.operators.decontam import (
+    DECONTAM_QUERIES,
+    DECONTAM_ORACLES,
+)
 
 __all__ = [
+    "DECONTAM_QUERIES",
+    "DECONTAM_ORACLES",
     "TEXT_QUERIES",
     "TEXT_ORACLES",
     "DEDUP_QUERIES",

@@ -287,12 +287,51 @@ FROM offs
 """
 
 
+# ------------------------------------------------------- stratified sampling
+
+# per-language keep rates: keep 1-in-N. The high-resource lang is
+# downsampled harder — the standard corpus-rebalancing move.
+STRAT_RATES = {"en": 4, "de": 2, "fr": 2, "es": 2, "zh": 1}
+STRAT_DEFAULT = 2
+
+
+def _rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {n}" for lang, n in sorted(STRAT_RATES.items())
+    )
+    return f"CASE lang {whens} ELSE {STRAT_DEFAULT} END"
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sampling: keep 1-in-rate(lang)
+    docs, hash-gated per row.
+
+    Same properties as ``sample_hash`` (stable across runs, partitionings
+    and engines) but with a per-group rate — how a multilingual corpus is
+    rebalanced (e.g. en downsampled 4×, zh kept whole) without a shuffle:
+    the gate is a pure column predicate evaluated in the scan.
+    """
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
+    gate = spark_hexint("concat('strat:', cast(doc_id as string))")
+    return docs.filter(
+        F.expr(f"pmod({gate}, {_rate_case()}) = 0")
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {duck_hexint("concat('strat:', cast(doc_id as varchar))")} % ({_rate_case()}) = 0
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": doc_chunk,
     "sample_hash": sample_hash,
     "tfidf_top": tfidf_top,
     "pii_scrub": pii_scrub,
     "doc_pack": doc_pack,
+    "sample_stratified": sample_stratified,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -301,4 +340,5 @@ CORPUS_ORACLES: dict[str, str] = {
     "tfidf_top": TFIDF_SQL,
     "pii_scrub": PII_SCRUB_SQL,
     "doc_pack": DOC_PACK_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
 }

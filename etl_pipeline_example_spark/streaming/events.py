@@ -159,8 +159,66 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension, then aggregate per market segment per hour.
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (so a slowly-changing dim stays fresh) and joins without any stream
+    state — the standard enrichment topology. Aggregation carries the
+    watermark; AvailableNow + complete mode gives batch parity, so the
+    op has a full SQL oracle.
+    """
+    ensure_nanos_conf(spark)
+    events = (
+        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
+                                " event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = events.join(customer, events.user_id == customer.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("c_mktsegment"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.expr(SUM_VALUE).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("hour_ts"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_ENRICH_SQL = """
+SELECT date_trunc('hour', ts) AS hour_ts, c_mktsegment AS segment,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 STREAM_QUERIES["stream_sessions"] = stream_sessions
 STREAM_ORACLES["stream_sessions"] = Q_SESSION_WINDOW_SQL
+
+STREAM_QUERIES["stream_enrich"] = stream_enrich
+STREAM_ORACLES["stream_enrich"] = STREAM_ENRICH_SQL
 
 STREAM_QUERIES["stream_dedup"] = stream_dedup
 STREAM_ORACLES["stream_dedup"] = """

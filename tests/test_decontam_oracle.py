@@ -1,0 +1,48 @@
+"""Decontamination operator vs its DuckDB oracle at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_example_spark.operators import DECONTAM_ORACLES, DECONTAM_QUERIES
+
+from tests.oracle_util import assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(DECONTAM_QUERIES))
+def test_decontam_matches_oracle(spark, duck, sf_dir, name):
+    df = DECONTAM_QUERIES[name](spark, sf_dir)
+    assert_matches_oracle(df, duck, DECONTAM_ORACLES[name])
+
+
+def test_contamination_flags_known_overlap(spark):
+    """A train doc sharing an exact 5-gram with an eval doc must be
+    flagged; one with no shared 5-gram must not."""
+    import duckdb
+
+    from etl_pipeline_example_spark.operators.decontam import (
+        CONTAMINATION_SQL,
+        contamination_ngram,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "src0"),   # eval
+        (2, "XX alpha beta gamma delta epsilon YY", "src1"),  # overlaps
+        (3, "one two three four five six seven", "src1"),     # clean
+    ]
+    import tempfile, os
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="decon_")
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf["text"].str.len()
+    pdf.to_parquet(os.path.join(tmp, "documents.parquet"))
+    out = {r["doc_id"]: r["n_overlap"] for r in contamination_ngram(spark, tmp).collect()}
+    assert 2 in out and out[2] >= 1
+    assert 3 not in out
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet'")
+    assert_matches_oracle(contamination_ngram(spark, tmp), con, CONTAMINATION_SQL)
+    con.close()
