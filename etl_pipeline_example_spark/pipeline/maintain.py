@@ -1,0 +1,91 @@
+"""Curated-zone maintenance: small-file compaction and key-based upsert.
+
+Neither exists in the reference (its curated tables are write-once per
+snapshot), but any lake that ingests continuously needs both:
+
+- ``compact_partition`` — a landing/curated partition accumulates many
+  small files (one per micro-batch / per extract task); small files
+  destroy scan throughput at scale (per-file open cost, tiny row
+  groups, starved vectorized reads). Compaction rewrites the partition
+  into size-targeted files. Spark-first: one distributed read +
+  ``repartition`` + overwrite — never a driver-side file merge.
+
+- ``upsert_snapshot`` — latest-wins merge of an updates frame into a
+  keyed table, the plain-parquet stand-in for MERGE INTO: union the
+  current rows with the updates, keep the newest version per key via a
+  window, rewrite. One shuffle on the key; at scale you'd bucket the
+  table on the key so the window reuses the layout. The rewrite is
+  atomic per directory (write to _tmp, swap) so readers never see a
+  half-merged table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual parquet sweet spot
+
+
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = TARGET_FILE_BYTES,
+    data_format: str = "parquet",
+) -> int:
+    """Rewrite ``path`` into ceil(bytes/target) files; returns file count.
+
+    Size is estimated from the existing files (metadata listing, no data
+    read); the rewrite itself is fully distributed. Uses an overwrite of
+    the same directory via a staged temp dir + atomic-ish swap.
+    """
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    size = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(size / target_bytes))
+    df = spark.read.format(data_format).load(path)
+    tmp = f"{path}__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").format(data_format).save(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    spark.catalog.refreshByPath(path)
+    return n_files
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+    data_format: str = "parquet",
+) -> None:
+    """Latest-wins upsert of ``updates`` into the keyed table at ``path``.
+
+    Rows tie-breaking on equal ``version_col`` prefer the update side.
+    """
+    current = spark.read.format(data_format).load(path)
+    tagged = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1))
+    )
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    merged = (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    tmp = f"{path}__upsert_tmp"
+    merged.write.mode("overwrite").format(data_format).save(tmp)
+    fs.delete(hpath, True)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    spark.catalog.refreshByPath(path)

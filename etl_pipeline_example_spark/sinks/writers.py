@@ -74,3 +74,30 @@ def write_jsonl_gz(df: DataFrame, path: str, coalesce: int | None = None) -> Non
     if coalesce:
         df = df.coalesce(coalesce)
     df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Write a catalog table bucketed (and optionally sorted) on a key.
+
+    Bucketing is the co-location contract for repeated big-big joins: two
+    tables bucketed on the same key with the same bucket count join with
+    ZERO exchange — each task reads matching bucket files from both sides.
+    At 100 TB that turns every recurring fact-fact join on the bucket key
+    from a full shuffle into a local merge, which is why curated fact
+    tables should be bucket-written once at load time. Requires
+    ``saveAsTable`` (bucket metadata lives in the catalog, not the files).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

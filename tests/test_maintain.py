@@ -1,0 +1,57 @@
+"""Lake maintenance: compaction and upsert."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.pipeline.maintain import (
+    compact_partition,
+    upsert_snapshot,
+)
+
+
+def test_compact_partition_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "many_files")
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).repartition(32).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 32
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n = compact_partition(spark, path)
+    files = glob.glob(f"{path}/part-*")
+    assert len(files) == n == 1  # 10k rows ≪ 128 MB target
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert before == after
+
+
+def test_compact_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        compact_partition(spark, str(tmp_path / "nope"))
+
+
+def test_upsert_latest_wins(spark, tmp_path):
+    path = str(tmp_path / "keyed")
+    spark.createDataFrame(
+        [(1, "old", 1), (2, "keep", 1), (3, "stale", 2)],
+        "k bigint, v string, ver int",
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(1, "new", 2),      # higher version: replaces
+         (3, "ignored", 1),  # lower version: current row survives
+         (4, "insert", 1)],  # new key: inserted
+        "k bigint, v string, ver int",
+    )
+    upsert_snapshot(spark, path, updates, key="k", version_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("new", 2), 2: ("keep", 1), 3: ("stale", 2), 4: ("insert", 1)}
+
+
+def test_upsert_equal_version_prefers_update(spark, tmp_path):
+    path = str(tmp_path / "tie")
+    spark.createDataFrame([(1, "current", 5)], "k bigint, v string, ver int").write.parquet(path)
+    updates = spark.createDataFrame([(1, "update", 5)], "k bigint, v string, ver int")
+    upsert_snapshot(spark, path, updates, key="k", version_col="ver")
+    assert spark.read.parquet(path).collect()[0]["v"] == "update"

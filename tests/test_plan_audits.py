@@ -116,3 +116,76 @@ def test_ann_lsh_bucket_stage_is_shuffle_free(spark, sf_dir):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key must join with no Exchange —
+    the co-location contract recurring fact-fact joins rely on at scale."""
+    from etl_pipeline_example_spark.sinks.writers import write_bucketed
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt_audit")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    write_bucketed(li, "bkt_audit.li_b", "l_orderkey", 8,
+                   path=str(tmp_path / "li_b"))
+    write_bucketed(orders, "bkt_audit.ord_b", "o_orderkey", 8,
+                   path=str(tmp_path / "ord_b"))
+    a = spark.table("bkt_audit.li_b")
+    b = spark.table("bkt_audit.ord_b")
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    # disable the size-based broadcast to see the at-scale plan (at 100 TB
+    # neither side broadcasts — the bucket layout is what saves the
+    # shuffle); ShuffleExchange absence is the property under test
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        plan = plan_str(joined, mode="simple")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the join actually works
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.sql("DROP DATABASE bkt_audit CASCADE")
+
+
+def test_curated_partition_pruning(spark, tmp_path):
+    """A snapshot-partitioned curated table must prune to ONE partition
+    when filtered on the partition column — at 100 TB this is the
+    difference between scanning a day and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.metadata.spec import TableSpec
+    from etl_pipeline_example_spark.sinks.writers import write_curated
+
+    spec = TableSpec.from_dict({
+        "name": "snap_t",
+        "columns": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": "double"},
+            {"name": "snap", "type": "character"},
+        ],
+        "partitions": ["snap"],
+    })
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("v")
+    )
+    path = str(tmp_path / "snap_t")
+    for day in ("2026-08-12", "2026-08-13"):
+        write_curated(df, spec, path, partition_values={"snap": day})
+    back = spark.read.parquet(path).filter(F.col("snap") == "2026-08-13")
+    plan = plan_str(back)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("snap" in ln for ln in pf), plan
+    assert back.count() == 100
