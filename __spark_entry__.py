@@ -69,6 +69,7 @@ _REGISTER_FIRST = [
     "ann_lsh",
     "ann_ivf",
     "multimodal_meta",
+    "multimodal_framesample",
     "pii_scrub",
     "doc_pack",
     "sample_stratified",

@@ -63,7 +63,10 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") != EVAL_SOURCE)
     eval_docs = docs.filter(F.col("source") == EVAL_SOURCE)
     eval_grams = _spark_grams(eval_docs).select("gram").distinct()
-    train_grams = _spark_grams(train)
+    # persisted: consumed by both the per-doc totals and the overlap join —
+    # without it the shingle explode+hash runs twice (see the dedup module
+    # docstring for the caching contract)
+    train_grams = _spark_grams(train).persist()
     per_doc = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     overlap = (
         train_grams.join(F.broadcast(eval_grams), "gram")

@@ -105,10 +105,83 @@ FROM seeded
 """
 
 
+# ------------------------------------------------------------ frame sampling
+
+FRAME_STRIDE_MS = 10_000  # sample one frame per 10 s of (fake) video
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, ts_ms int, brightness int"
+
+
+def frame_stub(payload: bytes, frame_idx: int) -> int:
+    """Deterministic fake per-frame feature (mean brightness). REAL FRAME
+    DECODE NOT IMPLEMENTED — a pyav/ffmpeg seek+decode drops in here; the
+    1:N batch plumbing around it is production-shaped."""
+    h = hashlib.md5(payload + b":" + str(frame_idx).encode()).hexdigest()
+    return int(h[:15], 16) % 256
+
+
+def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with a 1:N output shape: each video row explodes
+    to one row per sampled frame — the batch contract for frame-level
+    feature extraction (detection, embedding, OCR) at scale."""
+    for pdf in batches:
+        out_rows = []
+        for doc_id, payload, duration in zip(
+            pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+        ):
+            n_frames = int(duration) // FRAME_STRIDE_MS + 1
+            for i in range(n_frames):
+                out_rows.append(
+                    (int(doc_id), i, i * FRAME_STRIDE_MS, frame_stub(payload, i))
+                )
+        yield pd.DataFrame(
+            out_rows, columns=["doc_id", "frame_idx", "ts_ms", "brightness"]
+        )
+
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample frames from the (synthetic) video payloads: one row per
+    10-second frame with a per-frame feature. Composition: the metadata
+    decode supplies duration, then the frame sampler fans out 1:N —
+    both stages Arrow-batched, zero shuffles end-to-end."""
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
+    videos = docs.filter(F.expr("doc_id % 3 = 2")).select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    with_meta = extract_media_metadata(videos).select("doc_id", "duration_ms")
+    enriched = videos.join(with_meta, "doc_id").select(
+        "doc_id", "payload", "duration_ms"
+    )
+    return enriched.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
+
+
+MULTIMODAL_FRAMESAMPLE_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id, text,
+         cast(concat('0x', substr(md5(text), 1, 15)) as bigint) AS seed
+  FROM documents WHERE doc_id % 3 = 2
+),
+vids AS (
+  SELECT doc_id, text, (seed >> 20) % 600000 AS duration_ms FROM seeded
+)
+SELECT doc_id,
+       cast(i as int) AS frame_idx,
+       cast(i * {FRAME_STRIDE_MS} as int) AS ts_ms,
+       cast(cast(concat('0x', substr(md5(concat(text, ':', cast(i as varchar))), 1, 15)) as bigint)
+            % 256 as int) AS brightness
+FROM vids, (SELECT unnest(range(0, 60)) AS i)
+WHERE i <= duration_ms // {FRAME_STRIDE_MS}
+"""
+
+
 MM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": multimodal_meta,
+    "multimodal_framesample": multimodal_framesample,
 }
 
 MM_ORACLES: dict[str, str] = {
     "multimodal_meta": MULTIMODAL_META_SQL,
+    "multimodal_framesample": MULTIMODAL_FRAMESAMPLE_SQL,
 }
