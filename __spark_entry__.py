@@ -90,6 +90,9 @@ _REGISTER_FIRST = [
     "q_json_extract",
     "q_skew_join",
     "q_range_join",
+    "q_moving_avg",
+    "q_gapfill",
+    "dq_profile",
     # core-ETL parity
     "meta_align",
 ]

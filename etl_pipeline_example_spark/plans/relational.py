@@ -478,6 +478,158 @@ GROUP BY term HAVING count(*) >= 20
 """
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day interval-RANGE moving average of order value per customer —
+    the time-based window frame (RANGE BETWEEN INTERVAL ... PRECEDING)
+    that row-count frames can't express when orders are irregularly
+    spaced. The frame sum is an exact decimal (order-independent), cast
+    to double once, so both engines agree bit-for-bit.
+
+    Scale: one shuffle on o_custkey; frame state is bounded by 30 days
+    of one customer's orders.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    frame = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_orderdate "
+        "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderdate",
+        F.expr(
+            f"round(cast(sum(cast(o_totalprice as decimal(18,2))) {frame} as double)"
+            f" / (count(*) {frame}), 6)"
+        ).alias("avg_30d"),
+        F.expr(f"count(*) {frame}").alias("n_in_window"),
+    )
+
+
+Q_MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderdate,
+       round(cast(sum(cast(o_totalprice as decimal(18,2))) OVER w as double)
+             / (count(*) OVER w), 6) AS avg_30d,
+       count(*) OVER w AS n_in_window
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    event_type with ZERO rows for silent hours — the densification step
+    before any rolling/seasonal computation.
+
+    The hour spine is generated (sequence over the observed span), cross
+    joined with the type dimension, and the observed counts left-join
+    onto it. Scale: the spine is (hours × types) — time-bounded, not
+    data-bounded; the only data shuffle is the hourly pre-aggregation.
+    """
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("hour_ts")
+    )
+    types = events.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(hourly, ["hour_ts", "event_type"], "left")
+        .select(
+            "hour_ts",
+            "event_type",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+Q_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts FROM span
+),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT s.hour_ts, ty.event_type, coalesce(h.n, 0) AS n_events
+FROM spine s CROSS JOIN types ty
+LEFT JOIN hourly h ON h.hour_ts = s.hour_ts AND h.event_type = ty.event_type
+"""
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: one row per profiled column with row/null/distinct
+    counts and numeric min/max — the data-quality report that generalizes
+    the reference's validation gate (reference: python_scripts/
+    test_data.py's row-count + column-set checks) from pass/fail to
+    measurement.
+
+    One aggregation pass computes every metric (no per-column scans);
+    the per-column rows are unpivoted from that single result with
+    ``stack``. Scale: one scan, partial-aggregated; count_distinct is
+    exact here — at 100 TB swap in approx_count_distinct per column.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.expr("CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END")).alias("null_status"),
+        F.countDistinct("o_orderstatus").alias("dist_status"),
+        F.sum(F.expr("CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END")).alias("null_cust"),
+        F.countDistinct("o_custkey").alias("dist_cust"),
+        F.expr("cast(min(o_custkey) as double)").alias("min_cust"),
+        F.expr("cast(max(o_custkey) as double)").alias("max_cust"),
+        F.sum(F.expr("CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END")).alias("null_price"),
+        F.countDistinct("o_totalprice").alias("dist_price"),
+        F.expr("cast(min(cast(o_totalprice as decimal(18,2))) as double)").alias("min_price"),
+        F.expr("cast(max(cast(o_totalprice as decimal(18,2))) as double)").alias("max_price"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'o_orderstatus', n_rows, null_status, dist_status, cast(null as double), cast(null as double),"
+            " 'o_custkey', n_rows, null_cust, dist_cust, min_cust, max_cust,"
+            " 'o_totalprice', n_rows, null_price, dist_price, min_price, max_price)"
+            " AS (col_name, n_rows, n_nulls, n_distinct, min_num, max_num)"
+        )
+    )
+
+
+DQ_PROFILE_SQL = """
+WITH m AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+         count(DISTINCT o_orderstatus) AS dist_status,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         count(DISTINCT o_custkey) AS dist_cust,
+         cast(min(o_custkey) as double) AS min_cust,
+         cast(max(o_custkey) as double) AS max_cust,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+         count(DISTINCT o_totalprice) AS dist_price,
+         cast(min(cast(o_totalprice as decimal(18,2))) as double) AS min_price,
+         cast(max(cast(o_totalprice as decimal(18,2))) as double) AS max_price
+  FROM orders
+)
+SELECT 'o_orderstatus' AS col_name, n_rows, null_status AS n_nulls,
+       dist_status AS n_distinct, cast(NULL as double) AS min_num,
+       cast(NULL as double) AS max_num FROM m
+UNION ALL
+SELECT 'o_custkey', n_rows, null_cust, dist_cust, min_cust, max_cust FROM m
+UNION ALL
+SELECT 'o_totalprice', n_rows, null_price, dist_price, min_price, max_price FROM m
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast": q6_forecast,
     "q4_late_orders": q4_late_orders,
@@ -493,6 +645,9 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_set_ops": q_set_ops,
     "q_json_extract": q_json_extract,
     "q_wordcount": q_wordcount,
+    "q_moving_avg": q_moving_avg,
+    "q_gapfill": q_gapfill,
+    "dq_profile": dq_profile,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -510,4 +665,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q_set_ops": Q_SET_OPS_SQL,
     "q_json_extract": Q_JSON_SQL,
     "q_wordcount": Q_WORDCOUNT_SQL,
+    "q_moving_avg": Q_MOVING_AVG_SQL,
+    "q_gapfill": Q_GAPFILL_SQL,
+    "dq_profile": DQ_PROFILE_SQL,
 }
