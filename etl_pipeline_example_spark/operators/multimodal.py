@@ -123,12 +123,16 @@ def frame_stub(payload: bytes, frame_idx: int) -> int:
 def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker with a 1:N output shape: each video row explodes
     to one row per sampled frame — the batch contract for frame-level
-    feature extraction (detection, embedding, OCR) at scale."""
+    feature extraction (detection, embedding, OCR) at scale.
+
+    Container probe (duration) and frame extraction happen in the SAME
+    pass while the payload is in hand — never decode-then-join, which
+    would shuffle the raw media bytes across the cluster.
+    """
     for pdf in batches:
         out_rows = []
-        for doc_id, payload, duration in zip(
-            pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
-        ):
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            duration = decode_stub(payload, "video")["duration_ms"]
             n_frames = int(duration) // FRAME_STRIDE_MS + 1
             for i in range(n_frames):
                 out_rows.append(
@@ -141,20 +145,14 @@ def sample_frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample frames from the (synthetic) video payloads: one row per
-    10-second frame with a per-frame feature. Composition: the metadata
-    decode supplies duration, then the frame sampler fans out 1:N —
-    both stages Arrow-batched, zero shuffles end-to-end."""
+    10-second frame with a per-frame feature — probe + sample in one
+    Arrow-batched pass, zero shuffles end-to-end."""
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     videos = docs.filter(F.expr("doc_id % 3 = 2")).select(
         "doc_id",
-        F.lit("video").alias("media_type"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    with_meta = extract_media_metadata(videos).select("doc_id", "duration_ms")
-    enriched = videos.join(with_meta, "doc_id").select(
-        "doc_id", "payload", "duration_ms"
-    )
-    return enriched.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
+    return videos.mapInPandas(sample_frames_batch, schema=FRAME_SCHEMA)
 
 
 MULTIMODAL_FRAMESAMPLE_SQL = f"""

@@ -189,3 +189,15 @@ def test_curated_partition_pruning(spark, tmp_path):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("snap" in ln for ln in pf), plan
     assert back.count() == 100
+
+
+def test_framesample_is_shuffle_free(spark, sf_dir):
+    """Media frame sampling must be a single mapInPandas pass — a decode-
+    then-join shape would shuffle raw payload bytes across the cluster."""
+    from etl_pipeline_example_spark.operators.multimodal import (
+        multimodal_framesample,
+    )
+
+    plan = plan_str(multimodal_framesample(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
