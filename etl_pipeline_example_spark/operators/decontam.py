@@ -40,7 +40,11 @@ MIN_OVERLAP = 1  # distinct shared n-grams to flag
 
 
 def _spark_grams(df: DataFrame) -> DataFrame:
-    """(doc_id, gram) — distinct hashed word-5-grams per document."""
+    """(doc_id, gram) — hashed word-5-grams per document, NOT
+    deduplicated: the explode+hash is a pure shuffle-free projection, and
+    the consumers dedupe inside their aggregates (``countDistinct`` is a
+    two-phase partial agg), which is one shuffle cheaper than a
+    standalone ``distinct`` feeding two aggregations."""
     toks = spark_tokens("text")
     gram_hash = spark_hexint(f"concat_ws(' ', slice(tk, j + 1, {NGRAM_N}))")
     return (
@@ -52,7 +56,6 @@ def _spark_grams(df: DataFrame) -> DataFrame:
             "tk",
         )
         .select("doc_id", F.expr(gram_hash).alias("gram"))
-        .distinct()
     )
 
 
@@ -67,11 +70,13 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the shingle explode+hash runs twice (see the dedup module
     # docstring for the caching contract)
     train_grams = _spark_grams(train).persist()
-    per_doc = train_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    per_doc = train_grams.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_grams")
+    )
     overlap = (
         train_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .agg(F.countDistinct("gram").alias("n_overlap"))
     )
     return (
         per_doc.join(overlap, "doc_id")

@@ -1,0 +1,47 @@
+"""Property-based tests (hypothesis) for the pure-Python primitives."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_pipeline_example_spark.pipeline.extract import unpack_record
+
+# nested dicts of scalars, up to 3 levels
+scalars = st.one_of(st.integers(), st.text(max_size=8), st.booleans(), st.none())
+keys = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd")), min_size=1, max_size=6
+)
+nested = st.recursive(
+    st.dictionaries(keys, scalars, max_size=4),
+    lambda children: st.dictionaries(keys, st.one_of(scalars, children), max_size=4),
+    max_leaves=20,
+)
+
+
+@given(nested)
+@settings(max_examples=200, deadline=None)
+def test_unpack_preserves_every_leaf(record):
+    flat = unpack_record(record)
+
+    def leaves(d, prefix=""):
+        for k, v in d.items():
+            name = f"{prefix}{k}"
+            if isinstance(v, dict):
+                yield from leaves(v, prefix=f"{name}_")
+            else:
+                yield name, v
+
+    expected = list(leaves(record))
+    # every leaf value survives under its parent_child name; nothing is
+    # invented. (Distinct nests can alias to the same flat key — e.g.
+    # {'a': {'b': 1}} and {'a_b': 2} — last-write-wins like the
+    # reference's unpack_data; so compare as dict, built in order.)
+    assert flat == dict(expected)
+    assert all(not isinstance(v, dict) for v in flat.values())
+
+
+@given(st.dictionaries(keys, scalars, max_size=6))
+@settings(max_examples=100, deadline=None)
+def test_unpack_flat_record_is_identity(record):
+    assert unpack_record(record) == record
