@@ -22,9 +22,11 @@ can't push it past the cap. Labels are ``localCheckpoint``-ed per round:
 the plan each round is 3 bounded shuffles over (node, component), never a
 lineage that grows with round count (Catalyst re-planning over an
 iterated lineage is the classic silent O(rounds²) driver cost).
-Convergence is one ``limit(1).count()`` on the checkpointed diff; if the
-cap is hit before the fixed point the op RAISES rather than return wrong
-labels.
+Initialization folds the first propagation in (labels start at
+min(self, neighbours)); convergence is detected by the monotone label
+sum (labels only decrease, so an unchanged decimal sum IS the fixed
+point — an aggregate-only probe, no diff join). If the cap is hit before
+the fixed point the op RAISES rather than return wrong labels.
 
 The oracle is a DuckDB ``WITH RECURSIVE`` reachability closure over the
 same (cross-engine-deterministic) MinHash pair set: min reachable node =
@@ -65,12 +67,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     both = both.distinct().persist()
+    # initialization folds the first propagation round in: every node
+    # starts at min(self, min neighbour) — one groupBy instead of a full
+    # join+double round
     labels = (
-        both.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        both.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.min("b"), F.col("a")).alias("component"))
         .localCheckpoint()
     )
+    # labels only ever decrease, so sum(component) strictly decreases
+    # until the fixed point — an aggregate-only convergence probe, no join
+    prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(ITER_CAP):
         # 1) neighbour minimum (sym graph ⇒ every node appears as `a`)
         neigh = (
@@ -91,16 +98,11 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
             .select("node", F.least("component", "c_comp").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
+        new_sum = updated.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
         labels = updated
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         both.unpersist()
         raise ComponentsNotConverged(
