@@ -68,6 +68,7 @@ _REGISTER_FIRST = [
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
+    "embed_quantize",
     "multimodal_meta",
     "multimodal_framesample",
     "pii_scrub",

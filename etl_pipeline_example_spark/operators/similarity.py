@@ -453,11 +453,65 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# ------------------------------------------------------------- quantization
+
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column: per-vector
+    max-abs scaling, one output row per (vec_id, dim).
+
+    The storage half of a production ANN index — int8 cells are 4× denser
+    than float32, and the scale factor rides along for dequantization.
+    All arithmetic is a JVM column expression (array fold for max-abs,
+    posexplode for the cells); ``floor(x + 0.5)`` instead of ``round``
+    so both engines round identically. Scale: pure projection + explode,
+    zero shuffles.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+    maxabs = (
+        "aggregate(embedding, cast(0 as double),"
+        " (acc, x) -> greatest(acc, abs(cast(x as double))))"
+    )
+    return (
+        emb.select("vec_id", "embedding", F.expr(maxabs).alias("maxabs"))
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            F.expr("round(maxabs / 127.0, 9)").alias("scale"),
+            F.posexplode("embedding").alias("dim_idx", "x"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            "dim_idx",
+            F.expr(
+                "cast(floor(cast(x as double) * 127.0 / (scale * 127.0) + 0.5) as int)"
+            ).alias("q_val"),
+        )
+    )
+
+
+EMBED_QUANTIZE_SQL = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         round(list_max([abs(cast(x as double)) for x in embedding]) / 127.0, 9) AS scale
+  FROM embeddings
+  WHERE list_max([abs(cast(x as double)) for x in embedding]) > 0
+)
+SELECT vec_id, scale,
+       cast(i - 1 as int) AS dim_idx,
+       cast(floor(cast(embedding[i] as double) * 127.0 / (scale * 127.0) + 0.5) as int) AS q_val
+FROM scaled, (SELECT unnest(range(1, 65)) AS i)
+WHERE i <= len(embedding)
+"""
+
+
 SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "dedup_embedding": dedup_embedding,
+    "embed_quantize": embed_quantize,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -465,4 +519,5 @@ SIM_ORACLES: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "embed_quantize": EMBED_QUANTIZE_SQL,
 }
