@@ -80,6 +80,7 @@ _REGISTER_FIRST = [
     "stream_dedup",
     "stream_sessions",
     "stream_user_stats",
+    "stream_join",
     # event-time queries (nanos-timestamp read path)
     "unpack_nested",
     "q_events_tumbling",

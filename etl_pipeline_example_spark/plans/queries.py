@@ -241,6 +241,70 @@ FROM orders
 """
 
 
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap analysis per customer: days since the previous
+    order and until the next (lag/lead with explicit defaults) — the
+    retention/churn primitive. One shuffle on o_custkey; both offsets
+    reuse the same window sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("datediff(o_orderdate, lag(o_orderdate) OVER"
+               " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))")
+        .alias("days_since_prev"),
+        F.expr("datediff(lead(o_orderdate) OVER"
+               " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate)")
+        .alias("days_until_next"),
+    )
+
+
+Q_LEAD_LAG_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS days_since_prev,
+       date_diff('day', o_orderdate,
+                 lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey)) AS days_until_next
+FROM orders
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the (status), (priority), (status,
+    priority) marginals in ONE pass over orders, with grouping_id
+    disambiguating the all-rows cells from genuine NULLs. Distinct from
+    rollup/cube: the set list is arbitrary, not hierarchical."""
+    orders = read_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               count(*) AS n_orders,
+               cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+    """)
+
+
+Q_GROUPING_SETS_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       grouping_id(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                        (o_orderstatus, o_orderpriority))
+"""
+
+
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over region→nation: customer count + exact acctbal sum.
 
@@ -466,6 +530,8 @@ ANALYTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_local_supplier": q5_local_supplier,
     "q_topn_window": q_topn_window,
     "q_running_sum": q_running_sum,
+    "q_lead_lag": q_lead_lag,
+    "q_grouping_sets": q_grouping_sets,
     "q_rollup": q_rollup,
     "q_events_tumbling": q_events_tumbling,
     "q_sessionize": q_sessionize,
@@ -480,6 +546,8 @@ ANALYTIC_ORACLES: dict[str, str] = {
     "q5_local_supplier": Q5_SQL,
     "q_topn_window": Q_TOPN_SQL,
     "q_running_sum": Q_RUNNING_SQL,
+    "q_lead_lag": Q_LEAD_LAG_SQL,
+    "q_grouping_sets": Q_GROUPING_SETS_SQL,
     "q_rollup": Q_ROLLUP_SQL,
     "q_events_tumbling": Q_TUMBLING_SQL,
     "q_sessionize": Q_SESSIONIZE_SQL,

@@ -30,6 +30,27 @@ from etl_pipeline_example_spark.plans.queries import (
 from etl_pipeline_example_spark.sources.readers import ensure_nanos_conf
 
 
+from contextlib import contextmanager
+
+# State-store partition count for the stateful streaming ops. This
+# is an explicit knob (not inherited shuffle parallelism) because it is
+# FROZEN into the checkpoint at first start and each partition carries a
+# state store on both join sides — 200 default partitions means 400
+# state stores spinning up for a test-scale drain. A production 24/7
+# job sizes this to its key cardinality and keeps it for life.
+STREAM_STATE_PARTITIONS = 16
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregation as a stream over the events
     parquet, drain with AvailableNow, and return the final result.
@@ -58,15 +79,16 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_events_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -102,15 +124,16 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(F.expr(f"md5({spark_norm_text('text')})").alias("content_hash"))
     deduped = hashed.dropDuplicates(["content_hash"])
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -147,15 +170,16 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -193,15 +217,16 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink)
 
 
@@ -219,6 +244,80 @@ STREAM_ORACLES["stream_sessions"] = Q_SESSION_WINDOW_SQL
 
 STREAM_QUERIES["stream_enrich"] = stream_enrich
 STREAM_ORACLES["stream_enrich"] = STREAM_ENRICH_SQL
+
+
+def _event_stream(spark: SparkSession, sf_dir: str, types: list[str]):
+    ensure_nanos_conf(spark)
+    return (
+        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
+                                " event_type string, value double, props string")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("event_type").isin(types))
+    )
+
+
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the clicks the same
+    user made in the preceding hour.
+
+    Both sides are unbounded streams, so the join buffers state on BOTH
+    and needs watermarks plus a time-range join condition for Spark to
+    know when a buffered click can never match again and evict it — the
+    canonical funnel/attribution topology. With the AvailableNow drain
+    the emitted set equals the batch interval self-join, giving a full
+    SQL oracle.
+    """
+    clicks = _event_stream(spark, sf_dir, ["click"]).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "2 hours")
+    purchases = _event_stream(spark, sf_dir, ["purchase"]).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", "2 hours")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)").alias("lag_us"),
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_JOIN_SQL = """
+SELECT p.user_id,
+       p.event_id AS purchase_id,
+       c.event_id AS click_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+STREAM_QUERIES["stream_join"] = stream_join
+STREAM_ORACLES["stream_join"] = STREAM_JOIN_SQL
 
 STREAM_QUERIES["stream_dedup"] = stream_dedup
 STREAM_ORACLES["stream_dedup"] = """

@@ -68,16 +68,22 @@ def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    sink = f"stream_user_stats_{uuid.uuid4().hex[:8]}"
-    q = (
-        stats.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    from etl_pipeline_example_spark.streaming.events import (
+        STREAM_STATE_PARTITIONS,
+        _scoped_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    sink = f"stream_user_stats_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        q = (
+            stats.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # update-mode memory sink keeps one row per emission; the LAST emission
     # per user is the final state (single-batch drains emit exactly once)
     return (
