@@ -94,6 +94,8 @@ _REGISTER_FIRST = [
     "q_range_join",
     "q_moving_avg",
     "q_gapfill",
+    "q_lead_lag",
+    "q_grouping_sets",
     "dq_profile",
     # core-ETL parity
     "meta_align",
