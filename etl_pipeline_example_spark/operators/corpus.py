@@ -325,6 +325,57 @@ WHERE {duck_hexint("concat('strat:', cast(doc_id as varchar))")} % ({_rate_case(
 """
 
 
+# --------------------------------------------------------------- mix weights
+
+
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights to rebalance the corpus toward a
+    uniform domain mix: weight = target_share / actual_token_share.
+
+    The static-reweighting computation behind domain-mixture tuning
+    (uniform target here; a tuned target vector drops in the same way).
+    One grouped pass for per-source token counts, a one-row broadcast for
+    the totals — the weights table is then a broadcast-joinable side
+    input to the sampling pass.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = spark_tokens("text")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"sum(size({toks}))").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("round(cast(n_tokens as double) / total_tokens, 9)").alias("token_share"),
+        F.expr(
+            "round((1.0 / n_sources) / (cast(n_tokens as double) / total_tokens), 9)"
+        ).alias("sample_weight"),
+    )
+
+
+MIX_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len({duck_tokens("text")})) AS n_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       round(cast(n_tokens as double) / total_tokens, 9) AS token_share,
+       round((1.0 / n_sources) / (cast(n_tokens as double) / total_tokens), 9)
+         AS sample_weight
+FROM per_src, totals
+"""
+
+
 CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunk": doc_chunk,
     "sample_hash": sample_hash,
@@ -332,6 +383,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub": pii_scrub,
     "doc_pack": doc_pack,
     "sample_stratified": sample_stratified,
+    "mix_weights": mix_weights,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -341,4 +393,5 @@ CORPUS_ORACLES: dict[str, str] = {
     "pii_scrub": PII_SCRUB_SQL,
     "doc_pack": DOC_PACK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "mix_weights": MIX_WEIGHTS_SQL,
 }
