@@ -9,11 +9,13 @@ training. Here the "eval set" is the ``src0`` slice of the documents
 table and the trainable corpus is everything else.
 
 Spark-first shape: both sides explode to (doc, 5-gram-hash) rows; the
-eval side reduces to DISTINCT hashes and BROADCASTS — an eval set is
-bounded by construction (benchmarks are thousands of items, not
-billions), which is exactly when a forced broadcast is scale-safe. The
-train side joins against it in its scan pass — no shuffle of the corpus;
-the only aggregation is per-doc overlap counting, map-side combined.
+eval side reduces to DISTINCT hashes. A REAL benchmark eval set is small
+and its gram table broadcast-eligible — but this operator's eval slice
+is defined by a source predicate, which scales with the corpus, so the
+join strategy is deliberately left to AQE's runtime stats (it broadcasts
+while the eval side is genuinely small, shuffles on the gram key when it
+is not) — the same hint hygiene the TPC-H plans follow. The remaining
+aggregations are per-doc overlap counts, map-side combined.
 
 The n-gram hash is the shared cross-engine md5 construct, so the DuckDB
 oracle reproduces candidate generation bit-for-bit.
@@ -74,7 +76,7 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("gram").alias("n_grams")
     )
     overlap = (
-        train_grams.join(F.broadcast(eval_grams), "gram")
+        train_grams.join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("n_overlap"))
     )

@@ -375,7 +375,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round(({dot_c}) / (nrm * cent_nrm), 6)").alias("ccos"),
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
-    ranked = cell_scores.withColumn("crn", F.row_number().over(w_cell))
+    # persisted: assign and probes both consume it — the corpus×centroid
+    # scoring is the operator's dominant stage and must run once
+    ranked = cell_scores.withColumn("crn", F.row_number().over(w_cell)).persist()
     assign = ranked.filter(F.col("crn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
     probes = (
         ranked.filter((F.col("vec_id") < ANN_NUM_QUERIES) & (F.col("crn") <= IVF_NPROBE))
@@ -501,7 +503,8 @@ WITH scaled AS (
 SELECT vec_id, scale,
        cast(i - 1 as int) AS dim_idx,
        cast(floor(cast(embedding[i] as double) * 127.0 / (scale * 127.0) + 0.5) as int) AS q_val
-FROM scaled, (SELECT unnest(range(1, 65)) AS i)
+FROM scaled,
+     (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i)
 WHERE i <= len(embedding)
 """
 

@@ -25,10 +25,9 @@ def _ensure_location(spark: SparkSession, location: str) -> None:
     partition-discovery scan over a missing dir raises where S3 would just
     list empty, so level the two by creating the directory.
     """
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(location)
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    from etl_pipeline_example_spark.fsutil import hadoop_fs
+
+    fs, path = hadoop_fs(spark, location)
     if not fs.exists(path):
         fs.mkdirs(path)
 

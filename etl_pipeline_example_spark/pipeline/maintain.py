@@ -14,9 +14,11 @@ snapshot), but any lake that ingests continuously needs both:
   keyed table, the plain-parquet stand-in for MERGE INTO: union the
   current rows with the updates, keep the newest version per key via a
   window, rewrite. One shuffle on the key; at scale you'd bucket the
-  table on the key so the window reuses the layout. The rewrite is
-  atomic per directory (write to _tmp, swap) so readers never see a
-  half-merged table.
+  table on the key so the window reuses the layout. The rewrite stages
+  to a temp dir and swaps with crash-recoverable ordering (the displaced
+  version survives under ``<path>__old`` until the new one is live) —
+  plain-filesystem semantics; a lakehouse table format's commit protocol
+  is the stronger production answer.
 """
 
 from __future__ import annotations
@@ -25,6 +27,8 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.fsutil import hadoop_fs, swap_into_place
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # the usual parquet sweet spot
 
@@ -38,12 +42,11 @@ def compact_partition(
     """Rewrite ``path`` into ceil(bytes/target) files; returns file count.
 
     Size is estimated from the existing files (metadata listing, no data
-    read); the rewrite itself is fully distributed. Uses an overwrite of
-    the same directory via a staged temp dir + atomic-ish swap.
+    read); the rewrite itself is fully distributed, staged to a temp dir
+    and swapped in with crash-recoverable ordering (see
+    ``fsutil.swap_into_place``).
     """
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs, hpath = hadoop_fs(spark, path)
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
     size = fs.getContentSummary(hpath).getLength()
@@ -51,8 +54,7 @@ def compact_partition(
     df = spark.read.format(data_format).load(path)
     tmp = f"{path}__compact_tmp"
     df.repartition(n_files).write.mode("overwrite").format(data_format).save(tmp)
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    swap_into_place(spark, tmp, path)
     spark.catalog.refreshByPath(path)
     return n_files
 
@@ -81,11 +83,7 @@ def upsert_snapshot(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__src")
     )
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     tmp = f"{path}__upsert_tmp"
     merged.write.mode("overwrite").format(data_format).save(tmp)
-    fs.delete(hpath, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    swap_into_place(spark, tmp, path)
     spark.catalog.refreshByPath(path)

@@ -99,6 +99,13 @@ def promote_to_raw_distributed(spark, zones: ZoneStore, dataset: str, table: str
     copies = []  # (src_file, dst_file)
     for part in parts:
         dst_dir = Path(zones.raw_hist_path(dataset, table)) / part.name
+        # same replace semantics as the local path: a re-promoted
+        # partition fully replaces any prior copy (stale files from an
+        # earlier landing must not merge in), and an empty partition
+        # still materializes as a directory (history preserved)
+        if dst_dir.exists():
+            shutil.rmtree(dst_dir)
+        dst_dir.mkdir(parents=True, exist_ok=True)
         for f in sorted(part.rglob("*")):
             if f.is_file():
                 copies.append((str(f), str(dst_dir / f.relative_to(part))))
@@ -113,10 +120,16 @@ def promote_to_raw_distributed(spark, zones: ZoneStore, dataset: str, table: str
                     dst_fs, dst_path = pafs.FileSystem.from_uri(dst)
                     dst_fs.create_dir(str(Path(dst_path).parent), recursive=True)
                     # compression=None: copy the raw bytes — PyArrow would
-                    # otherwise transparently gunzip/regzip by extension
+                    # otherwise transparently gunzip/regzip by extension.
+                    # Chunked: a multi-GB landed object must not be
+                    # buffered whole in the Python worker.
                     with src_fs.open_input_stream(src_path, compression=None) as r, \
                             dst_fs.open_output_stream(dst_path, compression=None) as w:
-                        w.write(r.read())
+                        while True:
+                            chunk = r.read(8 * 1024 * 1024)
+                            if not chunk:
+                                break
+                            w.write(chunk)
                     done.append(dst)
                 yield pd.DataFrame({"dst": done})
 

@@ -102,8 +102,10 @@ def read_table(
     the same guard applies whenever scan parallelism < cluster
     parallelism (few huge gzip files, a coalesced upstream write, ...).
     """
-    if name in _NANO_TS_COLUMNS:
-        ensure_nanos_conf(spark)
+    # unconditional: timestamp rendering must not depend on WHICH tables a
+    # session read first (a nanos-only pin would make orders-table
+    # timestamps flip between host-local and UTC based on query order)
+    ensure_nanos_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":

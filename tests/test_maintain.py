@@ -55,3 +55,19 @@ def test_upsert_equal_version_prefers_update(spark, tmp_path):
     updates = spark.createDataFrame([(1, "update", 5)], "k bigint, v string, ver int")
     upsert_snapshot(spark, path, updates, key="k", version_col="ver")
     assert spark.read.parquet(path).collect()[0]["v"] == "update"
+
+
+def test_swap_into_place_semantics(spark, tmp_path):
+    from etl_pipeline_example_spark.fsutil import swap_into_place
+
+    dest = str(tmp_path / "t")
+    # first swap: dest doesn't exist yet
+    spark.range(5).write.parquet(dest + "__tmp1")
+    swap_into_place(spark, dest + "__tmp1", dest)
+    assert spark.read.parquet(dest).count() == 5
+    # replacing swap: new data in, no __old residue
+    spark.range(9).write.parquet(dest + "__tmp2")
+    swap_into_place(spark, dest + "__tmp2", dest)
+    assert spark.read.parquet(dest).count() == 9
+    import os
+    assert not os.path.exists(dest + "__old")

@@ -44,3 +44,26 @@ def test_incremental_drains_are_exactly_once(spark, tmp_path):
     assert n2 == 80
     got = sorted(r["id"] for r in spark.read.parquet(curated).collect())
     assert got == list(range(80))  # every row exactly once
+
+
+def test_drains_extract_to_land_output_and_empty_start(spark, tmp_path):
+    """The ingest must consume what the repo's own extract writes
+    (part-*.txt.gz), and a drain over an empty land dir returns 0
+    instead of raising."""
+    from etl_pipeline_example_spark.pipeline import ZoneStore, extract_to_land
+
+    zones = ZoneStore(str(tmp_path))
+    land = zones.land_path("d", "recs")
+    curated = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    import os
+    os.makedirs(land, exist_ok=True)
+    assert stream_land_to_curated(spark, land, curated, ckpt, SPEC) == 0
+
+    def fetch(i):
+        return {"id": i, "grp": f"g{i % 2}"}
+
+    extract_to_land(spark, zones, "d", "recs", fetch, 40, 1755000001)
+    n = stream_land_to_curated(spark, land, curated, ckpt, SPEC)
+    assert n == 40
