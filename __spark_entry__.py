@@ -97,6 +97,8 @@ _REGISTER_FIRST = [
     "q_lead_lag",
     "q_grouping_sets",
     "dq_profile",
+    "q_histogram",
+    "q_stats",
     # core-ETL parity
     "meta_align",
 ]

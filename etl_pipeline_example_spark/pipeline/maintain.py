@@ -59,6 +59,35 @@ def compact_partition(
     return n_files
 
 
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep: int,
+) -> list[str]:
+    """Retention: drop all but the newest ``keep`` partitions of a
+    snapshot-partitioned table; returns the deleted partition names.
+
+    Partition dirs sort lexicographically (ISO dates / zero-padded ids do)
+    — a metadata-only listing plus per-partition deletes, never a data
+    scan. The batch analogue of a stream's watermark: bounded history.
+    """
+    fs, hpath = hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    parts = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
+    )
+    doomed = parts[:-keep] if keep > 0 else parts
+    jvm = spark.sparkContext._jvm
+    for name in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{name}"), True)
+    spark.catalog.refreshByPath(path)
+    return doomed
+
+
 def upsert_snapshot(
     spark: SparkSession,
     path: str,

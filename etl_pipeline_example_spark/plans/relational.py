@@ -630,6 +630,86 @@ SELECT 'o_totalprice', n_rows, null_price, dist_price, min_price, max_price FROM
 """
 
 
+_HIST_BUCKET = (
+    "CASE WHEN cast(o_totalprice as double) < 0.0 THEN 0"
+    " WHEN cast(o_totalprice as double) >= 600000.0 THEN 21"
+    " ELSE cast(floor(cast(o_totalprice as double) / 30000.0) as int) + 1 END"
+)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value (20 buckets + under/overflow)
+    — the profiling/monitoring primitive, written as the same portable
+    bucket expression in both engines (width_bucket semantics). One
+    grouped pass; bucketing is a pure scan expression so the shuffle
+    carries at most 22 rows."""
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(F.expr(_HIST_BUCKET).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q_HISTOGRAM_SQL = f"""
+SELECT {_HIST_BUCKET} AS bucket, count(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag variance and quantity↔price correlation, computed
+    from EXACT decimal power sums instead of the engines' native one-pass
+    float aggregates.
+
+    Native ``corr``/``stddev`` accumulate floats in partition order —
+    nondeterministic across engines AND across runs at scale. Decimal
+    Σx, Σy, Σx², Σy², Σxy are order-independent; the closed forms then
+    take one float step each, bit-identical everywhere. Same single
+    grouped pass, same shuffle shape as the native aggregates.
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(cast(l_quantity as decimal(28,6)))").alias("sx"),
+        F.expr("sum(cast(l_extendedprice as decimal(28,6)))").alias("sy"),
+        F.expr("sum(cast(l_quantity as decimal(28,6)) * cast(l_quantity as decimal(28,6)))").alias("sxx"),
+        F.expr("sum(cast(l_extendedprice as decimal(28,6)) * cast(l_extendedprice as decimal(28,6)))").alias("syy"),
+        F.expr("sum(cast(l_quantity as decimal(28,6)) * cast(l_extendedprice as decimal(28,6)))").alias("sxy"),
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.expr(
+            "round(cast((sxx - sx * sx / n) as double) / (n - 1), 6)"
+        ).alias("var_qty"),
+        F.expr(
+            "round(cast((n * sxy - sx * sy) as double)"
+            " / (sqrt(cast(n * sxx - sx * sx as double))"
+            "    * sqrt(cast(n * syy - sy * sy as double))), 6)"
+        ).alias("corr_qty_price"),
+    )
+
+
+Q_STATS_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(cast(l_quantity as decimal(28,6))) AS sx,
+         sum(cast(l_extendedprice as decimal(28,6))) AS sy,
+         sum(cast(l_quantity as decimal(28,6)) * cast(l_quantity as decimal(28,6))) AS sxx,
+         sum(cast(l_extendedprice as decimal(28,6)) * cast(l_extendedprice as decimal(28,6))) AS syy,
+         sum(cast(l_quantity as decimal(28,6)) * cast(l_extendedprice as decimal(28,6))) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(cast((sxx - sx * sx / n) as double) / (n - 1), 6) AS var_qty,
+       round(cast((n * sxy - sx * sy) as double)
+             / (sqrt(cast(n * sxx - sx * sx as double))
+                * sqrt(cast(n * syy - sy * sy as double))), 6) AS corr_qty_price
+FROM sums
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_forecast": q6_forecast,
     "q4_late_orders": q4_late_orders,
@@ -648,6 +728,8 @@ RELATIONAL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_moving_avg": q_moving_avg,
     "q_gapfill": q_gapfill,
     "dq_profile": dq_profile,
+    "q_histogram": q_histogram,
+    "q_stats": q_stats,
 }
 
 RELATIONAL_ORACLES: dict[str, str] = {
@@ -668,4 +750,6 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "q_moving_avg": Q_MOVING_AVG_SQL,
     "q_gapfill": Q_GAPFILL_SQL,
     "dq_profile": DQ_PROFILE_SQL,
+    "q_histogram": Q_HISTOGRAM_SQL,
+    "q_stats": Q_STATS_SQL,
 }

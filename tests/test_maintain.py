@@ -71,3 +71,26 @@ def test_swap_into_place_semantics(spark, tmp_path):
     assert spark.read.parquet(dest).count() == 9
     import os
     assert not os.path.exists(dest + "__old")
+
+
+def test_expire_snapshots_keeps_newest(spark, tmp_path):
+    from etl_pipeline_example_spark.metadata.spec import TableSpec
+    from etl_pipeline_example_spark.pipeline.maintain import expire_snapshots
+    from etl_pipeline_example_spark.sinks.writers import write_curated
+
+    spec = TableSpec.from_dict({
+        "name": "snaps",
+        "columns": [
+            {"name": "k", "type": "long"},
+            {"name": "snap", "type": "character"},
+        ],
+        "partitions": ["snap"],
+    })
+    path = str(tmp_path / "snaps")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    for day in ("2026-08-10", "2026-08-11", "2026-08-12", "2026-08-13"):
+        write_curated(df, spec, path, partition_values={"snap": day})
+    gone = expire_snapshots(spark, path, "snap", keep=2)
+    assert gone == ["snap=2026-08-10", "snap=2026-08-11"]
+    left = {str(r["snap"]) for r in spark.read.parquet(path).select("snap").distinct().collect()}
+    assert left == {"2026-08-12", "2026-08-13"}  # partition col inferred as date
