@@ -325,6 +325,52 @@ WHERE {duck_hexint("concat('strat:', cast(doc_id as varchar))")} % ({_rate_case(
 """
 
 
+# -------------------------------------------------------- repeated passages
+
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages: fixed-width token chunks whose
+    exact text occurs in ≥ 2 distinct documents — the chunk-granular
+    form of exact-substring dedup (boilerplate headers, license blobs,
+    templated passages).
+
+    Reuses the doc_chunk windowing; the only shuffle carries
+    (chunk_hash, doc_id) pairs, and the output is the removal list a
+    cleaning pass would anti-join against. At 100 TB the chunk-hash key
+    space is what you'd bucket by.
+    """
+    chunks = doc_chunk(spark, sf_dir).select(
+        "doc_id", F.expr("md5(chunk_text)").alias("chunk_hash")
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH tk_tbl AS (
+  SELECT doc_id, {duck_tokens("text")} AS tk FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         md5(array_to_string(tk[c * {CHUNK_TOKENS} + 1 : (c + 1) * {CHUNK_TOKENS}], ' ')) AS chunk_hash
+  FROM tk_tbl, (SELECT unnest(range(0, (
+      SELECT coalesce(max((len(tk) - 1) // {CHUNK_TOKENS}), 0) + 1 FROM tk_tbl
+    ))) AS c)
+  WHERE len(tk) > 0 AND c <= (len(tk) - 1) // {CHUNK_TOKENS}
+)
+SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+"""
+
+
 # --------------------------------------------------------------- mix weights
 
 
@@ -384,6 +430,7 @@ CORPUS_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": doc_pack,
     "sample_stratified": sample_stratified,
     "mix_weights": mix_weights,
+    "boilerplate_chunks": boilerplate_chunks,
 }
 
 CORPUS_ORACLES: dict[str, str] = {
@@ -394,4 +441,5 @@ CORPUS_ORACLES: dict[str, str] = {
     "doc_pack": DOC_PACK_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "mix_weights": MIX_WEIGHTS_SQL,
+    "boilerplate_chunks": BOILERPLATE_SQL,
 }
