@@ -99,8 +99,9 @@ _REGISTER_FIRST = [
     "dq_profile",
     "q_histogram",
     "q_stats",
-    # core-ETL parity
+    # core-ETL parity (q_calculated is the reference's flagship query)
     "meta_align",
+    "q_calculated",
 ]
 
 
