@@ -282,7 +282,7 @@ offs AS (
 )
 SELECT doc_id, lang, shard, n_tokens,
        cast(start_offset // {PACK_BUDGET} as bigint) AS bin_id,
-       start_offset % {PACK_BUDGET} AS bin_offset
+       cast(start_offset % {PACK_BUDGET} as bigint) AS bin_offset
 FROM offs
 """
 
@@ -408,7 +408,7 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_WEIGHTS_SQL = f"""
 WITH per_src AS (
   SELECT source, count(*) AS n_docs,
-         sum(len({duck_tokens("text")})) AS n_tokens
+         cast(sum(len({duck_tokens("text")})) AS bigint) AS n_tokens
   FROM documents GROUP BY source
 ),
 totals AS (

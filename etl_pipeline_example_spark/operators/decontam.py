@@ -87,7 +87,9 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_overlap",
-            F.expr("round(100.0 * n_overlap / n_grams, 4)").alias("overlap_pct"),
+            F.expr("cast(round(100.0 * n_overlap / n_grams, 4) as double)").alias(
+                "overlap_pct"
+            ),
         )
     )
 

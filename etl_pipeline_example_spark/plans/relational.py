@@ -367,11 +367,11 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PIVOT_SQL = """
 SELECT cast(ts AS DATE) AS event_date,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS bigint) AS n_click,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS bigint) AS n_error,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bigint) AS n_purchase,
+       cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS bigint) AS n_signup,
+       cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS bigint) AS n_view
 FROM events
 GROUP BY cast(ts AS DATE)
 """
@@ -451,7 +451,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_JSON_SQL = """
 SELECT event_type,
-       sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) AS bigint) AS sum_k,
        max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k,
        count(*) AS n_events
 FROM events GROUP BY event_type
@@ -608,13 +608,13 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_PROFILE_SQL = """
 WITH m AS (
   SELECT count(*) AS n_rows,
-         sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS null_status,
+         cast(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_status,
          count(DISTINCT o_orderstatus) AS dist_status,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+         cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_cust,
          count(DISTINCT o_custkey) AS dist_cust,
          cast(min(o_custkey) as double) AS min_cust,
          cast(max(o_custkey) as double) AS max_cust,
-         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+         cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS bigint) AS null_price,
          count(DISTINCT o_totalprice) AS dist_price,
          cast(min(cast(o_totalprice as decimal(18,2))) as double) AS min_price,
          cast(max(cast(o_totalprice as decimal(18,2))) as double) AS max_price

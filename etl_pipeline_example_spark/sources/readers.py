@@ -89,6 +89,41 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+_EVENTS_TAIL = "user_id bigint, event_type string, value double, props string"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open the events table as a file-source STREAM with ``ts`` normalized
+    to TIMESTAMP (LTZ, session pinned UTC) — the streaming twin of
+    ``read_table``.
+
+    ``readStream`` requires a declared schema, and the testdata's physical
+    ``ts`` encoding has two observed generations: TIMESTAMP(NANOS)
+    (surfaced as a nanos-long under ``nanosAsLong``) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false). A hardcoded ``ts long`` schema silently reads
+    raw micros as if they were nanos — every timestamp lands 1000× too
+    early and windows/sessions collapse — so the batch reader's footer
+    schema (cheap: footer only) decides which declaration to stream with.
+    """
+    ensure_nanos_conf(spark)
+    ts_type = dict(spark.read.parquet(f"{sf_dir}/events.parquet").dtypes)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) generation
+        df = (
+            spark.readStream.schema(f"event_id bigint, ts long, {_EVENTS_TAIL}")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        df = (
+            spark.readStream.schema(f"event_id bigint, ts {ts_type}, {_EVENTS_TAIL}")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+    return df
+
+
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
 ) -> DataFrame:
@@ -110,6 +145,14 @@ def read_table(
     for col in _NANO_TS_COLUMNS.get(name, []):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) infers as TIMESTAMP_NTZ on a
+    # default Spark 4 session; normalize to TIMESTAMP (LTZ) so downstream
+    # epoch casts / arithmetic behave identically on any session. The
+    # session timezone is pinned UTC above, so the NTZ->LTZ cast preserves
+    # the rendered instant and matches DuckDB's naive reading bit-for-bit.
+    for col, typ in df.dtypes:
+        if typ == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     if parallel:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -27,7 +27,7 @@ from etl_pipeline_example_spark.plans.queries import (
     Q_TUMBLING_SQL,
     SUM_VALUE,
 )
-from etl_pipeline_example_spark.sources.readers import ensure_nanos_conf
+from etl_pipeline_example_spark.sources.readers import read_events_stream
 
 
 from contextlib import contextmanager
@@ -59,14 +59,7 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     with AvailableNow + complete mode every window is emitted, giving
     batch parity.
     """
-    ensure_nanos_conf(spark)
-    events = (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
-                                " event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -149,14 +142,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result equals the batch session_window query and carries its
     full SQL oracle.
     """
-    ensure_nanos_conf(spark)
-    events = (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
-                                " event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = read_events_stream(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -193,14 +179,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark; AvailableNow + complete mode gives batch parity, so the
     op has a full SQL oracle.
     """
-    ensure_nanos_conf(spark)
-    events = (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
-                                " event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    events = read_events_stream(spark, sf_dir)
     customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
@@ -247,15 +226,7 @@ STREAM_ORACLES["stream_enrich"] = STREAM_ENRICH_SQL
 
 
 def _event_stream(spark: SparkSession, sf_dir: str, types: list[str]):
-    ensure_nanos_conf(spark)
-    return (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
-                                " event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .filter(F.col("event_type").isin(types))
-    )
+    return read_events_stream(spark, sf_dir).filter(F.col("event_type").isin(types))
 
 
 def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:

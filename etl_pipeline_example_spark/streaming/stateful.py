@@ -50,17 +50,9 @@ def _fold_user_stats(
 
 def stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user order-dependent stats with explicit state."""
-    from etl_pipeline_example_spark.sources.readers import ensure_nanos_conf
+    from etl_pipeline_example_spark.sources.readers import read_events_stream
 
-    ensure_nanos_conf(spark)
-    events = (
-        spark.readStream.schema("event_id bigint, ts long, user_id bigint,"
-                                " event_type string, value double, props string")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("user_id", "event_id", "ts")
-    )
+    events = read_events_stream(spark, sf_dir).select("user_id", "event_id", "ts")
     stats = events.groupBy("user_id").applyInPandasWithState(
         _fold_user_stats,
         outputStructType=_OUT_SCHEMA,

@@ -2,24 +2,80 @@
 
 Runs each registered query on a VANILLA SparkSession (no engine session
 factory — same as the driver's harness) and its DuckDB oracle twin at the
-given sf dir, then compares row count, sorted column set, and normalized
-values. Usage:
+given sf dir, then compares row count, sorted column set, per-column
+ARROW-LEVEL types, and normalized values. Usage:
 
     python tools/drivercheck.py [sf_dir] [key ...]
 
 With no keys, checks every registered query.
+
+Type faithfulness: the driver hashes values through Arrow, so a DuckDB
+HUGEINT (integer ``sum()``) exports as decimal128(38,0) while Spark emits
+bigint — value-identical rows hash differently. Python ``fetchall()``
+hides that (HUGEINT -> int), which is how round 2 shipped 7 hash FAILs
+this script called PASS. We therefore compare ``rel.arrow().schema``
+against the Spark schema under a canonical mapping: integer widths
+collapse (the driver tolerates int32 vs int64), but decimal-vs-int and
+decimal-vs-double do NOT.
 """
 
 from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 from datetime import date, datetime
 from decimal import Decimal
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def canon_spark_type(t: str) -> str:
+    """Spark simpleString -> canonical type label."""
+    t = t.strip().lower()
+    m = re.match(r"array<(.+)>$", t)
+    if m:
+        return f"list<{canon_spark_type(m.group(1))}>"
+    if t in {"tinyint", "smallint", "int", "integer", "bigint", "long"}:
+        return "int"
+    if t in {"float", "double"}:
+        return "float"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in {"string", "varchar"}:
+        return "string"
+    if t in {"boolean", "bool"}:
+        return "bool"
+    if t == "date":
+        return "date"
+    return t
+
+
+def canon_arrow_type(t) -> str:
+    """pyarrow DataType -> canonical type label."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
 
 
 def _norm(v):
@@ -32,10 +88,21 @@ def _norm(v):
     return v
 
 
+def _sort_key(v):
+    # Floats sort on a rounded key so near-equal values (0.3 vs
+    # 0.30000000000000004) land in the same position on both sides;
+    # the tolerance compare then sees aligned rows.
+    if v is None:
+        return (0, "")
+    if isinstance(v, float):
+        return (1, f"{v:.6e}")
+    return (1, str(v))
+
+
 def normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_norm(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(out, key=lambda t: tuple(_sort_key(x) for x in t))
 
 
 def values_equal(a, b):
@@ -44,6 +111,18 @@ def values_equal(a, b):
             return True
         return abs(a - b) <= 1e-9 * max(1.0, abs(b))
     return a == b
+
+
+def type_report(sdf, arrow_schema):
+    """Compare canonical per-column types; return list of mismatch strings."""
+    stypes = {f.name: canon_spark_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+    atypes = {f.name: canon_arrow_type(f.type) for f in arrow_schema}
+    bad = []
+    for name in sorted(set(stypes) | set(atypes)):
+        st, at = stypes.get(name), atypes.get(name)
+        if st != at:
+            bad.append(f"{name}: spark={st} vs arrow={at}")
+    return bad
 
 
 def main() -> int:
@@ -87,11 +166,17 @@ def main() -> int:
             print(f"ROWS {key}: {len(srows)} rows (no oracle)")
             continue
         rel = con.sql(oracles[key])
-        dcols = rel.columns
-        drows = rel.fetchall()
+        atable = rel.arrow()
+        dcols = atable.schema.names
+        drows = [tuple(_norm_arrow(v) for v in row) for row in zip(*(c.to_pylist() for c in atable.columns))] if atable.num_columns else []
         dt = time.time() - t0
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {key}: columns {sorted(scols)} vs {sorted(dcols)}")
+            failed.append(key)
+            continue
+        tbad = type_report(sdf, atable.schema)
+        if tbad:
+            print(f"FAIL {key}: arrow-type mismatch: {'; '.join(tbad)}")
             failed.append(key)
             continue
         if len(srows) != len(drows):
@@ -99,7 +184,7 @@ def main() -> int:
             failed.append(key)
             continue
         a = normalize(srows, scols)
-        b = normalize(drows, dcols)
+        b = normalize(drows, list(dcols))
         bad = None
         for i, (ra, rb) in enumerate(zip(a, b)):
             for va, vb in zip(ra, rb):
@@ -116,6 +201,12 @@ def main() -> int:
     print(f"\n{'FAILED: ' + ', '.join(failed) if failed else 'ALL PASS'}")
     spark.stop()
     return 1 if failed else 0
+
+
+def _norm_arrow(v):
+    # to_pylist() yields Decimal for decimal128, datetime for timestamps —
+    # run them through the same normalizer as the Spark side.
+    return _norm(v)
 
 
 if __name__ == "__main__":
