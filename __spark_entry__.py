@@ -53,12 +53,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Registration order matters: the driver grades queries in insertion order
-# and may budget-cap how many it runs, so the first-class LLM-pipeline
-# operators (dedup / similarity / multimodal / streaming) register first,
-# followed by the core-ETL parity rows and the general query engine; the
-# TPC-H extension set registers last.
+# under a ~50-row budget cap, so each round the window rotates to the
+# entries that most need fresh evidence. Round 4: (a) boilerplate_chunks —
+# the one never-graded operator; (b) ops whose code changed this round
+# (ann_ivf bounded-K centroids, the new dedup_embedding_lsh); (c) the 30
+# TPC-H/window/relational queries whose only green rows are round-1 (10 of
+# them with since-changed plans after the broadcast-hint removals); then
+# (d) fill with round-3-green rows whose code is frozen. Every other
+# registry entry already holds a green round-3 row, giving full union
+# coverage across rounds.
 _REGISTER_FIRST = [
-    # LLM-pipeline operators (SURVEY §2 rows 21-41)
+    # (a) never graded
+    "boilerplate_chunks",
+    # (b) changed this round
+    "ann_ivf",
+    "dedup_embedding_lsh",
+    # (c) round-1-only evidence: TPC-H suite + window/relational queries
+    "q1_pricing",
+    "q2_argmin",
+    "q3_shipping",
+    "q4_late_orders",
+    "q5_local_supplier",
+    "q6_forecast",
+    "q7_volume",
+    "q8_mktshare",
+    "q9_profit",
+    "q10_returns",
+    "q11_part_value",
+    "q12_priority",
+    "q13_custdist",
+    "q14_promo",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q20_excess_suppliers",
+    "q21_sole_fault",
+    "q22_idle_rich",
+    "q_cust_no_orders",
+    "q_topn_window",
+    "q_running_sum",
+    "q_rollup",
+    "q_cube",
+    "q_percentiles",
+    "q_distinct_agg",
+    "q_wordcount",
+    # (d) fill: round-3-green, code frozen this round
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
@@ -67,41 +108,15 @@ _REGISTER_FIRST = [
     "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
-    "ann_ivf",
     "embed_quantize",
     "multimodal_meta",
     "multimodal_framesample",
     "pii_scrub",
-    "doc_pack",
-    "sample_stratified",
     "contamination_ngram",
-    "stream_enrich",
-    "stream_events",
-    "stream_dedup",
-    "stream_sessions",
-    "stream_user_stats",
-    "stream_join",
-    # event-time queries (nanos-timestamp read path)
-    "unpack_nested",
-    "q_events_tumbling",
-    "q_sessionize",
-    "q_session_window",
-    "q_asof_join",
-    "q_pivot_events",
-    "q_set_ops",
-    "q_json_extract",
-    "q_skew_join",
-    "q_range_join",
-    "q_moving_avg",
-    "q_gapfill",
-    "q_lead_lag",
-    "q_grouping_sets",
-    "dq_profile",
-    "q_histogram",
-    "q_stats",
-    # core-ETL parity (q_calculated is the reference's flagship query)
+    "doc_pack",
     "meta_align",
     "q_calculated",
+    "unpack_nested",
 ]
 
 

@@ -336,15 +336,18 @@ WHERE round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
 
 # --------------------------------------------------------------------- IVF
 
-# Deterministic coarse quantizer: centroids are the corpus vectors with
-# vec_id ≡ 7 (mod 31) — ~N/31 cells, so cell count grows with the corpus
-# (the √N-ish scaling a real IVF uses), identical in both engines, and
-# disjoint from the query ids (0..4). A production pipeline would train
-# k-means centroids; the *plan shape* — assign in one broadcast pass,
-# probe nprobe cells, score only candidates — is the same either way.
-IVF_MOD = 31
-IVF_RESIDUE = 7
-IVF_NPROBE = 4
+# Deterministic coarse quantizer: centroids are the IVF_K corpus vectors
+# with the smallest 60-bit md5 hash of their id — a deterministic uniform
+# sample with a FIXED cell count, identical in both engines, disjoint from
+# the query ids (0..4). K is bounded regardless of corpus size, so
+# assignment is O(N·K) with an O(K) centroid broadcast (a mod-N/31 scheme
+# would make assignment quadratic and the broadcast linear in N). Spark
+# realizes the hash-ordered LIMIT as TakeOrderedAndProject — a per-
+# partition top-K merge, not a global sort. A production pipeline would
+# train k-means centroids; the *plan shape* — assign in one broadcast
+# pass, probe nprobe cells, score only candidates — is the same either way.
+IVF_K = 64
+IVF_NPROBE = 16
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,12 +363,17 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
     )
-    cents = emb.filter(
-        F.expr(f"vec_id % {IVF_MOD} = {IVF_RESIDUE}")
-    ).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("cent_emb"),
-        F.col("nrm").alias("cent_nrm"),
+    cents = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(
+            F.expr(spark_hexint("cast(vec_id as string)")).asc(), F.col("vec_id").asc()
+        )
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
     )
     dot_c = _SPARK_DOT.format(a="embedding", b="cent_emb")
     # narrow (vec_id, cent_id, cosine) rows — nothing wide shuffles
@@ -414,7 +422,9 @@ WITH normed AS (
 ),
 cents AS (
   SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
-  FROM normed WHERE vec_id % {IVF_MOD} = {IVF_RESIDUE}
+  FROM normed WHERE vec_id >= {ANN_NUM_QUERIES}
+  ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id
+  LIMIT {IVF_K}
 ),
 cell_scores AS (
   SELECT n.vec_id, c.cent_id,

@@ -29,9 +29,10 @@ def test_bruteforce_self_excluded_and_ranked(spark, sf_dir):
 
 
 def test_ivf_recall_floor(spark, sf_dir):
-    """Probing 4 of ~16 cells must recover a meaningful share of the true
-    top-10 (uniform-random data is IVF's worst case; a broken assignment
-    or single-cell probe lands near 1/16)."""
+    """Probing 16 of 64 fixed cells must recover a meaningful share of the
+    true top-10 (uniform-random data is IVF's worst case; a broken
+    assignment or single-cell probe lands near 1/64; measured 0.66 —
+    neighbors concentrate in the query's nearest cells)."""
     from etl_pipeline_example_spark.operators.similarity import ann_ivf
 
     bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
