@@ -334,6 +334,132 @@ WHERE round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
 """
 
 
+# ----------------------------------------------------- LSH-blocked near-dup
+
+# τ-appropriate plane count for the near-dup pass: collision probability
+# per plane is p = 1 - acos(τ)/π (≈0.63 at this benchmark's τ=0.4), so 2
+# bits × 16 tables gives per-pair miss probability (1-p²)^16 ≈ 3e-4 —
+# effectively exhaustive recall without any all-pairs or per-label join.
+# Unlike label blocking (pair space Σ|block|², unbounded under skew, and
+# dependent on a pre-existing cluster column), bucket occupancy is set by
+# the bit count: at a production τ≈0.9 (p≈0.86) the same machinery runs
+# 12-16 bits, where buckets are near-constant-size and the candidate join
+# is linear-ish in the corpus. The planes reuse the md5-derived ±1 family
+# the ANN index uses, so both engines compute identical buckets.
+DEDUP_LSH_TABLES = 16
+DEDUP_LSH_BITS = 2
+
+
+def _spark_dedup_planes_df(spark: SparkSession):
+    """16 rows (tbl, pvs): each near-dup table's 2 hyperplanes as ±1.0
+    vectors (first 32 planes of the shared md5-derived family)."""
+    rows = []
+    for t in range(DEDUP_LSH_TABLES):
+        pvs = [
+            [1.0 if c == "1" else -1.0 for c in _PLANES[t * DEDUP_LSH_BITS + b]]
+            for b in range(DEDUP_LSH_BITS)
+        ]
+        rows.append((t, pvs))
+    return spark.createDataFrame(rows, "tbl int, pvs array<array<double>>")
+
+
+_DEDUP_BUCKET_EXPR = (
+    f"aggregate(sequence(0, {DEDUP_LSH_BITS - 1}), cast(0 as bigint), (acc, b) ->"
+    " acc + CASE WHEN aggregate(zip_with(embedding, element_at(pvs, b + 1),"
+    " (x, p) -> cast(x as double) * p), cast(0 as double), (a2, v) -> a2 + v) >= 0"
+    " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+)
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via LSH bucket blocking: candidates are
+    pairs sharing a (table, bucket) cell in any of the 16 hash tables,
+    scored exactly, kept when cosine ≥ τ.
+
+    Scale path: corpus hashing is one shuffle-free projection against the
+    broadcast plane table (same stage shape as ``ann_lsh``); the candidate
+    join shuffles both sides on (tbl, bucket) — a key a production index
+    would bucket-write, making the self-join co-located — and exact
+    scoring runs only on bucket-mates. No label column needed and no
+    Σ|block|² exposure to label skew; the bit count is the knob that keeps
+    bucket occupancy (and thus the pair space) bounded as the corpus
+    grows.
+    """
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
+    planes = F.broadcast(_spark_dedup_planes_df(spark))
+    bucketed = emb.crossJoin(planes).select(
+        "vec_id", "embedding", "nrm", "tbl", F.expr(_DEDUP_BUCKET_EXPR).alias("bucket")
+    )
+    a = bucketed.select(
+        "tbl",
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("tbl").alias("tbl_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    dot = _SPARK_DOT.format(a="ea", b="eb")
+    return (
+        cand.select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round(({dot}) / (na * nb), 6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_TAU)
+    )
+
+
+_DUCK_DEDUP_PLANES_TBL = "(VALUES " + ", ".join(
+    f"({tp}, '{s}')" for tp, s in enumerate(_PLANES[: DEDUP_LSH_TABLES * DEDUP_LSH_BITS])
+) + ") AS planes(tp, plane)"
+
+DEDUP_EMBEDDING_LSH_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+bits AS (
+  SELECT vec_id, tp // {DEDUP_LSH_BITS} AS tbl,
+         CASE WHEN ({_DUCK_SIGN_DOT}) >= 0
+              THEN (1::BIGINT << (tp % {DEDUP_LSH_BITS})) ELSE 0::BIGINT END AS bitval
+  FROM embeddings, {_DUCK_DEDUP_PLANES_TBL}
+),
+bucketed AS (
+  SELECT vec_id, tbl, sum(bitval)::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT cd.vec_a, cd.vec_b,
+         round(({_DUCK_DOT.format(a="x.embedding", b="y.embedding")})
+               / (x.nrm * y.nrm), 6) AS cosine
+  FROM cand cd
+  JOIN normed x ON x.vec_id = cd.vec_a
+  JOIN normed y ON y.vec_id = cd.vec_b
+) WHERE cosine >= {EMB_TAU}
+"""
+
+
 # --------------------------------------------------------------------- IVF
 
 # Deterministic coarse quantizer: centroids are the IVF_K corpus vectors
@@ -524,6 +650,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "embed_quantize": embed_quantize,
 }
 
@@ -532,5 +659,6 @@ SIM_ORACLES: dict[str, str] = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
 }

@@ -118,6 +118,18 @@ def test_ann_lsh_bucket_stage_is_shuffle_free(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_dedup_lsh_hash_stage_is_shuffle_free(spark, sf_dir):
+    from etl_pipeline_example_spark.operators.similarity import dedup_embedding_lsh
+
+    plan = plan_str(dedup_embedding_lsh(spark, sf_dir), mode="simple")
+    # corpus hashing is a projection over a broadcast cross-join (planes
+    # broadcast, no groupBy to assemble bits); the only hash exchanges are
+    # the (tbl, bucket) candidate self-join sides and the pair dedup.
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with no Exchange —
     the co-location contract recurring fact-fact joins rely on at scale."""

@@ -28,6 +28,41 @@ def test_bruteforce_self_excluded_and_ranked(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_dedup_lsh_finds_all_tau_pairs(spark, sf_dir):
+    """16 tables × 2 bits at τ=0.4 has per-pair miss probability ≈3e-4, so
+    on this corpus the LSH-blocked pass must find the exhaustive τ-pair
+    set exactly (and by construction never a sub-τ pair)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.similarity import (
+        EMB_TAU,
+        _SPARK_DOT,
+        _with_norm,
+        dedup_embedding_lsh,
+    )
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    emb = _with_norm(read_table(spark, sf_dir, "embeddings"), "embedding", "nrm")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = _SPARK_DOT.format(a="ea", b="eb")
+    exhaustive = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.expr(f"round(({dot}) / (na * nb), 6)").alias("cos"))
+        .filter(F.col("cos") >= EMB_TAU)
+        .collect()
+    }
+    lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    assert lsh <= exhaustive, f"sub-τ pairs leaked: {sorted(lsh - exhaustive)[:5]}"
+    recall = len(lsh & exhaustive) / max(1, len(exhaustive))
+    assert recall >= 0.95, f"LSH near-dup recall regressed: {recall:.3f}"
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """Probing 16 of 64 fixed cells must recover a meaningful share of the
     true top-10 (uniform-random data is IVF's worst case; a broken
