@@ -45,6 +45,10 @@ def canon_spark_type(t: str) -> str:
     if t.startswith("decimal"):
         return t.replace(" ", "")
     if t.startswith("timestamp"):
+        # tz-ness collapses deliberately: Spark Arrow export carries
+        # tz=UTC while DuckDB emits naive timestamps, and the driver's
+        # hashing tolerates that (every timestamp-emitting query in the
+        # registry has green driver rows across rounds 2-3).
         return "timestamp"
     if t in {"string", "varchar"}:
         return "string"
@@ -52,7 +56,33 @@ def canon_spark_type(t: str) -> str:
         return "bool"
     if t == "date":
         return "date"
+    m = re.match(r"struct<(.+)>$", t)
+    if m:
+        fields = [f.split(":", 1) for f in _split_top(m.group(1))]
+        inner = ",".join(f"{n}:{canon_spark_type(ft)}" for n, ft in fields)
+        return f"struct<{inner}>"
+    m = re.match(r"map<(.+)>$", t)
+    if m:
+        k, v = _split_top(m.group(1))
+        return f"map<{canon_spark_type(k)},{canon_spark_type(v)}>"
     return t
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on commas at nesting depth 0 (for struct/map type params)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur).strip())
+    return out
 
 
 def canon_arrow_type(t) -> str:
@@ -75,6 +105,14 @@ def canon_arrow_type(t) -> str:
         return "bool"
     if pa.types.is_date(t):
         return "date"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{canon_arrow_type(t.key_type)},{canon_arrow_type(t.item_type)}>"
     return str(t)
 
 
@@ -90,13 +128,17 @@ def _norm(v):
 
 def _sort_key(v):
     # Floats sort on a rounded key so near-equal values (0.3 vs
-    # 0.30000000000000004) land in the same position on both sides;
-    # the tolerance compare then sees aligned rows.
+    # 0.30000000000000004) land in the same position on both sides; the
+    # tolerance compare then sees aligned rows. The full-precision repr
+    # rides along as a secondary component so rows that TIE on the rounded
+    # key order deterministically on both sides (engine input order must
+    # not decide the pairing — it could pair rows crosswise and turn
+    # sub-tolerance differences into spurious FAILs).
     if v is None:
-        return (0, "")
+        return (0, "", "")
     if isinstance(v, float):
-        return (1, f"{v:.6e}")
-    return (1, str(v))
+        return (1, f"{v:.6e}", repr(v))
+    return (1, str(v), "")
 
 
 def normalize(rows, columns):
