@@ -377,34 +377,42 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored exactly, kept when cosine ≥ τ.
 
     Scale path: corpus hashing is one shuffle-free projection against the
-    broadcast plane table (same stage shape as ``ann_lsh``); the candidate
-    join shuffles both sides on (tbl, bucket) — a key a production index
-    would bucket-write, making the self-join co-located — and exact
-    scoring runs only on bucket-mates. No label column needed and no
-    Σ|block|² exposure to label skew; the bit count is the knob that keeps
-    bucket occupancy (and thus the pair space) bounded as the corpus
-    grows.
+    broadcast plane table (same stage shape as ``ann_lsh``); candidates
+    are NARROW id-pairs shuffled on (tbl, bucket) — a key a production
+    index would bucket-write, making the self-join co-located — and the
+    vectors re-join only for exact scoring of the deduplicated pairs. No
+    label column needed and no Σ|block|² exposure to label skew; the bit
+    count is the knob that keeps bucket occupancy (and thus the pair
+    space) bounded as the corpus grows. Honest caveat: the pruning power
+    is the per-plane probability GAP between τ-pairs (p = 1-acos(τ)/π)
+    and random pairs (p = ½). At this benchmark's τ=0.4 the gap is 0.63
+    vs 0.50, so few-bit tables that preserve recall admit most random
+    pairs — near-exhaustive scoring is inherent to the τ, not the plan.
+    At a production near-dup τ≈0.9 (p≈0.86 vs 0.50) the same machinery
+    runs 12-16 bits per table and prunes the pair space by orders of
+    magnitude.
     """
     emb = _with_norm(
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
-    )
+    ).persist()
     planes = F.broadcast(_spark_dedup_planes_df(spark))
+    # narrow (vec_id, tbl, bucket) rows — the embedding column must NOT
+    # ride through the candidate join (wide arrays through that shuffle
+    # dominated the runtime); vectors re-join only for the final scoring
     bucketed = emb.crossJoin(planes).select(
-        "vec_id", "embedding", "nrm", "tbl", F.expr(_DEDUP_BUCKET_EXPR).alias("bucket")
+        "vec_id", "tbl", F.expr(_DEDUP_BUCKET_EXPR).alias("bucket")
     )
-    a = bucketed.select(
-        "tbl",
-        "bucket",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
+    # A first-match-table emission scheme (carry the 16-bucket signature
+    # through the join, keep a pair only in its earliest colliding table)
+    # would delete this dedup shuffle — measured 8× SLOWER here: the
+    # signature comparison is a higher-order-function lambda, which is
+    # interpreted per joined row (no whole-stage codegen), and the join
+    # output is ~2N² rows. The narrow dropDuplicates exchange wins.
+    a = bucketed.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
     b = bucketed.select(
         F.col("tbl").alias("tbl_b"),
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
     )
     cand = (
         a.join(
@@ -413,11 +421,24 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("bucket") == F.col("bucket_b"))
             & (F.col("vec_a") < F.col("vec_b")),
         )
+        .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    x = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     dot = _SPARK_DOT.format(a="ea", b="eb")
     return (
-        cand.select(
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
+        .select(
             "vec_a",
             "vec_b",
             F.expr(f"round(({dot}) / (na * nb), 6)").alias("cosine"),

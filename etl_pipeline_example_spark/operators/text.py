@@ -240,9 +240,126 @@ SELECT DISTINCT doc_id, unnest(fps) AS fp FROM m_tbl
 """
 
 
+# Gopher-style repetition gates (Rae et al. 2021 §A1.1, token-occurrence
+# variant): a doc is dropped when too much of it is repeated n-grams.
+# Thresholds sit near this corpus's median so the flag is non-vacuous on
+# the synthetic testdata; production values come from held-out tuning.
+REP_DUP2_MAX = 0.55  # duplicate 2-gram occurrence fraction
+REP_TOP2_MAX = 0.10  # most-frequent-2-gram occurrence fraction
+REP_DUP3_MAX = 0.25  # duplicate 3-gram occurrence fraction
+
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics + keep flag.
+
+    For n in {2, 3}: fraction of n-gram occurrences that are repeats
+    (1 - distinct/total) and, for n=2, the share of the single most
+    frequent gram. Both n sizes ride ONE explode (tagged structs), so the
+    whole operator is one projection + two map-side-combined aggregations
+    shuffled on (doc_id, n, gram) / (doc_id) — well-distributed composite
+    keys, no per-doc O(len²) work, safe for arbitrarily long documents
+    (the HOF-only alternative is quadratic in doc length for the
+    top-gram count).
+    """
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
+    toks = spark_tokens("text")
+    g2 = spark_hexint("concat_ws(' ', slice(tk, j + 1, 2))")
+    g3 = spark_hexint("concat_ws(' ', slice(tk, j + 1, 3))")
+    tagged = (
+        f"concat(transform(sequence(0, size(tk) - 2), j -> named_struct('n', 2, 'g', {g2})),"
+        f" transform(sequence(0, size(tk) - 3), j -> named_struct('n', 3, 'g', {g3})))"
+    )
+    grams = (
+        docs.select("doc_id", F.expr(toks).alias("tk"))
+        .filter(F.expr("size(tk) >= 3"))
+        .select("doc_id", F.explode(F.expr(tagged)).alias("ng"))
+        .select("doc_id", F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    )
+    per_n = (
+        grams.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("dst"),
+            F.max("c").alias("maxc"),
+        )
+    )
+    agg2 = lambda col: F.max(F.when(F.col("n") == 2, F.col(col)))  # noqa: E731
+    agg3 = lambda col: F.max(F.when(F.col("n") == 3, F.col(col)))  # noqa: E731
+    return (
+        per_n.groupBy("doc_id")
+        .agg(
+            agg2("total").alias("t2"),
+            agg2("dst").alias("d2"),
+            agg2("maxc").alias("m2"),
+            agg3("total").alias("t3"),
+            agg3("dst").alias("d3"),
+        )
+        .select(
+            "doc_id",
+            F.col("t2").cast("bigint").alias("n_2grams"),
+            F.expr("round(1.0 - cast(d2 as double) / t2, 6)").alias("dup2_frac"),
+            F.expr("round(cast(m2 as double) / t2, 6)").alias("top2_frac"),
+            F.expr("round(1.0 - cast(d3 as double) / t3, 6)").alias("dup3_frac"),
+            F.expr(
+                f"round(1.0 - cast(d2 as double) / t2, 6) <= {REP_DUP2_MAX}"
+                f" AND round(cast(m2 as double) / t2, 6) <= {REP_TOP2_MAX}"
+                f" AND round(1.0 - cast(d3 as double) / t3, 6) <= {REP_DUP3_MAX}"
+            ).alias("keep"),
+        )
+    )
+
+
+def _repetition_oracle() -> str:
+    toks = duck_tokens("text")
+    g2 = duck_hexint("array_to_string(tk[j + 1 : j + 2], ' ')")
+    g3 = duck_hexint("array_to_string(tk[j + 1 : j + 3], ' ')")
+    return f"""
+WITH tk_tbl AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+  WHERE len({toks}) >= 3
+),
+grams AS (
+  SELECT doc_id, 2 AS n, {g2} AS g
+  FROM tk_tbl, (SELECT unnest(range(0, (SELECT max(len(tk)) FROM tk_tbl))) AS j)
+  WHERE j <= len(tk) - 2
+  UNION ALL
+  SELECT doc_id, 3 AS n, {g3} AS g
+  FROM tk_tbl, (SELECT unnest(range(0, (SELECT max(len(tk)) FROM tk_tbl))) AS j)
+  WHERE j <= len(tk) - 3
+),
+per_n AS (
+  SELECT doc_id, n, cast(sum(c) as bigint) AS total,
+         cast(count(*) as bigint) AS dst, cast(max(c) as bigint) AS maxc
+  FROM (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+piv AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN total END) AS t2,
+         max(CASE WHEN n = 2 THEN dst END) AS d2,
+         max(CASE WHEN n = 2 THEN maxc END) AS m2,
+         max(CASE WHEN n = 3 THEN total END) AS t3,
+         max(CASE WHEN n = 3 THEN dst END) AS d3
+  FROM per_n GROUP BY 1
+)
+SELECT doc_id,
+       cast(t2 as bigint) AS n_2grams,
+       round(1.0 - cast(d2 as double) / t2, 6) AS dup2_frac,
+       round(cast(m2 as double) / t2, 6) AS top2_frac,
+       round(1.0 - cast(d3 as double) / t3, 6) AS dup3_frac,
+       (round(1.0 - cast(d2 as double) / t2, 6) <= {REP_DUP2_MAX}
+        AND round(cast(m2 as double) / t2, 6) <= {REP_TOP2_MAX}
+        AND round(1.0 - cast(d3 as double) / t3, 6) <= {REP_DUP3_MAX}) AS keep
+FROM piv
+"""
+
+
 TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_quality": text_quality,
+    "quality_repetition": quality_repetition,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
 }
@@ -250,6 +367,7 @@ TEXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 TEXT_ORACLES: dict[str, str] = {
     "text_langid": _langid_oracle(),
     "text_quality": _quality_oracle(),
+    "quality_repetition": _repetition_oracle(),
     "token_count": _token_count_oracle(),
     "doc_fingerprint": _fingerprint_oracle(),
 }
