@@ -69,6 +69,7 @@ _REGISTER_FIRST = [
     "ann_ivf",
     "dedup_embedding_lsh",
     "quality_repetition",
+    "kmeans_assign",
     # (c) round-1-only evidence: TPC-H suite + window/relational queries
     "q1_pricing",
     "q2_argmin",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     "pii_scrub",
     "contamination_ngram",
     "doc_pack",
-    "meta_align",
     "q_calculated",
 ]
 

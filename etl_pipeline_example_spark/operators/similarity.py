@@ -612,7 +612,156 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
-# ------------------------------------------------------------- quantization
+# ------------------------------------------------------------------ k-means
+
+# Deterministic 2-iteration Lloyd clustering over the embedding column —
+# the coarse-quantizer training step the IVF/near-dup operators assume
+# exists at scale (SemDedup-style pipelines: cluster, then prune within
+# cells). Everything is cross-engine exact: init centroids are the
+# hash-ordered sample, per-cluster means go through EXACT decimal sums
+# (order-independent, so Spark's partial aggregation and DuckDB's
+# single-threaded sum agree bit-for-bit) rounded to 6 dp, and distances
+# round to 6 dp before the argmin with a cluster-id tie-break.
+KMEANS_K = 8
+KMEANS_DECIMAL = "decimal(30,12)"
+
+_SPARK_SQDIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double))"
+    " * (cast(x as double) - cast(y as double))), cast(0 as double), (acc, v) -> acc + v)"
+)
+_DUCK_SQDIST = (
+    "list_sum([ (cast({a}[i] as double) - cast({b}[i] as double))"
+    " * (cast({a}[i] as double) - cast({b}[i] as double))"
+    " for i in range(1, len({a}) + 1) ])"
+)
+
+
+def _spark_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cluster_id, dist): nearest centroid per vector — one pass
+    over the corpus against the broadcast K-row centroid table, argmin by
+    WindowGroupLimit (per-partition top-1, then merge)."""
+    sqd = _SPARK_SQDIST.format(a="embedding", b="cent")
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        F.expr(f"round({sqd}, 6)").alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "dist")
+    )
+
+
+def _spark_means(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cluster_id, cent): element-wise member mean per cluster. The
+    explode is NARROW (vec_id, dim, val); the mean is an exact decimal
+    sum over each (cluster, dim) — map-side combined, order-independent —
+    cast to double and rounded, then the K×64 result (tiny at any corpus
+    size) reassembles into centroid arrays."""
+    exploded = emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+    dim_means = (
+        exploded.join(assign.select("vec_id", "cluster_id"), "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.expr(
+                f"round(cast(sum(cast(val as {KMEANS_DECIMAL})) as double)"
+                " / count(val), 6)"
+            ).alias("m")
+        )
+    )
+    return dim_means.groupBy("cluster_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").alias("cent")
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration Lloyd k-means over embeddings: hash-sampled init →
+    assign → recompute means → reassign. Output (vec_id, cluster_id,
+    dist) — the cluster labels SemDedup-style pruning and IVF index
+    builds consume.
+
+    Scale path: each iteration is one broadcast assignment pass over the
+    corpus (O(N·K) folds, whole-stage codegen) plus one narrow
+    explode-aggregate for the means (N×dims rows shuffled once on
+    (cluster, dim) — K×dims output, trivially broadcastable back). No
+    driver-side loops; iteration count is a fixed constant here, and a
+    production run would wrap the same two stages in a convergence probe
+    like the connected-components operator's."""
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True).select(
+        "vec_id", "embedding"
+    ).persist()
+    init = (
+        emb.orderBy(
+            F.expr(spark_hexint("cast(vec_id as string)")).asc(), F.col("vec_id").asc()
+        )
+        .limit(KMEANS_K)
+        .select("vec_id", "embedding")
+    )
+    w_init = Window.orderBy(
+        F.expr(spark_hexint("cast(vec_id as string)")).asc(), F.col("vec_id").asc()
+    )
+    cents = init.select(
+        (F.row_number().over(w_init) - 1).alias("cluster_id"),
+        F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias("cent"),
+    )
+    assign1 = _spark_assign(emb, cents)
+    cents2 = _spark_means(emb, assign1)
+    return _spark_assign(emb, cents2)
+
+
+_KM_SQD = _DUCK_SQDIST.format(a="e.embedding", b="c.cent")
+
+KMEANS_ASSIGN_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+ranked_init AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id) - 1 AS cluster_id
+  FROM emb
+),
+cents AS (
+  SELECT cluster_id,
+         [ round(cast(x as double), 6) for x in embedding ] AS cent
+  FROM ranked_init WHERE cluster_id < {KMEANS_K}
+),
+scored1 AS (
+  SELECT e.vec_id, c.cluster_id, round({_KM_SQD}, 6) AS dist
+  FROM emb e, cents c
+),
+assign1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM scored1
+  ) WHERE rn = 1
+),
+exploded AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i] AS val
+  FROM emb, (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM emb) + 1)) AS i)
+  WHERE i <= len(embedding)
+),
+dim_means AS (
+  SELECT a.cluster_id, x.dim,
+         round(cast(sum(cast(x.val as {KMEANS_DECIMAL})) as double)
+               / count(x.val), 6) AS m
+  FROM exploded x JOIN assign1 a USING (vec_id)
+  GROUP BY 1, 2
+),
+cents2 AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS cent FROM dim_means GROUP BY 1
+),
+scored2 AS (
+  SELECT e.vec_id, c.cluster_id, round({_KM_SQD}, 6) AS dist
+  FROM emb e, cents2 c
+)
+SELECT vec_id, cluster_id, dist FROM (
+  SELECT vec_id, cluster_id, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+  FROM scored2
+) WHERE rn = 1
+"""
 
 
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,6 +822,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embed_quantize": embed_quantize,
+    "kmeans_assign": kmeans_assign,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -682,4 +832,5 @@ SIM_ORACLES: dict[str, str] = {
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
+    "kmeans_assign": KMEANS_ASSIGN_SQL,
 }

@@ -63,6 +63,46 @@ def test_dedup_lsh_finds_all_tau_pairs(spark, sf_dir):
     assert recall >= 0.95, f"LSH near-dup recall regressed: {recall:.3f}"
 
 
+def test_kmeans_improves_on_init_and_fills_clusters(spark, sf_dir):
+    """Lloyd monotonicity: reassignment against the recomputed means must
+    not increase total within-cluster distance vs the init assignment,
+    and the final labeling should use every centroid (hash-sampled init
+    on this data leaves no empty cells)."""
+    from pyspark.sql import functions as F
+
+    from pyspark.sql import Window
+
+    from etl_pipeline_example_spark.operators.similarity import (
+        KMEANS_K,
+        _spark_assign,
+        kmeans_assign,
+        spark_hexint,
+    )
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w = Window.orderBy(
+        F.expr(spark_hexint("cast(vec_id as string)")).asc(), F.col("vec_id").asc()
+    )
+    cents = (
+        emb.orderBy(
+            F.expr(spark_hexint("cast(vec_id as string)")).asc(), F.col("vec_id").asc()
+        )
+        .limit(KMEANS_K)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster_id"),
+            F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias("cent"),
+        )
+    )
+    a1 = _spark_assign(emb, cents)
+    d1 = a1.agg(F.sum("dist")).collect()[0][0]
+    final = kmeans_assign(spark, sf_dir)
+    d2 = final.agg(F.sum("dist")).collect()[0][0]
+    assert d2 <= d1 + 1e-6, f"Lloyd step increased distortion: {d1} -> {d2}"
+    n_clusters = final.select("cluster_id").distinct().count()
+    assert n_clusters == KMEANS_K, f"empty clusters: {n_clusters}/{KMEANS_K}"
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """Probing 16 of 64 fixed cells must recover a meaningful share of the
     true top-10 (uniform-random data is IVF's worst case; a broken
