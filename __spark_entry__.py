@@ -70,6 +70,7 @@ _REGISTER_FIRST = [
     "dedup_embedding_lsh",
     "quality_repetition",
     "kmeans_assign",
+    "semdedup_prune",
     # (c) round-1-only evidence: TPC-H suite + window/relational queries
     "q1_pricing",
     "q2_argmin",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     "multimodal_framesample",
     "pii_scrub",
     "contamination_ngram",
-    "doc_pack",
     "q_calculated",
 ]
 

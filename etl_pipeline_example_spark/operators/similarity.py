@@ -764,6 +764,98 @@ SELECT vec_id, cluster_id, dist FROM (
 """
 
 
+# --------------------------------------------------------------- SemDedup
+
+# SemDedup (Abbas et al. 2023): cluster the embedding space, then prune
+# near-duplicate members within each cluster, keeping one canonical
+# representative. The cluster step is ``kmeans_assign``; pruning drops
+# every vector that has a lower-id cluster-mate with cosine ≥ τ and
+# reports which keeper it duplicates. K bounds the pair space to
+# Σ|cell|² — here K is a constant for oracle parity; a production run
+# sizes K to the target cell occupancy (K ≈ N / cell_size), which keeps
+# the within-cell scoring linear-ish in the corpus.
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dup_of, cosine): vectors to DROP, each pointing at the
+    kept cluster-mate it duplicates (highest cosine, then lowest id).
+
+    Scale path: one k-means labeling (two broadcast passes + a narrow
+    mean aggregation), then a self-join keyed on cluster_id — both sides
+    shuffle once on the cluster key, exactly the co-location a
+    production store would bucket-write — with the argmax-per-dropped-
+    vector a WindowGroupLimit, not a global sort."""
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
+    labels = kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    # persisted: both sides of the within-cluster self-join consume this —
+    # without it each side re-executes the entire k-means subtree
+    labeled = emb.join(labels, "vec_id").persist()
+    a = labeled.select(
+        F.col("cluster_id").alias("blk"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = labeled.select(
+        F.col("cluster_id").alias("blk_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = _SPARK_DOT.format(a="ea", b="eb")
+    pairs = (
+        a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr(f"round(({dot}) / (na * nb), 6)").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_TAU)
+    )
+    w = Window.partitionBy("vec_b").orderBy(F.col("cosine").desc(), F.col("vec_a").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
+_KMEANS_INLINE = KMEANS_ASSIGN_SQL.strip().rstrip()
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH assign AS ({_KMEANS_INLINE}),
+normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+labeled AS (
+  SELECT n.vec_id, n.embedding, n.nrm, a.cluster_id
+  FROM normed n JOIN assign a USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM labeled a JOIN labeled b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT vec_id, dup_of, cosine FROM (
+  SELECT vec_b AS vec_id, vec_a AS dup_of, cosine,
+         row_number() OVER (PARTITION BY vec_b
+                            ORDER BY cosine DESC, vec_a) AS rn
+  FROM pairs WHERE cosine >= {EMB_TAU}
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------- quantization
+
+
 def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column: per-vector
     max-abs scaling, one output row per (vec_id, dim).
@@ -823,6 +915,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "embed_quantize": embed_quantize,
     "kmeans_assign": kmeans_assign,
+    "semdedup_prune": semdedup_prune,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -833,4 +926,5 @@ SIM_ORACLES: dict[str, str] = {
     "dedup_embedding_lsh": DEDUP_EMBEDDING_LSH_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
+    "semdedup_prune": SEMDEDUP_PRUNE_SQL,
 }

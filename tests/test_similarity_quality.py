@@ -103,6 +103,19 @@ def test_kmeans_improves_on_init_and_fills_clusters(spark, sf_dir):
     assert n_clusters == KMEANS_K, f"empty clusters: {n_clusters}/{KMEANS_K}"
 
 
+def test_semdedup_drops_are_well_formed(spark, sf_dir):
+    """Every dropped vector points at a LOWER-id keeper above τ, and a
+    vector appears at most once in the drop list."""
+    from etl_pipeline_example_spark.operators.similarity import EMB_TAU, semdedup_prune
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    assert rows, "prune list unexpectedly empty"
+    assert all(r["dup_of"] < r["vec_id"] for r in rows)
+    assert all(r["cosine"] >= EMB_TAU for r in rows)
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """Probing 16 of 64 fixed cells must recover a meaningful share of the
     true top-10 (uniform-random data is IVF's worst case; a broken
