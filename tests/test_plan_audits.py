@@ -133,6 +133,28 @@ def test_dedup_lsh_hash_stage_is_shuffle_free(spark, sf_dir):
     assert n_exchanges <= 7, plan
 
 
+def test_ivf_centroid_build_is_topk_not_global_sort(spark, sf_dir):
+    """The fixed-K centroid sample must compile to TakeOrderedAndProject
+    (per-partition top-K merge); a global Sort + Exchange over the corpus
+    would serialize the whole embedding table through one partition."""
+    from etl_pipeline_example_spark.operators.similarity import ann_ivf
+
+    plan = plan_str(ann_ivf(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd assignment passes must evaluate as the corpus against a
+    BROADCAST K-row centroid table (nested-loop over a broadcast, no
+    corpus-side shuffle for assignment); the only hash exchanges are the
+    narrow mean aggregation and the per-vector argmin windows."""
+    from etl_pipeline_example_spark.operators.similarity import kmeans_assign
+
+    plan = plan_str(kmeans_assign(spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with no Exchange —
     the co-location contract recurring fact-fact joins rely on at scale."""
