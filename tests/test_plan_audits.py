@@ -155,6 +155,16 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_semdedup_self_join_reuses_cached_labeling(spark, sf_dir):
+    """Both sides of the within-cluster self-join must read the CACHED
+    labeled corpus (InMemoryTableScan twice in the plan); losing the
+    persist silently re-executes the entire k-means subtree per side."""
+    from etl_pipeline_example_spark.operators.similarity import semdedup_prune
+
+    plan = plan_str(semdedup_prune(spark, sf_dir), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     """Two tables bucketed on the join key must join with no Exchange —
     the co-location contract recurring fact-fact joins rely on at scale."""
