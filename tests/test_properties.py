@@ -45,3 +45,49 @@ def test_unpack_preserves_every_leaf(record):
 @settings(max_examples=100, deadline=None)
 def test_unpack_flat_record_is_identity(record):
     assert unpack_record(record) == record
+
+
+def test_tokenizer_contract_is_cross_engine_identical(spark, duck):
+    """Every dedup/text operator assumes ``spark_tokens`` and
+    ``duck_tokens`` produce the SAME token stream; a divergence silently
+    shifts shingles and flips candidate generation. One batch of
+    adversarial strings through both engines, compared row by row."""
+    import random
+
+    from etl_pipeline_example_spark.operators.hashing import duck_tokens, spark_tokens
+
+    rng = random.Random(20260813)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,;:!?-_()[]{}'\"/\\@#$%^&*+=<>~`|"
+    )
+    cases = [
+        "",
+        " ",
+        "\t\n",
+        "a",
+        "A B C",
+        "--already--tokenized--",
+        "x" * 500,
+        "word " * 50,
+        "123abc 456def",
+        "punct!!!runs???between###words",
+        "trailing space ",
+        " leading space",
+        "MiXeD CaSe ToKeNs",
+    ] + ["".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80))) for _ in range(200)]
+    sdf = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i int, text string")
+    srows = {
+        r["i"]: list(r["tk"])
+        for r in sdf.selectExpr("i", f"{spark_tokens('text')} AS tk").collect()
+    }
+    duck.sql("CREATE OR REPLACE TABLE tok_cases(i int, text varchar)")
+    duck.executemany("INSERT INTO tok_cases VALUES (?, ?)", [(i, c) for i, c in enumerate(cases)])
+    drows = {
+        i: list(tk)
+        for i, tk in duck.sql(
+            f"SELECT i, {duck_tokens('text')} AS tk FROM tok_cases"
+        ).fetchall()
+    }
+    for i, case in enumerate(cases):
+        assert srows[i] == drows[i], f"tokenizer diverged on {case!r}: {srows[i]} vs {drows[i]}"
