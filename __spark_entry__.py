@@ -71,6 +71,7 @@ _REGISTER_FIRST = [
     "quality_repetition",
     "kmeans_assign",
     "semdedup_prune",
+    "ann_int8_rerank",
     # (c) round-1-only evidence: TPC-H suite + window/relational queries
     "q1_pricing",
     "q2_argmin",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     "multimodal_meta",
     "multimodal_framesample",
     "pii_scrub",
-    "contamination_ngram",
     "q_calculated",
 ]
 

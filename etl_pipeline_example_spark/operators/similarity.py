@@ -853,6 +853,146 @@ SELECT vec_id, dup_of, cosine FROM (
 """
 
 
+# ----------------------------------------------------------- int8 rerank
+
+# The search half of the int8 story (``embed_quantize`` is the storage
+# half): coarse-score every corpus vector against the query with an
+# INTEGER int8 dot product (exact in both engines — no float-order
+# hazards), keep the top RERANK_CAND per query, exact-rescore only those
+# with the full-precision cosine. At scale the int8 pass reads a 4×
+# smaller index and the float vectors are fetched for ~RERANK_CAND rows
+# per query instead of the whole corpus.
+RERANK_CAND = 50
+
+_SPARK_IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+    " cast(0 as bigint), (acc, v) -> acc + v)"
+)
+_DUCK_IDOT = (
+    "list_sum([ cast({a}[i] as bigint) * cast({b}[i] as bigint)"
+    " for i in range(1, len({a}) + 1) ])"
+)
+
+# per-vector int8 codes: same floor(x*127/maxabs + 0.5) cell arithmetic
+# embed_quantize writes, kept in array form
+_SPARK_Q8 = (
+    "transform(embedding, x -> cast(floor(cast(x as double) * 127.0 /"
+    " aggregate(embedding, cast(0 as double),"
+    " (acc, v) -> greatest(acc, abs(cast(v as double)))) + 0.5) as int))"
+)
+_DUCK_Q8 = (
+    "[ cast(floor(cast(x as double) * 127.0 /"
+    " list_max([abs(cast(v as double)) for v in embedding]) + 0.5) as int)"
+    " for x in embedding ]"
+)
+
+
+def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: int8 coarse scoring → exact rerank of survivors.
+
+    The coarse score is round(idot / sqrt(qa2 * qb2), 6) with idot and
+    the squared norms computed in EXACT bigint arithmetic, so candidate
+    selection is bit-identical across engines; only the final division
+    touches doubles. Output matches the other ANN ops:
+    (query_id, neighbor_id, cosine, rank) with the exact cosine.
+    """
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    ).filter(F.expr("aggregate(embedding, cast(0 as double),"
+                    " (acc, v) -> greatest(acc, abs(cast(v as double)))) > 0"))
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.expr(_SPARK_Q8).alias("q8"),
+    ).withColumn("q2", F.expr(_SPARK_IDOT.format(a="q8", b="q8")))
+    queries = coded.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("q8").alias("qa8"),
+        F.col("q2").alias("qa2"),
+    )
+    idot = _SPARK_IDOT.format(a="qa8", b="q8")
+    coarse = (
+        coded.join(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "q_emb",
+            "q_nrm",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            F.col("nrm").alias("c_nrm"),
+            F.expr(
+                f"round(cast({idot} as double)"
+                " / sqrt(cast(qa2 as double) * cast(q2 as double)), 6)"
+            ).alias("approx"),
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    survivors = coarse.withColumn("crn", F.row_number().over(w_c)).filter(
+        F.col("crn") <= RERANK_CAND
+    )
+    dot = _SPARK_DOT.format(a="q_emb", b="embedding")
+    scored = survivors.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(f"round(({dot}) / (q_nrm * c_nrm), 6)").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+ANN_INT8_RERANK_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+  WHERE list_max([abs(cast(v as double)) for v in embedding]) > 0
+),
+coded AS (
+  SELECT vec_id, embedding, nrm, {_DUCK_Q8} AS q8 FROM normed
+),
+coded2 AS (
+  SELECT vec_id, embedding, nrm, q8, {_DUCK_IDOT.format(a="q8", b="q8")} AS q2
+  FROM coded
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm,
+         q8 AS qa8, q2 AS qa2
+  FROM coded2 WHERE vec_id < {ANN_NUM_QUERIES}
+),
+coarse AS (
+  SELECT q.query_id, q.q_emb, q.q_nrm, c.vec_id AS neighbor_id,
+         c.embedding, c.nrm AS c_nrm,
+         round(cast({_DUCK_IDOT.format(a="q.qa8", b="c.q8")} as double)
+               / sqrt(cast(q.qa2 as double) * cast(c.q2 as double)), 6) AS approx
+  FROM coded2 c, queries q
+  WHERE c.vec_id != q.query_id
+),
+survivors AS (
+  SELECT query_id, q_emb, q_nrm, neighbor_id, embedding, c_nrm FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY approx DESC, neighbor_id) AS crn
+    FROM coarse
+  ) WHERE crn <= {RERANK_CAND}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(({_DUCK_DOT.format(a="q_emb", b="embedding")})
+               / (q_nrm * c_nrm), 6) AS cosine
+  FROM survivors
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------- quantization
 
 
@@ -916,6 +1056,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": embed_quantize,
     "kmeans_assign": kmeans_assign,
     "semdedup_prune": semdedup_prune,
+    "ann_int8_rerank": ann_int8_rerank,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -927,4 +1068,5 @@ SIM_ORACLES: dict[str, str] = {
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "semdedup_prune": SEMDEDUP_PRUNE_SQL,
+    "ann_int8_rerank": ANN_INT8_RERANK_SQL,
 }

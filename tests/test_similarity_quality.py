@@ -103,6 +103,19 @@ def test_kmeans_improves_on_init_and_fills_clusters(spark, sf_dir):
     assert n_clusters == KMEANS_K, f"empty clusters: {n_clusters}/{KMEANS_K}"
 
 
+def test_int8_rerank_recall(spark, sf_dir):
+    """int8 coarse scoring with a 50-candidate rerank must recover nearly
+    all of the exact top-10 — quantization error is small relative to the
+    cosine gaps even on this uniform data (a broken code or a
+    missing-rerank regression collapses toward random)."""
+    from etl_pipeline_example_spark.operators.similarity import ann_int8_rerank
+
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
+    rr = {(r.query_id, r.neighbor_id) for r in ann_int8_rerank(spark, sf_dir).collect()}
+    recall = len(bf & rr) / len(bf)
+    assert recall >= 0.8, f"int8 rerank recall@10 regressed: {recall:.2f}"
+
+
 def test_semdedup_drops_are_well_formed(spark, sf_dir):
     """Every dropped vector points at a LOWER-id keeper above τ, and a
     vector appears at most once in the drop list."""
