@@ -874,16 +874,21 @@ _DUCK_IDOT = (
 )
 
 # per-vector int8 codes: same floor(x*127/maxabs + 0.5) cell arithmetic
-# embed_quantize writes, kept in array form
-_SPARK_Q8 = (
-    "transform(embedding, x -> cast(floor(cast(x as double) * 127.0 /"
-    " aggregate(embedding, cast(0 as double),"
-    " (acc, v) -> greatest(acc, abs(cast(v as double)))) + 0.5) as int))"
+# embed_quantize writes, kept in array form. max-abs is computed ONCE as
+# the ``ma`` column and referenced inside the transform — inlining the
+# fold into the per-element lambda would re-materialize it per element
+# (O(dims²) per vector, the same pattern the LSH plane comment reports
+# as 60× slower).
+_SPARK_MAXABS = (
+    "aggregate(embedding, cast(0 as double),"
+    " (acc, v) -> greatest(acc, abs(cast(v as double))))"
 )
+_SPARK_Q8 = (
+    "transform(embedding, x -> cast(floor(cast(x as double) * 127.0 / ma + 0.5) as int))"
+)
+_DUCK_MAXABS = "list_max([abs(cast(v as double)) for v in embedding])"
 _DUCK_Q8 = (
-    "[ cast(floor(cast(x as double) * 127.0 /"
-    " list_max([abs(cast(v as double)) for v in embedding]) + 0.5) as int)"
-    " for x in embedding ]"
+    "[ cast(floor(cast(x as double) * 127.0 / ma + 0.5) as int) for x in embedding ]"
 )
 
 
@@ -898,8 +903,7 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _with_norm(
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
-    ).filter(F.expr("aggregate(embedding, cast(0 as double),"
-                    " (acc, v) -> greatest(acc, abs(cast(v as double)))) > 0"))
+    ).withColumn("ma", F.expr(_SPARK_MAXABS)).filter(F.col("ma") > 0)
     coded = emb.select(
         "vec_id",
         "embedding",
@@ -948,8 +952,9 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANN_INT8_RERANK_SQL = f"""
 WITH normed AS (
-  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
-  WHERE list_max([abs(cast(v as double)) for v in embedding]) > 0
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm, {_DUCK_MAXABS} AS ma
+  FROM embeddings
+  WHERE {_DUCK_MAXABS} > 0
 ),
 coded AS (
   SELECT vec_id, embedding, nrm, {_DUCK_Q8} AS q8 FROM normed

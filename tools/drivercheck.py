@@ -59,22 +59,32 @@ def canon_spark_type(t: str) -> str:
     m = re.match(r"struct<(.+)>$", t)
     if m:
         fields = [f.split(":", 1) for f in _split_top(m.group(1))]
+        if any(len(f) != 2 for f in fields):
+            # unparseable field list — report the raw string rather than crash
+            return t
         inner = ",".join(f"{n}:{canon_spark_type(ft)}" for n, ft in fields)
         return f"struct<{inner}>"
     m = re.match(r"map<(.+)>$", t)
     if m:
-        k, v = _split_top(m.group(1))
+        parts = _split_top(m.group(1))
+        if len(parts) != 2:
+            return t
+        k, v = parts
         return f"map<{canon_spark_type(k)},{canon_spark_type(v)}>"
     return t
 
 
 def _split_top(s: str) -> list[str]:
-    """Split on commas at nesting depth 0 (for struct/map type params)."""
+    """Split on commas at nesting depth 0 (for struct/map type params).
+
+    Depth tracks both ``<>`` and ``()`` so parameterized scalar types
+    inside a struct — ``struct<a:decimal(10,2),b:int>`` — don't split at
+    the comma inside the parens."""
     out, depth, cur = [], 0, []
     for ch in s:
-        if ch == "<":
+        if ch in "<(":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)":
             depth -= 1
         if ch == "," and depth == 0:
             out.append("".join(cur).strip())
