@@ -711,6 +711,59 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spark_assign(emb, cents2)
 
 
+class KMeansNotConverged(RuntimeError):
+    """Lloyd iteration hit the round cap without the inertia plateauing."""
+
+
+def kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    max_rounds: int = 8,
+    tol: float = 1e-6,
+) -> tuple[DataFrame, list[float]]:
+    """Convergence-probed Lloyd k-means: iterate assign→means until the
+    inertia (Σ per-vector squared distance) plateaus, instead of the
+    fixed 2 rounds the oracle entry ``kmeans_assign`` uses for
+    cross-engine parity. Returns (assignment, per-round inertias).
+
+    The probe mirrors ``connected_components``: one aggregate-only
+    scalar per round (exact decimal sum of the rounded distances — no
+    float-order hazard), with ``localCheckpoint`` truncating the lineage
+    so round R doesn't re-execute rounds 1..R-1. Lloyd guarantees the
+    true inertia is non-increasing; the 6-dp distance rounding keeps the
+    probe within tol of that monotone path. Raises
+    ``KMeansNotConverged`` at the cap — convergence is data-dependent
+    and a silent cap would report a mid-descent labeling as final."""
+    emb = (
+        read_table(spark, sf_dir, "embeddings", parallel=True)
+        .select("vec_id", "embedding")
+        .persist()
+    )
+    hexid = spark_hexint("cast(vec_id as string)")
+    init = emb.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc()).limit(k)
+    w_init = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+    cents = init.select(
+        (F.row_number().over(w_init) - 1).alias("cluster_id"),
+        F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias("cent"),
+    )
+    inertias: list[float] = []
+    for _ in range(max_rounds):
+        assign = _spark_assign(emb, cents).localCheckpoint()
+        inertia = float(
+            assign.agg(F.sum(F.col("dist").cast("decimal(38,12)"))).collect()[0][0]
+        )
+        inertias.append(inertia)
+        if len(inertias) >= 2 and inertias[-2] - inertia <= tol * max(1.0, abs(inertias[-2])):
+            emb.unpersist()
+            return assign, inertias
+        cents = _spark_means(emb, assign)
+    emb.unpersist()
+    raise KMeansNotConverged(
+        f"k-means did not converge within {max_rounds} rounds (inertias: {inertias})"
+    )
+
+
 _KM_SQD = _DUCK_SQDIST.format(a="e.embedding", b="c.cent")
 
 KMEANS_ASSIGN_SQL = f"""
@@ -777,14 +830,20 @@ SELECT vec_id, cluster_id, dist FROM (
 
 
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, dup_of, cosine): vectors to DROP, each pointing at the
-    kept cluster-mate it duplicates (highest cosine, then lowest id).
+    """(vec_id, dup_of, cosine): vectors to DROP, each pointing at its
+    highest-cosine lower-id cluster-mate. Note ``dup_of`` is that mate,
+    NOT necessarily a surviving canonical representative — in a
+    transitive chain (a≈b≈c) ``c.dup_of`` may be ``b``, which is itself
+    dropped; consumers wanting the group representative should chase
+    pointers (or run ``dedup_cluster``-style components over the pairs).
 
     Scale path: one k-means labeling (two broadcast passes + a narrow
     mean aggregation), then a self-join keyed on cluster_id — both sides
     shuffle once on the cluster key, exactly the co-location a
     production store would bucket-write — with the argmax-per-dropped-
-    vector a WindowGroupLimit, not a global sort."""
+    vector a WindowGroupLimit, not a global sort. K here is the constant
+    ``KMEANS_K`` for oracle parity; ``semdedup_prune_2l`` is the
+    production-shaped variant that sizes K to cell occupancy."""
     emb = _with_norm(
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
     )
@@ -792,6 +851,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: both sides of the within-cluster self-join consume this —
     # without it each side re-executes the entire k-means subtree
     labeled = emb.join(labels, "vec_id").persist()
+    return _semdedup_drops(labeled)
+
+
+def _semdedup_drops(labeled: DataFrame) -> DataFrame:
+    """Within-cluster prune over a (vec_id, embedding, nrm, cluster_id)
+    corpus: emit (vec_id, dup_of, cosine) for every vector with a
+    lower-id cluster-mate at cosine ≥ τ. Shared by both SemDedup
+    variants; the caller persists ``labeled`` so the self-join sides
+    read the cached labeling instead of re-running it."""
     a = labeled.select(
         F.col("cluster_id").alias("blk"),
         F.col("vec_id").alias("vec_a"),
@@ -836,6 +904,149 @@ normed AS (
 labeled AS (
   SELECT n.vec_id, n.embedding, n.nrm, a.cluster_id
   FROM normed n JOIN assign a USING (vec_id)
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
+               / (a.nrm * b.nrm), 6) AS cosine
+  FROM labeled a JOIN labeled b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+)
+SELECT vec_id, dup_of, cosine FROM (
+  SELECT vec_b AS vec_id, vec_a AS dup_of, cosine,
+         row_number() OVER (PARTITION BY vec_b
+                            ORDER BY cosine DESC, vec_a) AS rn
+  FROM pairs WHERE cosine >= {EMB_TAU}
+) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------- SemDedup, scale-shaped
+
+# Production-shaped SemDedup: K scales WITH the corpus. OCC is the target
+# cell occupancy, K = max(1, N // OCC), so the within-cell pair space is
+# Σ|cell|² ≈ N·OCC — linear in N at fixed occupancy — instead of the
+# fixed-K oracle variant's N²/K. Two-level training: k-means runs on a
+# deterministic hash-gated 1/SAMPLE_MOD sample (the ``sample_hash``
+# gate), so the mean aggregation is bounded by the sample; the full
+# corpus is touched only by broadcast assignment passes. At extreme K
+# (≳10⁶ cells) the centroid table outgrows a broadcast and a production
+# run goes hierarchical — cluster the centroids themselves with the same
+# machinery and assign in two hops; the plan shape per hop is unchanged.
+SEMDEDUP_OCC = 64
+SEMDEDUP_SAMPLE_MOD = 4
+
+
+def semdedup_k(n: int) -> int:
+    """Cell count for a corpus of ``n`` vectors: N / target occupancy."""
+    return max(1, n // SEMDEDUP_OCC)
+
+
+def semdedup_prune_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-shaped SemDedup: (vec_id, dup_of, cosine) of vectors to
+    DROP, with the cell count sized to the corpus (K = N/OCC) instead of
+    a constant. Same ``dup_of`` caveat as ``semdedup_prune``: it is the
+    highest-cosine lower-id cluster-mate, which may itself be dropped in
+    a transitive chain.
+
+    Scale path: one scalar count() sizes K; init centroids are the K
+    hash-smallest SAMPLE members (TakeOrderedAndProject — per-partition
+    top-K, no global sort of the corpus); one Lloyd round trains on the
+    sample only (assignment against broadcast centroids + a narrow
+    (cluster, dim) mean aggregate bounded by the sample); the full
+    corpus is then labeled in a single broadcast pass and pruned within
+    cells. Cell occupancy stays ~OCC as N grows — the audit pins it —
+    so the self-join cost scales linearly, not quadratically."""
+    return _semdedup_drops(_semdedup_2l_labeled(spark, sf_dir))
+
+
+def _semdedup_2l_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level labeling stage: (vec_id, embedding, nrm, cluster_id)
+    with K = N/OCC cells, persisted for the downstream self-join (and for
+    the occupancy audit, which grades this stage directly)."""
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    ).persist()
+    k = semdedup_k(emb.count())
+    hexid = spark_hexint("cast(vec_id as string)")
+    samp = emb.filter(F.expr(f"({hexid}) % {SEMDEDUP_SAMPLE_MOD} = 0")).select(
+        "vec_id", "embedding"
+    )
+    init = samp.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc()).limit(k)
+    w_init = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+    cents = init.select(
+        (F.row_number().over(w_init) - 1).alias("cluster_id"),
+        F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias("cent"),
+    )
+    assign1 = _spark_assign(samp, cents)
+    cents2 = _spark_means(samp, assign1)
+    labels = _spark_assign(emb, cents2).select("vec_id", "cluster_id")
+    # persisted: both sides of the within-cell self-join read the cached
+    # labeling instead of re-running the two-level training
+    return emb.join(labels, "vec_id").persist()
+
+
+SEMDEDUP_PRUNE_2L_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+kk AS (SELECT greatest(1, count(*) // {SEMDEDUP_OCC}) AS k FROM embeddings),
+samp AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE ({duck_hexint("cast(vec_id as varchar)")}) % {SEMDEDUP_SAMPLE_MOD} = 0
+),
+ranked_init AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id) - 1 AS cluster_id
+  FROM samp
+),
+cents AS (
+  SELECT cluster_id, [ round(cast(x as double), 6) for x in embedding ] AS cent
+  FROM ranked_init WHERE cluster_id < (SELECT k FROM kk)
+),
+scored1 AS (
+  SELECT s.vec_id, c.cluster_id,
+         round({_DUCK_SQDIST.format(a="s.embedding", b="c.cent")}, 6) AS dist
+  FROM samp s, cents c
+),
+assign1 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM scored1
+  ) WHERE rn = 1
+),
+exploded AS (
+  SELECT vec_id, i - 1 AS dim, embedding[i] AS val
+  FROM samp, (SELECT unnest(range(1, (SELECT max(len(embedding)) FROM samp) + 1)) AS i)
+  WHERE i <= len(embedding)
+),
+dim_means AS (
+  SELECT a.cluster_id, x.dim,
+         round(cast(sum(cast(x.val as {KMEANS_DECIMAL})) as double)
+               / count(x.val), 6) AS m
+  FROM exploded x JOIN assign1 a USING (vec_id)
+  GROUP BY 1, 2
+),
+cents2 AS (
+  SELECT cluster_id, list(m ORDER BY dim) AS cent FROM dim_means GROUP BY 1
+),
+scored2 AS (
+  SELECT e.vec_id, c.cluster_id,
+         round({_DUCK_SQDIST.format(a="e.embedding", b="c.cent")}, 6) AS dist
+  FROM embeddings e, cents2 c
+),
+assign2 AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT vec_id, cluster_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn
+    FROM scored2
+  ) WHERE rn = 1
+),
+labeled AS (
+  SELECT n.vec_id, n.embedding, n.nrm, a.cluster_id
+  FROM normed n JOIN assign2 a USING (vec_id)
 ),
 pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1061,6 +1272,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_quantize": embed_quantize,
     "kmeans_assign": kmeans_assign,
     "semdedup_prune": semdedup_prune,
+    "semdedup_prune_2l": semdedup_prune_2l,
     "ann_int8_rerank": ann_int8_rerank,
 }
 
@@ -1073,5 +1285,6 @@ SIM_ORACLES: dict[str, str] = {
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "semdedup_prune": SEMDEDUP_PRUNE_SQL,
+    "semdedup_prune_2l": SEMDEDUP_PRUNE_2L_SQL,
     "ann_int8_rerank": ANN_INT8_RERANK_SQL,
 }

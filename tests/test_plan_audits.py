@@ -118,19 +118,48 @@ def test_ann_lsh_bucket_stage_is_shuffle_free(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def _formatted_blocks(plan: str) -> list[str]:
+    """Split a formatted-mode plan into per-operator detail blocks."""
+    import re
+
+    blocks, cur = [], []
+    for ln in plan.splitlines():
+        if re.match(r"^\(\d+\) ", ln):
+            if cur:
+                blocks.append("\n".join(cur))
+            cur = [ln]
+        elif cur:
+            cur.append(ln)
+    if cur:
+        blocks.append("\n".join(cur))
+    return blocks
+
+
 def test_dedup_lsh_hash_stage_is_shuffle_free(spark, sf_dir):
     from etl_pipeline_example_spark.operators.similarity import dedup_embedding_lsh
 
-    plan = plan_str(dedup_embedding_lsh(spark, sf_dir), mode="simple")
-    # corpus hashing is a projection over a broadcast cross-join (planes
-    # broadcast, no groupBy to assemble bits); hash exchanges are limited
-    # to the (tbl, bucket) candidate self-join sides, the pair dedup, and
-    # the two id-keyed scoring joins. The embedding column must not
-    # appear on either side of the candidate join itself — that's the
-    # narrow-candidates contract.
+    df = dedup_embedding_lsh(spark, sf_dir)
+    # Load-bearing properties (not a raw exchange count, which shifts
+    # across Spark/AQE versions without a real regression):
+    # 1. the corpus-hashing stage joins the planes via a BROADCAST
+    #    nested-loop (no shuffle to compute buckets);
+    plan = plan_str(df, mode="simple")
     assert "BroadcastNestedLoopJoin" in plan, plan
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 7, plan
+    # 2. narrow-candidates contract: every exchange partitioned on the
+    #    (tbl, bucket) candidate keys must NOT carry the embedding column
+    #    — wide arrays through the candidate shuffle was the measured
+    #    35s→7s regression the design note documents.
+    fmt = plan_str(df, mode="formatted")
+    cand_exchanges = [
+        b
+        for b in _formatted_blocks(fmt)
+        if ") Exchange" in b.split("\n")[0]
+        and "hashpartitioning" in b
+        and "bucket" in b
+    ]
+    assert cand_exchanges, fmt  # the candidate self-join does shuffle on its keys
+    for b in cand_exchanges:
+        assert "embedding" not in b, b
 
 
 def test_ivf_centroid_build_is_topk_not_global_sort(spark, sf_dir):
@@ -153,6 +182,57 @@ def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     plan = plan_str(kmeans_assign(spark, sf_dir), mode="simple")
     assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_2l_cell_occupancy_is_bounded(spark, sf_dir):
+    """The scale-shaped SemDedup must size K to the corpus: mean cell
+    occupancy stays within a small factor of the OCC target (so the
+    within-cell pair space is ~N·OCC, linear in N), and K itself grows
+    linearly with N — the fixed-K variant's N²/K blowup is the regression
+    under test."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.similarity import (
+        SEMDEDUP_OCC,
+        _semdedup_2l_labeled,
+        semdedup_k,
+    )
+
+    # K sizing is linear in N
+    assert semdedup_k(50) == 1
+    assert semdedup_k(500) == 7
+    assert semdedup_k(1_000_000) == 15_625
+    assert semdedup_k(100 * 1_000_000) == 100 * 15_625
+
+    labeled = _semdedup_2l_labeled(spark, sf_dir)
+    occ = labeled.groupBy("cluster_id").count()
+    stats = occ.agg(
+        F.count("*").alias("k"),
+        F.avg("count").alias("avg_occ"),
+        F.max("count").alias("max_occ"),
+        F.sum(F.col("count") * F.col("count")).alias("pair_space"),
+    ).collect()[0]
+    n = labeled.count()
+    # mean occupancy within 2× of target; no cell degenerates to a large
+    # fraction of the corpus (k-means imbalance tolerated up to 8×)
+    assert stats["avg_occ"] <= 2 * SEMDEDUP_OCC, stats
+    assert stats["max_occ"] <= 8 * SEMDEDUP_OCC, stats
+    # Σ|cell|² stays linear-ish: within a constant factor of N·OCC
+    assert stats["pair_space"] <= 8 * n * SEMDEDUP_OCC, (stats, n)
+
+
+def test_semdedup_2l_plan_shape(spark, sf_dir):
+    """Init centroids must compile to TakeOrderedAndProject (per-partition
+    top-K over the hash-gated sample, no global corpus sort); both
+    assignment passes run against BROADCAST centroid tables; and both
+    sides of the within-cell self-join read the CACHED labeling."""
+    from etl_pipeline_example_spark.operators.similarity import semdedup_prune_2l
+
+    plan = plan_str(semdedup_prune_2l(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
 
 
 def test_semdedup_self_join_reuses_cached_labeling(spark, sf_dir):

@@ -140,3 +140,50 @@ def test_ivf_recall_floor(spark, sf_dir):
     ivf = {(r.query_id, r.neighbor_id) for r in ann_ivf(spark, sf_dir).collect()}
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.25, f"IVF recall@10 regressed: {recall:.2f}"
+
+
+def test_kmeans_fit_converges_with_monotone_inertia(spark, sf_dir):
+    """The convergence-probed Lloyd loop must descend: per-round inertia
+    non-increasing (within the 6-dp rounding slack) and the loop exits
+    before the cap on this data — iteration count is a measured
+    plateau, not a magic constant."""
+    from etl_pipeline_example_spark.operators.similarity import kmeans_fit
+
+    assign, inertias = kmeans_fit(spark, sf_dir, max_rounds=20)
+    assert len(inertias) >= 2, inertias
+    assert len(inertias) < 20, f"hit the cap: {inertias}"
+    for prev, cur in zip(inertias, inertias[1:]):
+        assert cur <= prev + 1e-6, f"inertia increased: {inertias}"
+    # the returned assignment is the converged one: every vector labeled
+    assert assign.count() == assign.select("vec_id").distinct().count()
+
+
+def test_kmeans_fit_raises_at_round_cap(spark, sf_dir):
+    """A cap too small to even compare two rounds must raise, not return
+    a mid-descent labeling as if it were final."""
+    import pytest
+
+    from etl_pipeline_example_spark.operators.similarity import (
+        KMeansNotConverged,
+        kmeans_fit,
+    )
+
+    with pytest.raises(KMeansNotConverged):
+        kmeans_fit(spark, sf_dir, max_rounds=1)
+
+
+def test_semdedup_2l_drops_are_well_formed(spark, sf_dir):
+    """Scale-shaped variant keeps the fixed-K contract: every dropped
+    vector points at a lower-id cluster-mate above τ, at most one drop
+    row per vector."""
+    from etl_pipeline_example_spark.operators.similarity import (
+        EMB_TAU,
+        semdedup_prune_2l,
+    )
+
+    rows = semdedup_prune_2l(spark, sf_dir).collect()
+    assert rows, "prune list unexpectedly empty"
+    assert all(r["dup_of"] < r["vec_id"] for r in rows)
+    assert all(r["cosine"] >= EMB_TAU for r in rows)
+    ids = [r["vec_id"] for r in rows]
+    assert len(ids) == len(set(ids))
