@@ -54,69 +54,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. Round 4: (a) boilerplate_chunks —
-# the one never-graded operator; (b) ops whose code changed this round
-# (ann_ivf bounded-K centroids, the new dedup_embedding_lsh); (c) the 30
-# TPC-H/window/relational queries whose only green rows are round-1 (10 of
-# them with since-changed plans after the broadcast-hint removals); then
-# (d) fill with round-3-green rows whose code is frozen. Every other
-# registry entry already holds a green round-3 row, giving full union
-# coverage across rounds.
+# entries that most need fresh evidence. Round 5: (a) every entry backed
+# by operators/similarity.py, which changed this round (the new
+# semdedup_prune_2l, the int8 quantization hoist, the LSH candidate-pair
+# refactor — byte-level changes regrade the whole module's entries); (b)
+# the 36 entries whose latest green row is round 3 (streaming suite,
+# window/relational queries, text/corpus ops); (c) fill to the 50-row
+# budget with round-4-green rows whose code is frozen (dedup.py — the
+# freeze manifest in tools/frozen_hashes.json pins the rest).
 _REGISTER_FIRST = [
-    # (a) never graded
-    "boilerplate_chunks",
-    # (b) new or changed this round
-    "ann_ivf",
-    "dedup_embedding_lsh",
-    "quality_repetition",
-    "kmeans_assign",
-    "semdedup_prune",
+    # (a) similarity.py changed this round — regrade all its entries
+    "semdedup_prune_2l",
     "ann_int8_rerank",
-    # (c) round-1-only evidence: TPC-H suite + window/relational queries
-    "q1_pricing",
-    "q2_argmin",
-    "q3_shipping",
-    "q4_late_orders",
-    "q5_local_supplier",
-    "q6_forecast",
-    "q7_volume",
-    "q8_mktshare",
-    "q9_profit",
-    "q10_returns",
-    "q11_part_value",
-    "q12_priority",
-    "q13_custdist",
-    "q14_promo",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q20_excess_suppliers",
-    "q21_sole_fault",
-    "q22_idle_rich",
-    "q_cust_no_orders",
-    "q_topn_window",
-    "q_running_sum",
-    "q_rollup",
-    "q_cube",
-    "q_percentiles",
-    "q_distinct_agg",
-    "q_wordcount",
-    # (d) fill: round-3-green, code frozen this round
+    "semdedup_prune",
+    "kmeans_assign",
+    "dedup_embedding_lsh",
+    "dedup_embedding",
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "embed_quantize",
+    # (b) round-3-only evidence: regrade for a fresh union
+    "meta_align",
+    "unpack_nested",
+    "version_stamp",
+    "q_lead_lag",
+    "q_grouping_sets",
+    "q_events_tumbling",
+    "q_sessionize",
+    "q_asof_join",
+    "q_pivot_events",
+    "q_set_ops",
+    "q_json_extract",
+    "q_moving_avg",
+    "q_gapfill",
+    "dq_profile",
+    "q_histogram",
+    "q_stats",
+    "q_range_join",
+    "q_skew_join",
+    "q_session_window",
+    "text_langid",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "doc_chunk",
+    "doc_pack",
+    "sample_hash",
+    "sample_stratified",
+    "contamination_ngram",
+    "mix_weights",
+    "tfidf_top",
+    "stream_events",
+    "stream_dedup",
+    "stream_sessions",
+    "stream_user_stats",
+    "stream_enrich",
+    "stream_join",
+    # (c) fill: round-4-green, code frozen this round
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
-    "dedup_cluster",
-    "dedup_embedding",
-    "ann_bruteforce",
-    "ann_lsh",
-    "embed_quantize",
-    "multimodal_meta",
-    "multimodal_framesample",
-    "pii_scrub",
-    "q_calculated",
 ]
 
 

@@ -124,16 +124,18 @@ LSH_BITS = 6
 LSH_DIM = 64
 
 
-def _lsh_plane_strings() -> list[str]:
-    """LSH_TABLES × LSH_BITS deterministic ±1 hyperplanes, each encoded as a
-    64-char '0'/'1' string (char i = sign of dim i). Derived from md5 so the
-    oracle can embed the identical literals; precomputing them here (instead
-    of hashing per row) keeps the bucket computation pure float arithmetic.
+def _lsh_plane_strings(n: int = LSH_TABLES * LSH_BITS) -> list[str]:
+    """``n`` deterministic ±1 hyperplanes, each encoded as a 64-char
+    '0'/'1' string (char i = sign of dim i). Derived from md5 so the
+    oracle can embed the identical literals; precomputing them here
+    (instead of hashing per row) keeps the bucket computation pure float
+    arithmetic. One shared family: the first k planes are identical for
+    any n ≥ k, so every table/bit configuration draws from the same pool.
     """
     import hashlib
 
     planes = []
-    for tp in range(LSH_TABLES * LSH_BITS):
+    for tp in range(n):
         bits = []
         for i in range(LSH_DIM):
             h = hashlib.md5(f"{tp}_{i}".encode()).hexdigest()
@@ -145,8 +147,9 @@ def _lsh_plane_strings() -> list[str]:
 _PLANES = _lsh_plane_strings()
 
 
-def _spark_planes_df(spark: SparkSession):
-    """12 rows (tbl, pvs): each table's 6 hyperplanes as ±1.0 vectors.
+def _planes_df(spark: SparkSession, tables: int, bits: int):
+    """``tables`` rows (tbl, pvs): each table's ``bits`` hyperplanes as
+    ±1.0 vectors.
 
     Shipping the planes as array<array<double>> columns (one row per
     TABLE, not per plane) lets the bucket be computed in a single
@@ -156,25 +159,61 @@ def _spark_planes_df(spark: SparkSession):
     literals indexed inside a lambda, which both engines re-materialize
     per element (measured 60× slower).
     """
+    planes = _PLANES if tables * bits <= len(_PLANES) else _lsh_plane_strings(tables * bits)
     rows = []
-    for t in range(LSH_TABLES):
+    for t in range(tables):
         pvs = [
-            [1.0 if c == "1" else -1.0 for c in _PLANES[t * LSH_BITS + b]]
-            for b in range(LSH_BITS)
+            [1.0 if c == "1" else -1.0 for c in planes[t * bits + b]]
+            for b in range(bits)
         ]
         rows.append((t, pvs))
     return spark.createDataFrame(rows, "tbl int, pvs array<array<double>>")
 
 
-# 6-bit bucket for one (vector, table) row: fold over the table's planes,
-# inner fold is the sign dot product. Same per-element products and
-# left-to-right sum order as the oracle, so signs agree bit-for-bit.
-_BUCKET_EXPR = (
-    f"aggregate(sequence(0, {LSH_BITS - 1}), cast(0 as bigint), (acc, b) ->"
-    " acc + CASE WHEN aggregate(zip_with(embedding, element_at(pvs, b + 1),"
-    " (x, p) -> cast(x as double) * p), cast(0 as double), (a2, v) -> a2 + v) >= 0"
-    " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
-)
+def _bucket_expr(bits: int) -> str:
+    """``bits``-bit bucket for one (vector, table) row: fold over the
+    table's planes, inner fold is the sign dot product. Same per-element
+    products and left-to-right sum order as the oracle, so signs agree
+    bit-for-bit."""
+    return (
+        f"aggregate(sequence(0, {bits - 1}), cast(0 as bigint), (acc, b) ->"
+        " acc + CASE WHEN aggregate(zip_with(embedding, element_at(pvs, b + 1),"
+        " (x, p) -> cast(x as double) * p), cast(0 as double), (a2, v) -> a2 + v) >= 0"
+        " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
+    )
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession, emb: DataFrame, tables: int, bits: int
+) -> DataFrame:
+    """Narrow (vec_a, vec_b) candidate pairs: ids sharing a (table,
+    bucket) cell in any of ``tables`` hash tables of ``bits`` bits.
+
+    The parameterized core of ``dedup_embedding_lsh``: corpus hashing is
+    one shuffle-free projection against the broadcast plane table; only
+    id-pairs shuffle. ``bits`` is the occupancy knob — at production
+    τ≈0.9 run 12-16 bits and the pair space collapses to ~collision-rate
+    × N²; the quality test measures exactly that."""
+    planes = F.broadcast(_planes_df(spark, tables, bits))
+    bucketed = emb.crossJoin(planes).select(
+        "vec_id", "tbl", F.expr(_bucket_expr(bits)).alias("bucket")
+    )
+    a = bucketed.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
+    b = bucketed.select(
+        F.col("tbl").alias("tbl_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl_b"))
+            & (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
 
 
 def _spark_lsh_bucket_table(spark: SparkSession, emb: DataFrame) -> DataFrame:
@@ -182,9 +221,9 @@ def _spark_lsh_bucket_table(spark: SparkSession, emb: DataFrame) -> DataFrame:
     table, computed in one shuffle-free projection over a broadcast
     cross-join. The L2 norm rides along so candidate scoring needs one
     dot product, not three."""
-    planes = F.broadcast(_spark_planes_df(spark))
+    planes = F.broadcast(_planes_df(spark, LSH_TABLES, LSH_BITS))
     return emb.crossJoin(planes).select(
-        "vec_id", "embedding", "nrm", "tbl", F.expr(_BUCKET_EXPR).alias("bucket")
+        "vec_id", "embedding", "nrm", "tbl", F.expr(_bucket_expr(LSH_BITS)).alias("bucket")
     )
 
 
@@ -350,27 +389,6 @@ DEDUP_LSH_TABLES = 16
 DEDUP_LSH_BITS = 2
 
 
-def _spark_dedup_planes_df(spark: SparkSession):
-    """16 rows (tbl, pvs): each near-dup table's 2 hyperplanes as ±1.0
-    vectors (first 32 planes of the shared md5-derived family)."""
-    rows = []
-    for t in range(DEDUP_LSH_TABLES):
-        pvs = [
-            [1.0 if c == "1" else -1.0 for c in _PLANES[t * DEDUP_LSH_BITS + b]]
-            for b in range(DEDUP_LSH_BITS)
-        ]
-        rows.append((t, pvs))
-    return spark.createDataFrame(rows, "tbl int, pvs array<array<double>>")
-
-
-_DEDUP_BUCKET_EXPR = (
-    f"aggregate(sequence(0, {DEDUP_LSH_BITS - 1}), cast(0 as bigint), (acc, b) ->"
-    " acc + CASE WHEN aggregate(zip_with(embedding, element_at(pvs, b + 1),"
-    " (x, p) -> cast(x as double) * p), cast(0 as double), (a2, v) -> a2 + v) >= 0"
-    " THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)"
-)
-
-
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via LSH bucket blocking: candidates are
     pairs sharing a (table, bucket) cell in any of the 16 hash tables,
@@ -395,35 +413,16 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
     ).persist()
-    planes = F.broadcast(_spark_dedup_planes_df(spark))
     # narrow (vec_id, tbl, bucket) rows — the embedding column must NOT
     # ride through the candidate join (wide arrays through that shuffle
-    # dominated the runtime); vectors re-join only for the final scoring
-    bucketed = emb.crossJoin(planes).select(
-        "vec_id", "tbl", F.expr(_DEDUP_BUCKET_EXPR).alias("bucket")
-    )
+    # dominated the runtime); vectors re-join only for the final scoring.
     # A first-match-table emission scheme (carry the 16-bucket signature
     # through the join, keep a pair only in its earliest colliding table)
-    # would delete this dedup shuffle — measured 8× SLOWER here: the
+    # would delete the dedup shuffle — measured 8× SLOWER here: the
     # signature comparison is a higher-order-function lambda, which is
     # interpreted per joined row (no whole-stage codegen), and the join
     # output is ~2N² rows. The narrow dropDuplicates exchange wins.
-    a = bucketed.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
-    b = bucketed.select(
-        F.col("tbl").alias("tbl_b"),
-        F.col("bucket").alias("bucket_b"),
-        F.col("vec_id").alias("vec_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("tbl") == F.col("tbl_b"))
-            & (F.col("bucket") == F.col("bucket_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
-        )
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
-    )
+    cand = lsh_candidate_pairs(spark, emb, DEDUP_LSH_TABLES, DEDUP_LSH_BITS)
     x = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

@@ -187,3 +187,46 @@ def test_semdedup_2l_drops_are_well_formed(spark, sf_dir):
     assert all(r["cosine"] >= EMB_TAU for r in rows)
     ids = [r["vec_id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_lsh_production_tau_prunes_orders_of_magnitude(spark):
+    """The docstring claim under test: at production τ≈0.9 with 12-bit
+    tables, the LSH bucket machinery prunes the candidate pair space by
+    orders of magnitude while keeping near-dup recall. Planted near-dups
+    (cosine ≈0.97) on a random corpus: random pairs collide per table
+    with probability ~0.5¹² ≈ 2e-4, τ-pairs with ~0.87¹² ≈ 0.19 per
+    table (≈96% over 16 tables)."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.similarity import lsh_candidate_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup_src = base[:30]
+    noise = rng.standard_normal((30, 64)) * 0.25 / 8.0  # |noise| ≈ 0.25
+    dups = dup_src + noise
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    planted = {
+        (i, 1000 + i)
+        for i in range(30)
+        if float(dup_src[i] @ dups[i]) >= 0.9
+    }
+    assert len(planted) >= 25  # construction sanity: most copies are τ-pairs
+
+    rows = [(i, base[i].tolist()) for i in range(300)] + [
+        (1000 + i, dups[i].tolist()) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cand = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_candidate_pairs(spark, emb, tables=16, bits=12).collect()
+    }
+    n = len(rows)
+    all_pairs = n * (n - 1) // 2
+    # orders-of-magnitude pruning: candidate space is a small fraction of
+    # the all-pairs space (measured ~1%, asserted with slack)
+    assert len(cand) <= all_pairs // 20, (len(cand), all_pairs)
+    # and the τ-pairs survive the pruning
+    recall = len(cand & planted) / len(planted)
+    assert recall >= 0.9, f"production-τ recall regressed: {recall:.2f}"
