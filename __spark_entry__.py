@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _REGISTER_FIRST = [
     # (a) similarity.py changed this round — regrade all its entries
     "semdedup_prune_2l",
+    "ann_pq_adc",
     "ann_int8_rerank",
     "semdedup_prune",
     "kmeans_assign",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "ngram_jaccard",
 ]
 
 

@@ -1208,6 +1208,208 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# ------------------------------------------------------------ PQ / ADC ANN
+
+# Product quantization (Jégou et al. 2011, the FAISS IVFADC design point):
+# split the 64-dim vector into PQ_M=8 subspaces of 8 dims, code each
+# subvector as its nearest of PQ_KC=16 per-subspace codewords. The stored
+# index is 8 small ints per vector — 32× denser than float32 — and query
+# scoring is ADC: precompute the query's distance to all M×KC codewords
+# (a 128-row lookup table, broadcast), then a vector's approximate
+# distance is the SUM of 8 table lookups — no float vector ever read
+# until the exact rerank of the top survivors. Codebook training here is
+# the deterministic hash-sample (the same bounded-K scheme ann_ivf uses,
+# disjoint from the query ids) so both engines derive identical
+# codewords; a production run trains per-subspace k-means
+# (``kmeans_fit`` machinery) — the plan shape is unchanged.
+PQ_M = 8
+PQ_SUB = LSH_DIM // PQ_M
+PQ_KC = 16
+PQ_RERANK = 50
+# exact decimal sum of 6-dp-rounded per-subspace distances: ADC totals
+# are order-independent, so cross-engine candidate selection is exact
+PQ_ADC_DECIMAL = "decimal(20,6)"
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN: (query_id, neighbor_id, cosine, rank) — approximate
+    top-``PQ_RERANK`` by asymmetric-distance lookup over the 8-byte PQ
+    codes, exact cosine rerank to top-``ANN_K``.
+
+    Scale path: the code table (vec_id, m, code) is the ONLY per-corpus
+    state the coarse pass reads (32× smaller scan than the float
+    vectors); codewords and the per-query lookup table are tiny
+    broadcasts; the ADC aggregation is map-side combined on
+    (query_id, vec_id); float vectors re-join for just the survivors.
+    Composes with the IVF cell gating for sub-linear probes — kept flat
+    here (like ``ann_int8_rerank``) so the oracle stays exact."""
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
+    hexid = spark_hexint("cast(vec_id as string)")
+    cw_src = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(PQ_KC)
+    )
+    w_cw = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+    cw_rows = cw_src.select(
+        (F.row_number().over(w_cw) - 1).alias("c_id"),
+        F.col("embedding").alias("cw_emb"),
+    )
+    m_df = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    # M×KC codewords: codeword c's subspace-m entry is that sample
+    # vector's m-th subvector, rounded like every other centroid
+    codewords = (
+        cw_rows.crossJoin(F.broadcast(m_df))
+        .select(
+            "m",
+            "c_id",
+            F.expr(
+                f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
+                " x -> round(cast(x as double), 6))"
+            ).alias("cw"),
+        )
+    )
+    sub = f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+    sqd_code = _SPARK_SQDIST.format(a=sub, b="cw")
+    # code assignment: min of (dist, c_id) struct — ONE map-side-combined
+    # aggregate over narrow (vec_id, m, dist, c_id) rows, deterministic
+    # tie-break identical to the oracle's (ORDER BY dist, c_id LIMIT 1)
+    codes = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(codewords))
+        .select(
+            "vec_id",
+            "m",
+            "c_id",
+            F.expr(f"round({sqd_code}, 6)").alias("dist"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "c_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.c_id").alias("code"))
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    q_sub = f"slice(q_emb, m * {PQ_SUB} + 1, {PQ_SUB})"
+    lut = (
+        queries.crossJoin(F.broadcast(codewords))
+        .select(
+            "query_id",
+            "m",
+            "c_id",
+            F.expr(f"round({_SPARK_SQDIST.format(a=q_sub, b='cw')}, 6)").alias("qd"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes.m == lut.m) & (codes.code == lut.c_id),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr(f"cast(sum(cast(qd as {PQ_ADC_DECIMAL})) as double)").alias("adc")
+        )
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    survivors = (
+        adc.withColumn("crn", F.row_number().over(w_c))
+        .filter(F.col("crn") <= PQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    dot = _SPARK_DOT.format(a="q_emb", b="embedding")
+    scored = (
+        survivors.join(emb, survivors.neighbor_id == emb.vec_id)
+        .join(F.broadcast(queries.withColumnRenamed("query_id", "q_id")),
+              survivors.query_id == F.col("q_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"round(({dot}) / (q_nrm * nrm), 6)").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+_DUCK_PQ_SUB = "embedding[(m * {s} + 1):(m * {s} + {s})]".format(s=PQ_SUB)
+_DUCK_PQ_QSUB = "q_emb[(m * {s} + 1):(m * {s} + {s})]".format(s=PQ_SUB)
+
+ANN_PQ_ADC_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+cw_src AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id) - 1 AS c_id
+  FROM embeddings WHERE vec_id >= {ANN_NUM_QUERIES}
+),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+codewords AS (
+  SELECT ms.m, s.c_id,
+         [ round(cast(x as double), 6)
+           for x in s.embedding[(ms.m * {PQ_SUB} + 1):(ms.m * {PQ_SUB} + {PQ_SUB})] ] AS cw
+  FROM cw_src s, ms WHERE s.c_id < {PQ_KC}
+),
+code_dists AS (
+  SELECT e.vec_id, c.m, c.c_id,
+         round({_DUCK_SQDIST.format(a=_DUCK_PQ_SUB, b="c.cw")}, 6) AS dist
+  FROM (SELECT vec_id, embedding FROM embeddings) e, codewords c
+),
+codes AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT vec_id, m, c_id,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, c_id) AS rn
+    FROM code_dists
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+  FROM normed WHERE vec_id < {ANN_NUM_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.m, c.c_id,
+         round({_DUCK_SQDIST.format(a=_DUCK_PQ_QSUB, b="c.cw")}, 6) AS qd
+  FROM queries q, codewords c
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id,
+         cast(sum(cast(l.qd as {PQ_ADC_DECIMAL})) as double) AS adc
+  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.c_id
+  WHERE cd.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+survivors AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS crn
+    FROM adc
+  ) WHERE crn <= {PQ_RERANK}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(({_DUCK_DOT.format(a="q.q_emb", b="n.embedding")})
+               / (q.q_nrm * n.nrm), 6) AS cosine
+  FROM survivors s
+  JOIN queries q ON q.query_id = s.query_id
+  JOIN normed n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------- quantization
 
 
@@ -1273,6 +1475,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_prune": semdedup_prune,
     "semdedup_prune_2l": semdedup_prune_2l,
     "ann_int8_rerank": ann_int8_rerank,
+    "ann_pq_adc": ann_pq_adc,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -1286,4 +1489,5 @@ SIM_ORACLES: dict[str, str] = {
     "semdedup_prune": SEMDEDUP_PRUNE_SQL,
     "semdedup_prune_2l": SEMDEDUP_PRUNE_2L_SQL,
     "ann_int8_rerank": ANN_INT8_RERANK_SQL,
+    "ann_pq_adc": ANN_PQ_ADC_SQL,
 }

@@ -63,3 +63,27 @@ def test_canonical_collapse_matrix():
 def test_arrow_struct_with_decimal_matches_spark_side():
     at = pa.struct([("a", pa.decimal128(10, 2)), ("b", pa.int64())])
     assert canon_arrow_type(at) == canon_spark_type("struct<a:decimal(10,2),b:bigint>")
+
+
+def test_float_sort_key_ties_break_deterministically():
+    """Rows that tie on the rounded float key must order by the
+    full-precision repr on BOTH sides — engine input order deciding the
+    pairing would turn sub-tolerance diffs into spurious FAILs."""
+    from tools.drivercheck import normalize, values_equal
+
+    a_rows = [(0.3, "x"), (0.30000000000000004, "y")]
+    b_rows = [(0.30000000000000004, "y"), (0.3, "x")]  # reversed input order
+    na = normalize(a_rows, ["v", "tag"])
+    nb = normalize(b_rows, ["v", "tag"])
+    # same pairing regardless of input order: tags align row-for-row
+    assert [r[0] for r in na] == [r[0] for r in nb]
+    # and the aligned float values compare equal under tolerance
+    assert all(values_equal(x[1], y[1]) for x, y in zip(na, nb))
+
+
+def test_none_sorts_before_values():
+    from tools.drivercheck import normalize
+
+    rows = [(1.5,), (None,), (0.5,)]
+    out = normalize(rows, ["v"])
+    assert out[0] == (None,)

@@ -230,3 +230,17 @@ def test_lsh_production_tau_prunes_orders_of_magnitude(spark):
     # and the τ-pairs survive the pruning
     recall = len(cand & planted) / len(planted)
     assert recall >= 0.9, f"production-τ recall regressed: {recall:.2f}"
+
+
+def test_pq_adc_recall(spark, sf_dir):
+    """8-byte PQ codes + 50-candidate ADC shortlist + exact rerank must
+    recover a solid share of the exact top-10. PQ's quantization error
+    on 16-codeword subspaces is coarser than int8's, so the floor is
+    lower — but a broken code table or LUT join collapses to ~random
+    (recall ≈ K/N ≈ 0.02), far below the floor."""
+    from etl_pipeline_example_spark.operators.similarity import ann_pq_adc
+
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id) for r in ann_pq_adc(spark, sf_dir).collect()}
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.3, f"PQ/ADC recall@10 regressed: {recall:.2f}"
