@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _REGISTER_FIRST = [
     # (a) similarity.py changed this round — regrade all its entries
     "semdedup_prune_2l",
+    "semdedup_canonical",
     "ann_pq_adc",
     "ann_int8_rerank",
     "semdedup_prune",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     # (c) fill: round-4-green, code frozen this round
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
 ]
 
 

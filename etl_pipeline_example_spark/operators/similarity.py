@@ -853,12 +853,12 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_drops(labeled)
 
 
-def _semdedup_drops(labeled: DataFrame) -> DataFrame:
-    """Within-cluster prune over a (vec_id, embedding, nrm, cluster_id)
-    corpus: emit (vec_id, dup_of, cosine) for every vector with a
-    lower-id cluster-mate at cosine ≥ τ. Shared by both SemDedup
-    variants; the caller persists ``labeled`` so the self-join sides
-    read the cached labeling instead of re-running it."""
+def _semdedup_pairs(labeled: DataFrame) -> DataFrame:
+    """Within-cluster τ-pairs over a (vec_id, embedding, nrm, cluster_id)
+    corpus: (vec_a, vec_b, cosine) with vec_a < vec_b and cosine ≥ τ.
+    Shared by the SemDedup variants; the caller persists ``labeled`` so
+    the self-join sides read the cached labeling instead of re-running
+    it."""
     a = labeled.select(
         F.col("cluster_id").alias("blk"),
         F.col("vec_id").alias("vec_a"),
@@ -872,7 +872,7 @@ def _semdedup_drops(labeled: DataFrame) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     dot = _SPARK_DOT.format(a="ea", b="eb")
-    pairs = (
+    return (
         a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select(
             "vec_a",
@@ -881,6 +881,13 @@ def _semdedup_drops(labeled: DataFrame) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_TAU)
     )
+
+
+def _semdedup_drops(labeled: DataFrame) -> DataFrame:
+    """(vec_id, dup_of, cosine) for every vector with a lower-id
+    cluster-mate at cosine ≥ τ (dup_of = highest-cosine such mate, which
+    may itself be dropped — see the variant docstrings)."""
+    pairs = _semdedup_pairs(labeled)
     w = Window.partitionBy("vec_b").orderBy(F.col("cosine").desc(), F.col("vec_a").asc())
     return (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -985,8 +992,9 @@ def _semdedup_2l_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(labels, "vec_id").persist()
 
 
-SEMDEDUP_PRUNE_2L_SQL = f"""
-WITH normed AS (
+# CTE chain shared by the scale-shaped variants: two-level training →
+# full-corpus labeling → within-cell τ-pairs
+_SEMDEDUP_2L_CTES = f"""normed AS (
   SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
 ),
 kk AS (SELECT greatest(1, count(*) // {SEMDEDUP_OCC}) AS k FROM embeddings),
@@ -1048,18 +1056,67 @@ labeled AS (
   FROM normed n JOIN assign2 a USING (vec_id)
 ),
 pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
-               / (a.nrm * b.nrm), 6) AS cosine
-  FROM labeled a JOIN labeled b
-    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-)
+  SELECT vec_a, vec_b, cosine FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(({_DUCK_DOT.format(a="a.embedding", b="b.embedding")})
+                 / (a.nrm * b.nrm), 6) AS cosine
+    FROM labeled a JOIN labeled b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  ) WHERE cosine >= {EMB_TAU}
+)"""
+
+SEMDEDUP_PRUNE_2L_SQL = f"""
+WITH {_SEMDEDUP_2L_CTES}
 SELECT vec_id, dup_of, cosine FROM (
   SELECT vec_b AS vec_id, vec_a AS dup_of, cosine,
          row_number() OVER (PARTITION BY vec_b
                             ORDER BY cosine DESC, vec_a) AS rn
-  FROM pairs WHERE cosine >= {EMB_TAU}
+  FROM pairs
 ) WHERE rn = 1
+"""
+
+
+def semdedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with CANONICAL representatives: (vec_id, canonical_id,
+    is_kept) for every vector in a within-cell τ-group. Unlike the
+    ``dup_of`` pointer of the prune variants (which may itself be
+    dropped mid-chain), ``canonical_id`` is the min-id member of the
+    vector's connected τ-component — the one row a SemDedup-style
+    consumer keeps; everything else in the component drops.
+
+    Scale path: the two-level labeling and within-cell pair scoring are
+    ``semdedup_prune_2l``'s (linear-ish pair space at K = N/OCC);
+    component resolution is the pointer-doubling
+    ``connected_components`` (O(log diameter) rounds over narrow id
+    pairs, aggregate-only convergence probes)."""
+    from etl_pipeline_example_spark.operators.cluster import connected_components
+
+    labeled = _semdedup_2l_labeled(spark, sf_dir)
+    pairs = _semdedup_pairs(labeled).select("vec_a", "vec_b")
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )
+
+
+SEMDEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_SEMDEDUP_2L_CTES},
+edges AS (
+  SELECT vec_a AS s, vec_b AS d FROM pairs
+  UNION ALL
+  SELECT vec_b AS s, vec_a AS d FROM pairs
+),
+reach AS (
+  SELECT DISTINCT s AS node, s AS root FROM edges
+  UNION
+  SELECT e.d AS node, r.root
+  FROM reach r JOIN edges e ON e.s = r.node
+)
+SELECT node AS vec_id, min(root) AS canonical_id,
+       node = min(root) AS is_kept
+FROM reach GROUP BY node
 """
 
 
@@ -1474,6 +1531,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": kmeans_assign,
     "semdedup_prune": semdedup_prune,
     "semdedup_prune_2l": semdedup_prune_2l,
+    "semdedup_canonical": semdedup_canonical,
     "ann_int8_rerank": ann_int8_rerank,
     "ann_pq_adc": ann_pq_adc,
 }
@@ -1488,6 +1546,7 @@ SIM_ORACLES: dict[str, str] = {
     "kmeans_assign": KMEANS_ASSIGN_SQL,
     "semdedup_prune": SEMDEDUP_PRUNE_SQL,
     "semdedup_prune_2l": SEMDEDUP_PRUNE_2L_SQL,
+    "semdedup_canonical": SEMDEDUP_CANONICAL_SQL,
     "ann_int8_rerank": ANN_INT8_RERANK_SQL,
     "ann_pq_adc": ANN_PQ_ADC_SQL,
 }

@@ -244,3 +244,29 @@ def test_pq_adc_recall(spark, sf_dir):
     pq = {(r.query_id, r.neighbor_id) for r in ann_pq_adc(spark, sf_dir).collect()}
     recall = len(bf & pq) / len(bf)
     assert recall >= 0.3, f"PQ/ADC recall@10 regressed: {recall:.2f}"
+
+
+def test_semdedup_canonical_representatives_survive(spark, sf_dir):
+    """The property the dup_of pointer variants can't give: every
+    vector's canonical_id is itself KEPT (never mid-chain dropped), one
+    keeper per component, and the kept set covers every prune-list
+    vector's component."""
+    from etl_pipeline_example_spark.operators.similarity import (
+        semdedup_canonical,
+        semdedup_prune_2l,
+    )
+
+    rows = semdedup_canonical(spark, sf_dir).collect()
+    assert rows, "no τ-components found"
+    by_id = {r["vec_id"]: r for r in rows}
+    for r in rows:
+        canon = by_id[r["canonical_id"]]
+        assert canon["is_kept"], f"canonical {r['canonical_id']} is not kept"
+        assert canon["canonical_id"] == r["canonical_id"]
+        assert r["is_kept"] == (r["vec_id"] == r["canonical_id"])
+    # exactly one keeper per component
+    keepers = [r for r in rows if r["is_kept"]]
+    assert len(keepers) == len({r["canonical_id"] for r in rows})
+    # the prune list's dropped vectors all appear in some component
+    dropped = {r["vec_id"] for r in semdedup_prune_2l(spark, sf_dir).collect()}
+    assert dropped <= set(by_id), "prune-list vector missing from components"
