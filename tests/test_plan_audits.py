@@ -328,3 +328,29 @@ def test_framesample_is_shuffle_free(spark, sf_dir):
     plan = plan_str(multimodal_framesample(spark, sf_dir), mode="simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_pq_adc_coarse_pass_is_broadcast_and_partial_aggregated(spark, sf_dir):
+    """The ADC coarse pass must stay narrow: codewords and the per-query
+    lookup table join as BROADCASTS (no corpus-side shuffle to score
+    codes), and the per-(query, vector) ADC sum partial-aggregates
+    map-side — the shuffle carries one row per (query, vector), never
+    one per (query, vector, subspace)."""
+    from etl_pipeline_example_spark.operators.similarity import ann_pq_adc
+
+    df = ann_pq_adc(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") >= 1, plan  # codewords
+    assert "BroadcastHashJoin" in plan, plan  # LUT equi-join
+    assert "CartesianProduct" not in plan, plan
+    # both aggregations partial-aggregate map-side: the ADC decimal sum
+    # as HashAggregate partial+final, the code argmin (min-of-struct is
+    # not hash-aggregable) as SortAggregate partial+final
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan, plan
+    assert plan.count("SortAggregate") >= 2 and "partial_min" in plan, plan
+    # no embedding arrays in any hash-partitioned exchange: the coarse
+    # pass shuffles codes and ADC totals only
+    fmt = plan_str(df, mode="formatted")
+    for b in _formatted_blocks(fmt):
+        if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
+            assert "embedding" not in b, b
