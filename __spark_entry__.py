@@ -67,6 +67,7 @@ _REGISTER_FIRST = [
     "semdedup_prune_2l",
     "semdedup_canonical",
     "ann_pq_adc",
+    "ann_ivfpq",
     "ann_int8_rerank",
     "semdedup_prune",
     "kmeans_assign",
@@ -115,7 +116,6 @@ _REGISTER_FIRST = [
     "stream_join",
     # (c) fill: round-4-green, code frozen this round
     "dedup_exact",
-    "dedup_minhash",
 ]
 
 

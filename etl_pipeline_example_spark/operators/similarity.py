@@ -1467,6 +1467,244 @@ SELECT query_id, neighbor_id, cosine, rank FROM (
 """
 
 
+# -------------------------------------------------------------- IVF + PQ
+
+
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (the full FAISS composition): IVF cell gating bounds WHICH
+    vectors are scored (nprobe/K of the corpus), PQ codes bound WHAT the
+    coarse pass reads per scored vector (8 bytes), and the top-50
+    survivors get an exact cosine rerank. Output matches the other ANN
+    ops: (query_id, neighbor_id, cosine, rank).
+
+    Scale path: at 100 TB the index is (cell, vec_id, 8 PQ codes) —
+    bucket-written by cell so a probe is a partition-pruned scan of
+    nprobe cells reading 8 bytes/vector; centroids, codewords, probes
+    and per-query LUTs are all broadcasts; the ADC sum partial-
+    aggregates map-side; float vectors are fetched for ~50 rows per
+    query. Every stage is the audited shape of its standalone parent
+    (``ann_ivf`` gating, ``ann_pq_adc`` scoring)."""
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
+    )
+    hexid = spark_hexint("cast(vec_id as string)")
+    # --- IVF gating (ann_ivf's bounded-K hash-sampled quantizer) ---
+    cents = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_emb"),
+            F.col("nrm").alias("cent_nrm"),
+        )
+    )
+    dot_c = _SPARK_DOT.format(a="embedding", b="cent_emb")
+    cell_scores = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(f"round(({dot_c}) / (nrm * cent_nrm), 6)").alias("ccos"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cent_id"))
+    ranked = cell_scores.withColumn("crn", F.row_number().over(w_cell)).persist()
+    assign = ranked.filter(F.col("crn") == 1).select("vec_id", F.col("cent_id").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") < ANN_NUM_QUERIES) & (F.col("crn") <= IVF_NPROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    # --- PQ coarse scoring (ann_pq_adc's code table + LUT) ---
+    w_cw = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+    cw_rows = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(PQ_KC)
+        .select(
+            (F.row_number().over(w_cw) - 1).alias("c_id"),
+            F.col("embedding").alias("cw_emb"),
+        )
+    )
+    m_df = spark.range(PQ_M).select(F.col("id").cast("int").alias("m"))
+    codewords = cw_rows.crossJoin(F.broadcast(m_df)).select(
+        "m",
+        "c_id",
+        F.expr(
+            f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
+            " x -> round(cast(x as double), 6))"
+        ).alias("cw"),
+    )
+    sub = f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})"
+    codes = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(codewords))
+        .select(
+            "vec_id",
+            "m",
+            "c_id",
+            F.expr(f"round({_SPARK_SQDIST.format(a=sub, b='cw')}, 6)").alias("dist"),
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("dist", "c_id")).alias("s"))
+        .select("vec_id", "m", F.col("s.c_id").alias("code"))
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    q_sub = f"slice(q_emb, m * {PQ_SUB} + 1, {PQ_SUB})"
+    lut = queries.crossJoin(F.broadcast(codewords)).select(
+        "query_id",
+        "m",
+        "c_id",
+        F.expr(f"round({_SPARK_SQDIST.format(a=q_sub, b='cw')}, 6)").alias("qd"),
+    )
+    # --- compose: only vectors in probed cells reach the ADC sum ---
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    lut_r = lut.select(
+        F.col("query_id").alias("l_qid"),
+        F.col("m").alias("l_m"),
+        "c_id",
+        "qd",
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut_r),
+            (F.col("query_id") == F.col("l_qid"))
+            & (F.col("m") == F.col("l_m"))
+            & (F.col("code") == F.col("c_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.expr(f"cast(sum(cast(qd as {PQ_ADC_DECIMAL})) as double)").alias("adc"))
+    )
+    w_c = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    survivors = (
+        adc.withColumn("srn", F.row_number().over(w_c))
+        .filter(F.col("srn") <= PQ_RERANK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    dot = _SPARK_DOT.format(a="q_emb", b="embedding")
+    scored = (
+        survivors.join(emb, survivors.neighbor_id == emb.vec_id)
+        .join(
+            F.broadcast(queries.withColumnRenamed("query_id", "q_id")),
+            survivors.query_id == F.col("q_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"round(({dot}) / (q_nrm * nrm), 6)").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= ANN_K)
+
+
+ANN_IVFPQ_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding, {_DUCK_SELF_NORM} AS nrm FROM embeddings
+),
+cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb, nrm AS cent_nrm
+  FROM normed WHERE vec_id >= {ANN_NUM_QUERIES}
+  ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id
+  LIMIT {IVF_K}
+),
+cell_scores AS (
+  SELECT n.vec_id, c.cent_id,
+         round(({_DUCK_DOT.format(a="n.embedding", b="c.cent_emb")})
+               / (n.nrm * c.cent_nrm), 6) AS ccos
+  FROM normed n, cents c
+),
+ranked AS (
+  SELECT vec_id, cent_id, ccos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY ccos DESC, cent_id) AS crn
+  FROM cell_scores
+),
+assign AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS cell FROM ranked
+  WHERE vec_id < {ANN_NUM_QUERIES} AND crn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM assign a JOIN probes p USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+cw_src AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (
+           ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id) - 1 AS c_id
+  FROM embeddings WHERE vec_id >= {ANN_NUM_QUERIES}
+),
+ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+codewords AS (
+  SELECT ms.m, s.c_id,
+         [ round(cast(x as double), 6)
+           for x in s.embedding[(ms.m * {PQ_SUB} + 1):(ms.m * {PQ_SUB} + {PQ_SUB})] ] AS cw
+  FROM cw_src s, ms WHERE s.c_id < {PQ_KC}
+),
+code_dists AS (
+  SELECT e.vec_id, c.m, c.c_id,
+         round({_DUCK_SQDIST.format(a=_DUCK_PQ_SUB, b="c.cw")}, 6) AS dist
+  FROM (SELECT vec_id, embedding FROM embeddings) e, codewords c
+),
+codes AS (
+  SELECT vec_id, m, c_id AS code FROM (
+    SELECT vec_id, m, c_id,
+           row_number() OVER (PARTITION BY vec_id, m
+                              ORDER BY dist, c_id) AS rn
+    FROM code_dists
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+  FROM normed WHERE vec_id < {ANN_NUM_QUERIES}
+),
+lut AS (
+  SELECT q.query_id, c.m, c.c_id,
+         round({_DUCK_SQDIST.format(a=_DUCK_PQ_QSUB, b="c.cw")}, 6) AS qd
+  FROM queries q, codewords c
+),
+adc AS (
+  SELECT cd.query_id, cd.vec_id,
+         cast(sum(cast(l.qd as {PQ_ADC_DECIMAL})) as double) AS adc
+  FROM cand cd
+  JOIN codes co ON co.vec_id = cd.vec_id
+  JOIN lut l ON l.query_id = cd.query_id AND l.m = co.m AND l.c_id = co.code
+  GROUP BY 1, 2
+),
+survivors AS (
+  SELECT query_id, vec_id AS neighbor_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, vec_id) AS srn
+    FROM adc
+  ) WHERE srn <= {PQ_RERANK}
+),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(({_DUCK_DOT.format(a="q.q_emb", b="n.embedding")})
+               / (q.q_nrm * n.nrm), 6) AS cosine
+  FROM survivors s
+  JOIN queries q ON q.query_id = s.query_id
+  JOIN normed n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {ANN_K}
+"""
+
+
 # ------------------------------------------------------------- quantization
 
 
@@ -1534,6 +1772,7 @@ SIM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semdedup_canonical": semdedup_canonical,
     "ann_int8_rerank": ann_int8_rerank,
     "ann_pq_adc": ann_pq_adc,
+    "ann_ivfpq": ann_ivfpq,
 }
 
 SIM_ORACLES: dict[str, str] = {
@@ -1549,4 +1788,5 @@ SIM_ORACLES: dict[str, str] = {
     "semdedup_canonical": SEMDEDUP_CANONICAL_SQL,
     "ann_int8_rerank": ANN_INT8_RERANK_SQL,
     "ann_pq_adc": ANN_PQ_ADC_SQL,
+    "ann_ivfpq": ANN_IVFPQ_SQL,
 }

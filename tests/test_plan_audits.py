@@ -354,3 +354,23 @@ def test_pq_adc_coarse_pass_is_broadcast_and_partial_aggregated(spark, sf_dir):
     for b in _formatted_blocks(fmt):
         if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
             assert "embedding" not in b, b
+
+
+def test_ivfpq_inherits_both_parents_plan_shape(spark, sf_dir):
+    """The composition must keep the IVF gate's broadcast probes AND the
+    PQ pass's broadcast LUT with a map-side-combined ADC sum; no
+    cartesian anywhere, and no hash-partitioned exchange carries the
+    embedding column (the coarse pass reads codes, not vectors)."""
+    from etl_pipeline_example_spark.operators.similarity import ann_ivfpq
+
+    df = ann_ivfpq(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan  # cents + codewords
+    assert "BroadcastHashJoin" in plan, plan  # probes/LUT equi-joins
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_sum" in plan and "partial_min" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # bounded-K samples
+    fmt = plan_str(df, mode="formatted")
+    for b in _formatted_blocks(fmt):
+        if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
+            assert "embedding" not in b, b

