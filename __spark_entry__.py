@@ -54,68 +54,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. Round 5: (a) every entry backed
-# by operators/similarity.py, which changed this round (the new
-# semdedup_prune_2l, the int8 quantization hoist, the LSH candidate-pair
-# refactor — byte-level changes regrade the whole module's entries); (b)
-# the 36 entries whose latest green row is round 3 (streaming suite,
-# window/relational queries, text/corpus ops); (c) fill to the 50-row
-# budget with round-4-green rows whose code is frozen (dedup.py — the
-# freeze manifest in tools/frozen_hashes.json pins the rest).
+# entries that most need fresh evidence. Round 6: (a) every entry backed
+# by the similarity family, which changed this round (the module split
+# into simcore/kmeans/semdedup/pq, TRAINED per-subspace PQ codebooks,
+# cache-release discipline, the kmeans_fit plateau fix — byte-level
+# changes regrade all 11 surviving entries; `dedup_embedding` and
+# `semdedup_prune` are RETIRED to pytest-only baselines, registry 90→88);
+# changed entries lead because their prior evidence is now invalid, while
+# (b)'s entries keep freeze-backed r4 evidence if the budget runs short.
+# (b) the entries whose latest green row is round 4 (TPC-H suite, text
+# dedup, multimodal, corpus extras) — 2 rounds stale otherwise. The one
+# exception is `q_cube` (r4-green, plans/scale.py frozen), consciously
+# deferred to round 7: 11 + 40 would overflow the 50-row budget by one.
 _REGISTER_FIRST = [
-    # (a) similarity.py changed this round — regrade all its entries
+    # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",
     "semdedup_canonical",
     "ann_pq_adc",
     "ann_ivfpq",
     "ann_int8_rerank",
-    "semdedup_prune",
     "kmeans_assign",
     "dedup_embedding_lsh",
-    "dedup_embedding",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",
     "embed_quantize",
-    # (b) round-3-only evidence: regrade for a fresh union
-    "meta_align",
-    "unpack_nested",
-    "version_stamp",
-    "q_lead_lag",
-    "q_grouping_sets",
-    "q_events_tumbling",
-    "q_sessionize",
-    "q_asof_join",
-    "q_pivot_events",
-    "q_set_ops",
-    "q_json_extract",
-    "q_moving_avg",
-    "q_gapfill",
-    "dq_profile",
-    "q_histogram",
-    "q_stats",
-    "q_range_join",
-    "q_skew_join",
-    "q_session_window",
-    "text_langid",
-    "text_quality",
-    "token_count",
-    "doc_fingerprint",
-    "doc_chunk",
-    "doc_pack",
-    "sample_hash",
-    "sample_stratified",
-    "contamination_ngram",
-    "mix_weights",
-    "tfidf_top",
-    "stream_events",
-    "stream_dedup",
-    "stream_sessions",
-    "stream_user_stats",
-    "stream_enrich",
-    "stream_join",
-    # (c) fill: round-4-green, code frozen this round
-    "dedup_exact",
+    # (b) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
+    "q_calculated",
+    "q1_pricing",
+    "q3_shipping",
+    "q5_local_supplier",
+    "q_topn_window",
+    "q_running_sum",
+    "q_rollup",
+    "q6_forecast",
+    "q4_late_orders",
+    "q_cust_no_orders",
+    "q13_custdist",
+    "q14_promo",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q22_idle_rich",
+    "q_distinct_agg",
+    "q_percentiles",
+    "q_wordcount",
+    "q2_argmin",
+    "q7_volume",
+    "q8_mktshare",
+    "q9_profit",
+    "q10_returns",
+    "q11_part_value",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q19_disjunctive",
+    "q21_sole_fault",
+    "q12_priority",
+    "q20_excess_suppliers",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ngram_jaccard",
+    "quality_repetition",
+    "multimodal_meta",
+    "multimodal_framesample",
+    "pii_scrub",
+    "boilerplate_chunks",
+    "dedup_cluster",
 ]
 
 

@@ -25,3 +25,28 @@ ALL_O = {**TEXT_ORACLES, **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES}
 def test_operator_matches_oracle(spark, duck, sf_dir, name):
     df = ALL_Q[name](spark, sf_dir)
     assert_matches_oracle(df, duck, ALL_O[name])
+
+
+def _retired_baselines():
+    """Demoted oracle baselines retired from the driver registry (round
+    6) but still part of the engine surface — their oracle parity is
+    pinned HERE instead of costing driver grading-window slots."""
+    from etl_pipeline_example_spark.operators.semdedup import (
+        SEMDEDUP_PRUNE_SQL,
+        semdedup_prune,
+    )
+    from etl_pipeline_example_spark.operators.similarity import (
+        DEDUP_EMBEDDING_SQL,
+        dedup_embedding,
+    )
+
+    return {
+        "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+        "semdedup_prune": (semdedup_prune, SEMDEDUP_PRUNE_SQL),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_retired_baselines()))
+def test_retired_baseline_matches_oracle(spark, duck, sf_dir, name):
+    fn, sql = _retired_baselines()[name]
+    assert_matches_oracle(fn(spark, sf_dir), duck, sql)

@@ -356,6 +356,93 @@ def test_pq_adc_coarse_pass_is_broadcast_and_partial_aggregated(spark, sf_dir):
             assert "embedding" not in b, b
 
 
+def test_ivfpq_indexed_probe_is_partition_pruned(spark, sf_dir, tmp_path):
+    """The docstring's scale story, made checkable: the persisted IVFADC
+    index is PARTITIONED BY cell, and a probe's code scan carries a
+    PartitionFilters entry on ``cell`` — it reads nprobe cells, never
+    the full index. The probe must also be row-identical to the flat
+    ``ann_ivfpq`` (same candidates, same ADC, same rerank)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.pq import (
+        IVF_NPROBE,
+        ann_ivfpq,
+        ann_ivfpq_indexed,
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(spark, sf_dir, path)
+    probe = ann_ivfpq_indexed(spark, sf_dir, path)
+    plan = plan_str(probe)
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell" in ln and "dynamicpruning" not in ln
+    ]
+    assert pf, plan  # the code scan prunes on the cell partition column
+    # and the pruning is REAL: a probe-sized filter reads files from at
+    # most nprobe cell directories, out of strictly more index cells
+    cells = sorted(
+        r["cell"]
+        for r in spark.read.parquet(f"{path}/codes")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    assert len(cells) > IVF_NPROBE, cells  # pruning has something to skip
+    probed_dirs = {
+        r[0].rsplit("/", 2)[-2]
+        for r in spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(cells[:IVF_NPROBE]))
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    }
+    assert len(probed_dirs) <= IVF_NPROBE, probed_dirs
+    # row-identical to the flat composition
+    flat = {tuple(r) for r in ann_ivfpq(spark, sf_dir).collect()}
+    idx = {tuple(r) for r in probe.collect()}
+    assert idx == flat, (sorted(flat - idx)[:5], sorted(idx - flat)[:5])
+
+
+def test_hier_assign_hops_are_broadcast_shaped(spark):
+    """Both hops of the hierarchical assignment keep the flat pass's
+    broadcast shape: hop 1 scores the corpus against the BROADCAST
+    √K-row super-centroid table (nested-loop over a broadcast); hop 2 is
+    an equi-join on super_id with an AQE/size-decided build (broadcast
+    hash at test scale) — never a cartesian, and no forced hint on the
+    K-row side."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.semdedup import _hier_assign
+
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((200, 64))
+    emb = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [round(float(x), 6) for x in rng.standard_normal(64)]) for i in range(16)],
+        "cluster_id int, cent array<double>",
+    )
+    df = _hier_assign(emb, cents, super_k=4)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2, plan  # hop-0 + hop-1
+    # hop-2 is an EQUI-join on super_id: statically SortMergeJoin (the
+    # RDD-backed test inputs carry no stats; AQE broadcasts at runtime
+    # when the K-row side is small, hash-co-partitions at extreme K —
+    # exactly the scale story), never a nested-loop or cartesian
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the only forced hints are _spark_assign's bounded centroid tables
+    # (hop-0 trains over K points, hop-1 broadcasts √K super-centroids);
+    # the hop-2 K-row build side itself carries NO hint — it must stay
+    # AQE-decided so extreme K degrades to a co-partitioned hash join
+    assert hint_count(df) <= 4
+
+
 def test_ivfpq_inherits_both_parents_plan_shape(spark, sf_dir):
     """The composition must keep the IVF gate's broadcast probes AND the
     PQ pass's broadcast LUT with a map-side-combined ADC sum; no

@@ -234,16 +234,156 @@ def test_lsh_production_tau_prunes_orders_of_magnitude(spark):
 
 def test_pq_adc_recall(spark, sf_dir):
     """8-byte PQ codes + 50-candidate ADC shortlist + exact rerank must
-    recover a solid share of the exact top-10. PQ's quantization error
-    on 16-codeword subspaces is coarser than int8's, so the floor is
-    lower — but a broken code table or LUT join collapses to ~random
-    (recall ≈ K/N ≈ 0.02), far below the floor."""
+    recover a solid share of the exact top-10. Uniform-random data is
+    PQ's worst case, but the TRAINED per-subspace codebook (round 6)
+    lifted the measured recall from ~0.5 to 0.54-0.58 — the floor pins
+    the trained level; a broken code table or LUT join collapses to
+    ~random (recall ≈ K/N ≈ 0.02), an untrained-codebook regression
+    lands near 0.45."""
     from etl_pipeline_example_spark.operators.similarity import ann_pq_adc
 
     bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce(spark, sf_dir).collect()}
     pq = {(r.query_id, r.neighbor_id) for r in ann_pq_adc(spark, sf_dir).collect()}
     recall = len(bf & pq) / len(bf)
-    assert recall >= 0.3, f"PQ/ADC recall@10 regressed: {recall:.2f}"
+    assert recall >= 0.45, f"PQ/ADC recall@10 regressed: {recall:.2f}"
+
+
+def _clustered_corpus(noise: float, n: int = 405, n_centers: int = 16):
+    """Clustered synthetic embeddings: n unit vectors around n_centers
+    cluster centers (queries vec_id < 5 are cluster members), plus the
+    exact top-10 neighbor set per query computed with the same 6-dp
+    rounding and (cosine desc, id) tie-break the operators use."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((n_centers, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.stack(
+        [centers[i % n_centers] + rng.standard_normal(64) * noise for i in range(n)]
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    cos = pts @ pts.T
+    bf = set()
+    for q in range(5):
+        scores = [(round(cos[q, j], 6), j) for j in range(n) if j != q]
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        for _, j in scores[:10]:
+            bf.add((q, j))
+    return [(i, pts[i].tolist()) for i in range(n)], bf
+
+
+def test_pq_trained_codebook_recall_on_clustered_data(spark):
+    """The round-6 'done' criterion: on data WITH cluster structure the
+    trained per-subspace k-means codebook must push recall@10 well past
+    the hash-sample codebook's level (measured: trained 1.00 vs
+    untrained 0.86 at this noise — the floor separates them)."""
+    from etl_pipeline_example_spark.operators.pq import _pq_topk
+    from etl_pipeline_example_spark.operators.simcore import _with_norm
+
+    rows, bf = _clustered_corpus(noise=0.15)
+    emb = _with_norm(
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<double>"),
+        "embedding",
+        "nrm",
+    )
+    got = {(r.query_id, r.neighbor_id) for r in _pq_topk(spark, emb).collect()}
+    recall = len(bf & got) / len(bf)
+    assert recall >= 0.9, f"trained-PQ clustered recall regressed: {recall:.2f}"
+
+
+def test_kmeans_fit_returns_prior_round_on_rounding_uptick(spark, sf_dir, monkeypatch):
+    """When the 6-dp rounding nudges the inertia probe UP within
+    tolerance, the plateau exit must return the PRIOR round's (better)
+    assignment, not the rounding-degraded successor (round-5 ADVICE)."""
+    import etl_pipeline_example_spark.operators.kmeans as km
+
+    seq = [10.0, 5.0, 5.0000001]
+    calls = {"n": 0}
+
+    def fake_assign(emb, cents):
+        i = calls["n"]
+        calls["n"] += 1
+        # cluster_id marks which round produced the labeling
+        return spark.createDataFrame(
+            [(0, i, seq[i])], "vec_id bigint, cluster_id int, dist double"
+        )
+
+    monkeypatch.setattr(km, "_spark_assign", fake_assign)
+    monkeypatch.setattr(
+        km,
+        "_spark_means",
+        lambda emb, a: spark.createDataFrame(
+            [(0, [0.0])], "cluster_id int, cent array<double>"
+        ),
+    )
+    assign, inertias = km.kmeans_fit(spark, sf_dir, max_rounds=5)
+    assert inertias == seq
+    # round 3 plateaued with an INCREASE -> round 2's labeling returned
+    assert assign.collect()[0]["cluster_id"] == 1, assign.collect()
+
+
+def test_similarity_caches_released_between_operators(spark, sf_dir):
+    """The cross-operator cache discipline (round-5 ADVICE): repeated
+    operator invocations must NOT accumulate persisted RDDs — each run
+    releases the previous run's caches on entry."""
+    from etl_pipeline_example_spark.operators.similarity import semdedup_prune_2l
+    from etl_pipeline_example_spark.operators.simcore import (
+        release_similarity_caches,
+    )
+
+    def live():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    semdedup_prune_2l(spark, sf_dir).collect()
+    n1 = live()
+    semdedup_prune_2l(spark, sf_dir).collect()
+    n2 = live()
+    assert n2 <= n1, f"caches accumulate across runs: {n1} -> {n2}"
+    release_similarity_caches()
+
+
+def test_hier_assign_agrees_with_flat_on_clustered_data(spark):
+    """The two-hop hierarchical assignment must label every vector
+    exactly once and agree with the flat broadcast assignment on data
+    with real cluster structure (a mis-routed hop-1 would crater
+    agreement; measured 1.00 at this noise)."""
+    from etl_pipeline_example_spark.operators.semdedup import _hier_assign
+    from etl_pipeline_example_spark.operators.similarity import _spark_assign
+
+    rows, _ = _clustered_corpus(noise=0.1, n=400)
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cents = spark.createDataFrame(
+        [(i, [round(float(x), 6) for x in centers[i]]) for i in range(16)],
+        "cluster_id int, cent array<double>",
+    )
+    flat = {r["vec_id"]: r["cluster_id"] for r in _spark_assign(emb, cents).collect()}
+    hier_rows = _hier_assign(emb, cents, super_k=4).collect()
+    hier = {r["vec_id"]: r["cluster_id"] for r in hier_rows}
+    assert len(hier) == 400 and set(hier) == set(flat)
+    agree = sum(1 for v in hier if hier[v] == flat[v]) / len(hier)
+    assert agree >= 0.9, f"two-hop assignment diverged from flat: {agree:.2f}"
+
+
+def test_semdedup_2l_labeling_switches_to_hier_past_threshold(spark, sf_dir, monkeypatch):
+    """Past SEMDEDUP_HIER_THRESHOLD cells the labeling stage must take
+    the two-hop path and still label the whole corpus exactly once."""
+    import etl_pipeline_example_spark.operators.semdedup as sd
+    from etl_pipeline_example_spark.operators.simcore import _with_norm
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    monkeypatch.setattr(sd, "SEMDEDUP_HIER_THRESHOLD", 4)
+    emb = _with_norm(
+        read_table(spark, sf_dir, "embeddings"), "embedding", "nrm"
+    )
+    n = emb.count()
+    labels = sd._two_level_labels(emb, k=8).collect()
+    assert len(labels) == n
+    assert len({r["vec_id"] for r in labels}) == n
 
 
 def test_semdedup_canonical_representatives_survive(spark, sf_dir):
@@ -284,7 +424,7 @@ def test_ivfpq_recall_and_containment(spark, sf_dir):
     rows = ann_ivfpq(spark, sf_dir).collect()
     got = {(r.query_id, r.neighbor_id) for r in rows}
     recall = len(bf & got) / len(bf)
-    assert recall >= 0.15, f"IVFPQ recall@10 regressed: {recall:.2f}"
+    assert recall >= 0.4, f"IVFPQ recall@10 regressed: {recall:.2f}"
     per_q = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r.rank)
