@@ -66,12 +66,21 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
     Init = the round-5 hash-sample codebook (PQ_KC hash-smallest
     non-query vectors, subsliced per m), now serving as the Lloyd INIT
     rather than the final answer; ``PQ_TRAIN_ROUNDS`` refinement rounds
-    run over a deterministic hash-gated sample. Each round is one
-    broadcast assignment over the sample's subvectors plus a narrow
-    (m, code, dim) exact-decimal mean — empty cells keep their previous
-    codeword (coalesce), so the codebook never shrinks. Everything is
-    bounded by the SAMPLE, not the corpus; the full corpus only ever
-    meets the final 128-row broadcast codebook."""
+    run over a deterministic hash-gated sample. Each round is ONE Spark
+    job — a broadcast assignment over the cached sample subvectors whose
+    argmin carries the subvector inside the min-struct ((dist, c_id) is
+    unique per group, so the array never decides the comparison),
+    reduced by PQ_SUB element-wise exact-decimal means. Empty cells keep
+    their previous codeword, so the codebook never shrinks. The
+    M×KC-row codebook state lives on the DRIVER between rounds (the
+    ``kmeans_fit`` orchestration pattern — collecting the bounded
+    quantizer state is what keeps each round one job instead of a chain
+    of cache fills); all heavy work — assignment and means — stays
+    distributed and bounded by the SAMPLE, not the corpus. The full
+    corpus only ever meets the final 128-row broadcast codebook. The
+    means use the same 6-dp-rounded order-independent arithmetic as the
+    oracle's explode-shaped CTEs, so both engines derive bit-identical
+    codewords."""
     hexid = spark_hexint("cast(vec_id as string)")
     m_df = F.broadcast(spark.range(PQ_M).select(F.col("id").cast("int").alias("m")))
     cw_src = (
@@ -86,55 +95,64 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
     # codeword c's subspace-m entry is that sample vector's m-th
     # subvector, rounded like every other centroid
-    cw = cw_rows.crossJoin(m_df).select(
-        "m",
-        "c_id",
-        F.expr(
-            f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
-            " x -> round(cast(x as double), 6))"
-        ).alias("cw"),
-    )
+    cw_local: dict[tuple[int, int], list[float]] = {
+        (r["m"], r["c_id"]): r["cw"]
+        for r in cw_rows.crossJoin(m_df)
+        .select(
+            "m",
+            "c_id",
+            F.expr(
+                f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
+                " x -> round(cast(x as double), 6))"
+            ).alias("cw"),
+        )
+        .collect()
+    }
     # training sample: hash-gated, disjoint from the query ids
     samp = emb.filter(
         (F.col("vec_id") >= ANN_NUM_QUERIES)
         & F.expr(f"({hexid}) % {PQ_SAMPLE_MOD} = 0")
     ).select("vec_id", "embedding")
-    sub = samp.crossJoin(m_df).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+    # persisted: every training round re-reads the sample subvectors —
+    # without the cache each round re-scans the corpus parquet. Narrow
+    # (vec_id, m, 8-double) rows, bounded by the sample.
+    sub = tracked_persist(
+        samp.crossJoin(m_df).select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+        )
     )
     sqd = _SPARK_SQDIST.format(a="sv", b="cw")
+    mean_cols = [
+        F.expr(
+            f"round(cast(sum(cast(element_at(sv, {i + 1}) as {KMEANS_DECIMAL}))"
+            f" as double) / count(sv), 6)"
+        ).alias(f"mv{i}")
+        for i in range(PQ_SUB)
+    ]
+    cw_schema = "m int, c_id int, cw array<double>"
     for _ in range(PQ_TRAIN_ROUNDS):
-        assign = (
-            sub.join(F.broadcast(cw), "m")
-            .select("vec_id", "m", "c_id", F.expr(f"round({sqd}, 6)").alias("dist"))
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct("dist", "c_id")).alias("s"))
-            .select("vec_id", "m", F.col("s.c_id").alias("code"))
+        cw_df = spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cw_local.items())], cw_schema
         )
         trained = (
-            sub.select("vec_id", "m", F.posexplode("sv").alias("dim", "val"))
-            .join(assign, ["vec_id", "m"])
-            .groupBy("m", "code", "dim")
-            .agg(
-                F.expr(
-                    f"round(cast(sum(cast(val as {KMEANS_DECIMAL})) as double)"
-                    " / count(val), 6)"
-                ).alias("mv")
+            sub.join(F.broadcast(cw_df), "m")
+            .select(
+                "vec_id", "m", F.expr(f"round({sqd}, 6)").alias("dist"), "c_id", "sv"
             )
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "c_id", "sv")).alias("s"))
+            .select("m", F.col("s.c_id").alias("code"), F.col("s.sv").alias("sv"))
             .groupBy("m", "code")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, mv))), s -> s.mv)"
-                ).alias("cw_t")
-            )
-            .select("m", F.col("code").alias("c_id"), "cw_t")
+            .agg(*mean_cols)
+            .collect()
         )
-        cw = cw.join(trained, ["m", "c_id"], "left").select(
-            "m", "c_id", F.coalesce("cw_t", "cw").alias("cw")
-        )
-    return cw
+        for r in trained:  # empty cells keep the previous codeword
+            cw_local[(r["m"], r["code"])] = [r[f"mv{i}"] for i in range(PQ_SUB)]
+    return spark.createDataFrame(
+        [(m, c, v) for (m, c), v in sorted(cw_local.items())], cw_schema
+    )
 
 
 def _duck_train_cte(r: int) -> str:
