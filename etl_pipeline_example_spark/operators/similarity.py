@@ -436,6 +436,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     At a production near-dup τ≈0.9 (p≈0.86 vs 0.50) the same machinery
     runs 12-16 bits per table and prunes the pair space by orders of
     magnitude.
+
+    Coarse-scoring the candidate pairs before the exact join was
+    investigated and REJECTED (round 6, measured at sf0.1):
+
+    - int8 coarse dot (compose ``ann_int8_rerank``'s integer scoring):
+      no win is possible — the dot is a ``zip_with``/``aggregate``
+      higher-order function either way, and its cost is the per-element
+      interpreted-lambda overhead, identical for tinyint and double
+      operands. ``ann_int8_rerank`` wins by reading a 4× smaller
+      INDEX; here the vectors are already cached, so there is nothing
+      to shrink but arithmetic that doesn't get cheaper.
+    - exact Cauchy–Schwarz partial-dot prune (score a 16-dim head plus
+      a precomputed tail-norm bound, full fold only on survivors —
+      recall-lossless): measured 6.49 s vs 6.17 s for the current
+      plan, row-identical output. On isotropic 64-dim embeddings a
+      16-dim head leaves ‖tail_a‖·‖tail_b‖ ≈ 0.75·‖a‖·‖b‖ ≥ τ=0.4, so
+      the bound prunes ~nothing; partial-distance pruning only pays
+      after an energy-concentrating rotation (OPQ/PCA), which would
+      break the bit-exact oracle for no benchmark win. The scoring
+      stage is ~40% of runtime; the candidate self-join (~2M of 2M
+      possible pairs at this τ) is the floor, and it is inherent.
     """
     release_similarity_caches()
     emb = tracked_persist(
