@@ -16,10 +16,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_example_spark.operators import (
+    CHARLM_ORACLES,
+    CHARLM_QUERIES,
     CLUSTER_ORACLES,
     CLUSTER_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
+    DOMAIN_ORACLES,
+    DOMAIN_QUERIES,
     DECONTAM_ORACLES,
     DECONTAM_QUERIES,
     DEDUP_ORACLES,
@@ -62,10 +66,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # `semdedup_prune` are RETIRED to pytest-only baselines, registry 90→88);
 # changed entries lead because their prior evidence is now invalid, while
 # (b)'s entries keep freeze-backed r4 evidence if the budget runs short.
-# (b) the entries whose latest green row is round 4 (TPC-H suite, text
-# dedup, multimodal, corpus extras) — 2 rounds stale otherwise. The one
-# exception is `q_cube` (r4-green, plans/scale.py frozen), consciously
-# deferred to round 7: 11 + 40 would overflow the 50-row budget by one.
+# (b) NEW round-6 operators (`quality_charlm`, `domain_cap`) — no prior
+# evidence exists, so they must grade now; they displace the two bonus
+# extras `q12_priority`/`q20_excess_suppliers`, which stay on
+# freeze-backed r4 evidence (plans/tpch_extra.py is manifest-frozen).
+# (c) the entries whose latest green row is round 4 (TPC-H suite, text
+# dedup, multimodal, corpus extras) — 2 rounds stale otherwise. Deferred
+# to round 7 on freeze-backed r4 evidence: `q_cube` (plans/scale.py
+# frozen) plus the two displaced extras — the 50-row budget holds
+# 11 + 2 + 37 exactly.
 _REGISTER_FIRST = [
     # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",
@@ -79,7 +88,10 @@ _REGISTER_FIRST = [
     "ann_lsh",
     "ann_ivf",
     "embed_quantize",
-    # (b) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
+    # (b) new round-6 operators — first-time evidence
+    "quality_charlm",
+    "domain_cap",
+    # (c) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
     "q_calculated",
     "q1_pricing",
     "q3_shipping",
@@ -108,8 +120,6 @@ _REGISTER_FIRST = [
     "q16_supplier_cnt",
     "q19_disjunctive",
     "q21_sole_fault",
-    "q12_priority",
-    "q20_excess_suppliers",
     "dedup_minhash",
     "dedup_simhash",
     "ngram_jaccard",
@@ -132,7 +142,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(PARITY_QUERIES)
     out.update(TEXT_QUERIES)
+    out.update(CHARLM_QUERIES)
     out.update(CORPUS_QUERIES)
+    out.update(DOMAIN_QUERIES)
     out.update(DECONTAM_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
@@ -150,7 +162,9 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(PARITY_ORACLES)
     out.update(TEXT_ORACLES)
+    out.update(CHARLM_ORACLES)
     out.update(CORPUS_ORACLES)
+    out.update(DOMAIN_ORACLES)
     out.update(DECONTAM_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)

@@ -5,8 +5,12 @@ from __future__ import annotations
 import pytest
 
 from etl_pipeline_example_spark.operators import (
+    CHARLM_ORACLES,
+    CHARLM_QUERIES,
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    DOMAIN_ORACLES,
+    DOMAIN_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
     SIM_ORACLES,
@@ -17,8 +21,14 @@ from etl_pipeline_example_spark.operators import (
 
 from tests.oracle_util import assert_matches_oracle
 
-ALL_Q = {**TEXT_QUERIES, **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES}
-ALL_O = {**TEXT_ORACLES, **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES}
+ALL_Q = {
+    **TEXT_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES,
+    **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
+}
+ALL_O = {
+    **TEXT_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES,
+    **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
+}
 
 
 @pytest.mark.parametrize("name", sorted(ALL_Q))

@@ -461,3 +461,34 @@ def test_ivfpq_inherits_both_parents_plan_shape(spark, sf_dir):
     for b in _formatted_blocks(fmt):
         if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
             assert "embedding" not in b, b
+
+
+def test_charlm_model_broadcasts_and_partial_aggregates(spark, sf_dir):
+    """quality_charlm's scale contract: the trigram model (charset³-
+    bounded) and the one-row (V, T) scalar both broadcast — the corpus
+    scan never shuffles for them — and the per-doc score shuffle carries
+    map-side-combined (doc_id, n_tri, Σp) partials, not trigram rows."""
+    from etl_pipeline_example_spark.operators.charlm import quality_charlm
+
+    df = quality_charlm(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan  # model lookup
+    assert "BroadcastNestedLoopJoin" in plan, plan  # one-row scalar
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    # exactly the two bounded builds carry hints: model + scalar
+    assert hint_count(df) == 2
+
+
+def test_domain_cap_rank_filter_compiles_to_window_group_limit(spark, sf_dir):
+    """domain_cap's skew story IS WindowGroupLimit: each map partition
+    pre-prunes to its own top-cap per source before the exchange, so a
+    billion-doc domain ships ≤ cap × partitions rows, not its whole
+    partition. If Catalyst stops planning the rank-filter this way the
+    operator silently becomes a full per-domain sort — fail here, not at
+    100 TB."""
+    from etl_pipeline_example_spark.operators.domain import domain_cap
+
+    plan = plan_str(domain_cap(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan  # the pre-shuffle prune half
