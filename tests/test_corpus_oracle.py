@@ -57,3 +57,39 @@ def test_pii_scrub_matches_real_pii(spark, duck):
     )
     assert_matches_oracle(out, con, PII_SCRUB_SQL)
     con.close()
+
+
+def test_domain_cap_enforces_hard_bound(spark, sf_dir):
+    """Every source ends at <= DOMAIN_CAP docs, ranks are dense 1..k, and
+    the kept set is a pure function of the rows (stable under
+    repartitioning)."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.domain import DOMAIN_CAP, domain_cap
+
+    out = domain_cap(spark, sf_dir)
+    per_src = out.groupBy("source").agg(
+        F.count("*").alias("n"), F.max("cap_rank").alias("mx")
+    )
+    for r in per_src.collect():
+        assert r["n"] <= DOMAIN_CAP
+        assert r["mx"] == r["n"]  # dense ranks: 1..n
+    a = {(r["source"], r["doc_id"]) for r in out.collect()}
+    b = {
+        (r["source"], r["doc_id"])
+        for r in domain_cap(spark, sf_dir).repartition(7).collect()
+    }
+    assert a == b
+
+
+def test_charlm_keep_flag_is_non_vacuous(spark, sf_dir):
+    """The LM filter must separate: some docs kept, some dropped, and the
+    dropped docs score strictly below every kept doc (the flag is a pure
+    threshold on the score)."""
+    from etl_pipeline_example_spark.operators.charlm import LM_KEEP_MIN, quality_charlm
+
+    rows = quality_charlm(spark, sf_dir).collect()
+    kept = [r["lm_score"] for r in rows if r["keep"]]
+    dropped = [r["lm_score"] for r in rows if not r["keep"]]
+    assert kept and dropped, f"vacuous flag: {len(kept)} kept / {len(dropped)} dropped"
+    assert min(kept) >= LM_KEEP_MIN > max(dropped)
