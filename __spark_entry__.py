@@ -22,6 +22,8 @@ from etl_pipeline_example_spark.operators import (
     CLUSTER_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
+    DECONTAM_FUZZY_ORACLES,
+    DECONTAM_FUZZY_QUERIES,
     DOMAIN_ORACLES,
     DOMAIN_QUERIES,
     DECONTAM_ORACLES,
@@ -73,8 +75,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the entries whose latest green row is round 4 (TPC-H suite, text
 # dedup, multimodal, corpus extras) — 2 rounds stale otherwise. Deferred
 # to round 7 on freeze-backed r4 evidence: `q_cube` (plans/scale.py
-# frozen) plus the two displaced extras — the 50-row budget holds
-# 11 + 2 + 37 exactly.
+# frozen), the two displaced extras, and `q_wordcount` (relational.py
+# frozen; its explode/word-frequency shape is also exercised by the
+# in-window tfidf/token entries) — the 50-row budget holds 11 + 3 + 36
+# exactly.
 _REGISTER_FIRST = [
     # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",
@@ -91,6 +95,7 @@ _REGISTER_FIRST = [
     # (b) new round-6 operators — first-time evidence
     "quality_charlm",
     "domain_cap",
+    "contamination_minhash",
     # (c) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
     "q_calculated",
     "q1_pricing",
@@ -109,7 +114,6 @@ _REGISTER_FIRST = [
     "q22_idle_rich",
     "q_distinct_agg",
     "q_percentiles",
-    "q_wordcount",
     "q2_argmin",
     "q7_volume",
     "q8_mktshare",
@@ -146,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CORPUS_QUERIES)
     out.update(DOMAIN_QUERIES)
     out.update(DECONTAM_QUERIES)
+    out.update(DECONTAM_FUZZY_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -166,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CORPUS_ORACLES)
     out.update(DOMAIN_ORACLES)
     out.update(DECONTAM_ORACLES)
+    out.update(DECONTAM_FUZZY_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

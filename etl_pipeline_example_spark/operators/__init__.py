@@ -10,10 +10,16 @@ from etl_pipeline_example_spark.operators.decontam import (
     DECONTAM_QUERIES,
     DECONTAM_ORACLES,
 )
+from etl_pipeline_example_spark.operators.decontam_fuzzy import (
+    DECONTAM_FUZZY_QUERIES,
+    DECONTAM_FUZZY_ORACLES,
+)
 
 __all__ = [
     "DECONTAM_QUERIES",
     "DECONTAM_ORACLES",
+    "DECONTAM_FUZZY_QUERIES",
+    "DECONTAM_FUZZY_ORACLES",
     "TEXT_QUERIES",
     "TEXT_ORACLES",
     "DEDUP_QUERIES",

@@ -10,7 +10,8 @@ ever read until the exact rerank of the top survivors.
 Codebooks are TRAINED per-subspace k-means (the real FAISS recipe, not a
 raw sample): init is the deterministic hash-sample (the bounded-K scheme
 ``ann_ivf`` uses, disjoint from the query ids), refined by
-``PQ_TRAIN_ROUNDS`` Lloyd rounds over a hash-gated training sample.
+``PQ_TRAIN_ROUNDS`` Lloyd rounds over the PQ_TRAIN_N hash-smallest
+vectors — a fixed-size training set at any corpus scale.
 Round count is a fixed constant and every step is 6-dp-rounded exact
 arithmetic, so both engines derive bit-identical codewords — the same
 determinism trick ``semdedup_prune_2l`` uses for its trained quantizer.
@@ -49,10 +50,17 @@ PQ_RERANK = 50
 # exact decimal sum of 6-dp-rounded per-subspace distances: ADC totals
 # are order-independent, so cross-engine candidate selection is exact
 PQ_ADC_DECIMAL = "decimal(20,6)"
-# codebook training: hash-gated sample fraction and fixed Lloyd rounds
-# (fixed so the oracle can inline the same refinement; convergence-probed
-# training would use the kmeans_fit pattern at the cost of the oracle)
-PQ_SAMPLE_MOD = 2
+# codebook training: BOUNDED hash-ordered training set and fixed Lloyd
+# rounds (fixed so the oracle can inline the same refinement;
+# convergence-probed training would use the kmeans_fit pattern at the
+# cost of the oracle). A fixed-size sample is the FAISS practice — PQ
+# codebooks train on ~10⁵ vectors however large the index — and the
+# fixed bound is what keeps training O(1) in the corpus: the sample is
+# the TakeOrderedAndProject of the id hash (per-partition top-N merge),
+# so at 100 TB training still touches PQ_TRAIN_N vectors, where a
+# keep-1-in-k gate would drag half the corpus through Lloyd rounds.
+# 512 samples ÷ 16 codewords = 32 per centroid per subspace — ample.
+PQ_TRAIN_N = 512
 PQ_TRAIN_ROUNDS = 2
 
 
@@ -66,7 +74,7 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
     Init = the round-5 hash-sample codebook (PQ_KC hash-smallest
     non-query vectors, subsliced per m), now serving as the Lloyd INIT
     rather than the final answer; ``PQ_TRAIN_ROUNDS`` refinement rounds
-    run over a deterministic hash-gated sample. Each round is ONE Spark
+    run over the bounded hash-ordered training set. Each round is ONE Spark
     job — a broadcast assignment over the cached sample subvectors whose
     argmin carries the subvector inside the min-struct ((dist, c_id) is
     unique per group, so the array never decides the comparison),
@@ -108,20 +116,28 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
         )
         .collect()
     }
-    # training sample: hash-gated, disjoint from the query ids
-    samp = emb.filter(
-        (F.col("vec_id") >= ANN_NUM_QUERIES)
-        & F.expr(f"({hexid}) % {PQ_SAMPLE_MOD} = 0")
-    ).select("vec_id", "embedding")
+    # training sample: the PQ_TRAIN_N hash-smallest non-query vectors
+    # (includes the init codewords by construction). Disjoint from the
+    # query ids, bounded at any corpus size.
+    samp = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(PQ_TRAIN_N)
+        .select("vec_id", "embedding")
+    )
     # persisted: every training round re-reads the sample subvectors —
     # without the cache each round re-scans the corpus parquet. Narrow
-    # (vec_id, m, 8-double) rows, bounded by the sample.
+    # (vec_id, m, 8-double) rows; coalesce(1) because the set is
+    # PQ_TRAIN_N × M rows by construction — Lloyd rounds over it are
+    # single-task jobs, not 32-task stages of scheduling overhead.
     sub = tracked_persist(
-        samp.crossJoin(m_df).select(
+        samp.crossJoin(m_df)
+        .select(
             "vec_id",
             "m",
             F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
         )
+        .coalesce(1)
     )
     sqd = _SPARK_SQDIST.format(a="sv", b="cw")
     mean_cols = [
@@ -214,7 +230,8 @@ cw0 AS (
 tsamp AS (
   SELECT vec_id, embedding FROM embeddings
   WHERE vec_id >= {ANN_NUM_QUERIES}
-    AND ({duck_hexint("cast(vec_id as varchar)")}) % {PQ_SAMPLE_MOD} = 0
+  ORDER BY {duck_hexint("cast(vec_id as varchar)")}, vec_id
+  LIMIT {PQ_TRAIN_N}
 ),
 tsub AS (
   SELECT t.vec_id, ms.m,
@@ -323,7 +340,7 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale path: the code table (vec_id, m, code) is the ONLY per-corpus
     state the coarse pass reads (32× smaller scan than the float
-    vectors); codebook training is bounded by the hash-gated sample;
+    vectors); codebook training touches a fixed PQ_TRAIN_N-vector set;
     codewords and the per-query lookup table are tiny broadcasts; the
     ADC aggregation is map-side combined on (query_id, vec_id); float
     vectors re-join for just the survivors. Composes with the IVF cell
