@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_example_spark.operators import (
+    BPE_ORACLES,
+    BPE_QUERIES,
     CHARLM_ORACLES,
     CHARLM_QUERIES,
     CLUSTER_ORACLES,
@@ -75,10 +77,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the entries whose latest green row is round 4 (TPC-H suite, text
 # dedup, multimodal, corpus extras) — 2 rounds stale otherwise. Deferred
 # to round 7 on freeze-backed r4 evidence: `q_cube` (plans/scale.py
-# frozen), the two displaced extras, and `q_wordcount` (relational.py
+# frozen), the two displaced extras, `q_wordcount` (relational.py
 # frozen; its explode/word-frequency shape is also exercised by the
-# in-window tfidf/token entries) — the 50-row budget holds 11 + 3 + 36
-# exactly.
+# in-window tfidf/token entries), and `q13_custdist` (relational.py
+# frozen; outer-join + count-of-counts, shape-adjacent to the in-window
+# q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
 _REGISTER_FIRST = [
     # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",
@@ -96,6 +99,7 @@ _REGISTER_FIRST = [
     "quality_charlm",
     "domain_cap",
     "contamination_minhash",
+    "bpe_train",
     # (c) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
     "q_calculated",
     "q1_pricing",
@@ -107,7 +111,6 @@ _REGISTER_FIRST = [
     "q6_forecast",
     "q4_late_orders",
     "q_cust_no_orders",
-    "q13_custdist",
     "q14_promo",
     "q17_small_quantity",
     "q18_large_orders",
@@ -146,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(PARITY_QUERIES)
     out.update(TEXT_QUERIES)
+    out.update(BPE_QUERIES)
     out.update(CHARLM_QUERIES)
     out.update(CORPUS_QUERIES)
     out.update(DOMAIN_QUERIES)
@@ -167,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(PARITY_ORACLES)
     out.update(TEXT_ORACLES)
+    out.update(BPE_ORACLES)
     out.update(CHARLM_ORACLES)
     out.update(CORPUS_ORACLES)
     out.update(DOMAIN_ORACLES)

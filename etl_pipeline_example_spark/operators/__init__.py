@@ -4,6 +4,7 @@ from etl_pipeline_example_spark.operators.similarity import SIM_QUERIES, SIM_ORA
 from etl_pipeline_example_spark.operators.multimodal import MM_QUERIES, MM_ORACLES
 from etl_pipeline_example_spark.operators.corpus import CORPUS_QUERIES, CORPUS_ORACLES
 from etl_pipeline_example_spark.operators.cluster import CLUSTER_QUERIES, CLUSTER_ORACLES
+from etl_pipeline_example_spark.operators.bpe import BPE_QUERIES, BPE_ORACLES
 from etl_pipeline_example_spark.operators.charlm import CHARLM_QUERIES, CHARLM_ORACLES
 from etl_pipeline_example_spark.operators.domain import DOMAIN_QUERIES, DOMAIN_ORACLES
 from etl_pipeline_example_spark.operators.decontam import (
@@ -34,6 +35,8 @@ __all__ = [
     "CLUSTER_ORACLES",
     "CHARLM_QUERIES",
     "CHARLM_ORACLES",
+    "BPE_QUERIES",
+    "BPE_ORACLES",
     "DOMAIN_QUERIES",
     "DOMAIN_ORACLES",
 ]

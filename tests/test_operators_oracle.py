@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 
 from etl_pipeline_example_spark.operators import (
+    BPE_ORACLES,
+    BPE_QUERIES,
     CHARLM_ORACLES,
     CHARLM_QUERIES,
     DEDUP_ORACLES,
@@ -22,13 +24,31 @@ from etl_pipeline_example_spark.operators import (
 from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
-    **TEXT_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES,
+    **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
-    **TEXT_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES,
+    **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
+
+
+def test_bpe_merges_are_well_formed(spark, sf_dir):
+    """BPE invariants: rounds in order, merged symbol is the pair's
+    concatenation, and the winning pair count never increases across
+    rounds (a merge can only create pairs at most as frequent as the
+    symbol it merged)."""
+    from etl_pipeline_example_spark.operators.bpe import BPE_ROUNDS, bpe_train
+
+    rows = sorted(bpe_train(spark, sf_dir).collect(), key=lambda r: r["round"])
+    assert [r["round"] for r in rows] == list(range(BPE_ROUNDS))
+    for r in rows:
+        a, b = r["merge_pair"].split(" ")
+        assert a.startswith("_") and a.endswith("_") and b.startswith("_") and b.endswith("_")
+        assert r["merged"] == a[:-1] + b[1:]
+        assert r["pair_cnt"] > 0
+    cnts = [r["pair_cnt"] for r in rows]
+    assert all(cnts[i] >= cnts[i + 1] for i in range(len(cnts) - 1)), cnts
 
 
 @pytest.mark.parametrize("name", sorted(ALL_Q))
