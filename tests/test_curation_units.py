@@ -1,0 +1,107 @@
+"""Hand-verifiable unit tests for the round-6 curation operators.
+
+The oracle tests prove Spark and DuckDB agree; these prove the shared
+semantics are the INTENDED ones, on corpora small enough to compute the
+expected output by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source). Writes the documents
+    table layout the operators read."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_bpe_learns_hand_computed_merges(spark, tmp_path):
+    """Corpus: 'aaab' ×2, 'abab' ×1 (as one doc each — word freq comes
+    from occurrence count).
+
+    Round 0 weighted pairs: (a,a)=4, (a,b)=4, (b,a)=1 → tie broken by
+    pair ASC: merge (a,a) at count 4.
+    Round 1: (aa,a)=2, (a,b)=4, (b,a)=1 → merge (a,b) at 4.
+    Round 2: (aa,ab)=2, (ab,ab)=1 → merge (aa,ab) at 2.
+    """
+    from etl_pipeline_example_spark.operators.bpe import bpe_train
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, "aaab aaab abab", "en", "src1")],
+    )
+    rows = sorted(bpe_train(spark, sf).collect(), key=lambda r: r["round"])
+    got = [(r["round"], r["merge_pair"], r["merged"], r["pair_cnt"]) for r in rows]
+    assert got == [
+        (0, "_a_ _a_", "_aa_", 4),
+        (1, "_a_ _b_", "_ab_", 4),
+        (2, "_aa_ _ab_", "_aaab_", 2),
+    ], got
+
+
+def test_domain_cap_caps_the_skewed_source_only(spark, tmp_path):
+    """One source with 3×cap docs, one under the cap: the skewed source
+    ends at exactly DOMAIN_CAP, the small one survives whole."""
+    from etl_pipeline_example_spark.operators.domain import DOMAIN_CAP, domain_cap
+
+    rows = [(i, f"doc {i}", "en", "big") for i in range(3 * DOMAIN_CAP)]
+    rows += [(1000 + i, f"doc {1000 + i}", "en", "small") for i in range(5)]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = domain_cap(spark, sf).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(per["big"]) == DOMAIN_CAP
+    assert len(per["small"]) == 5
+
+
+def test_charlm_scores_typical_text_above_anomalous(spark, tmp_path):
+    """A corpus of near-identical 'the cat sat' docs plus one
+    rare-character outlier: the outlier must score strictly lowest —
+    the LM filter's entire job."""
+    from etl_pipeline_example_spark.operators.charlm import quality_charlm
+
+    rows = [(i, "the cat sat on the mat", "en", "src1") for i in range(12)]
+    rows.append((99, "zqxjkwvzzqxjkwvzzqxjkw", "en", "src1"))
+    sf = _write_docs(spark, tmp_path, rows)
+    scores = {r["doc_id"]: r["lm_score"] for r in quality_charlm(spark, sf).collect()}
+    outlier = scores.pop(99)
+    assert outlier < min(scores.values())
+
+
+def test_contamination_minhash_flags_the_paraphrase_not_the_stranger(spark, tmp_path):
+    """A train doc that is a near-copy of an eval doc (one token
+    changed; shingle Jaccard 7/9, hand-computed below) is flagged
+    against THAT eval doc with exactly that score; an unrelated train
+    doc is not flagged at all."""
+    from etl_pipeline_example_spark.operators.decontam import EVAL_SOURCE
+    from etl_pipeline_example_spark.operators.decontam_fuzzy import (
+        contamination_minhash,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    other = "one two three four five six seven eight nine ten"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, base, "en", EVAL_SOURCE),
+            (1, near, "en", "train"),
+            (2, other, "en", "train"),
+        ],
+    )
+    rows = contamination_minhash(spark, sf).collect()
+    flagged = {r["doc_id"]: (r["eval_doc_id"], r["jaccard"]) for r in rows}
+    assert 1 in flagged and flagged[1][0] == 0, rows
+    # 8 shingles per doc, the 7 not touching the changed last token are
+    # shared → jaccard = 7 / (8 + 8 - 7) = 7/9
+    assert flagged[1][1] == pytest.approx(7 / 9, abs=1e-4)
+    assert 2 not in flagged
