@@ -82,6 +82,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window tfidf/token entries), and `q13_custdist` (relational.py
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
+# `quality_buckets` (built late in round 6) registers BEYOND the window:
+# no driver row this round by construction — its evidence is the pytest
+# oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
+# leads the round-7 window.
 _REGISTER_FIRST = [
     # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",

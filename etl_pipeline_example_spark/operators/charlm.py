@@ -104,10 +104,62 @@ GROUP BY doc_id
 """
 
 
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket every doc by where its LM
+    score falls against the corpus 33rd/67th percentiles (head = most
+    typical text — CCNet keeps head+middle for training and uses tail
+    as the discard/low-trust slice).
+
+    Scale shape: the scored frame is computed once (persisted — two
+    consumers: the percentile scalar and the bucket projection), the
+    cut points are a broadcast one-row scalar, and bucketing is a pure
+    scan expression. Exact ``percentile`` shuffles the score list once;
+    at 100 TB switch to ``approx_percentile`` (t-digest) unless the cut
+    points are contractual."""
+    from etl_pipeline_example_spark.operators.simcore import (
+        release_similarity_caches,
+        tracked_persist,
+    )
+
+    release_similarity_caches()
+    scored = tracked_persist(quality_charlm(spark, sf_dir).select("doc_id", "lm_score"))
+    cuts = scored.agg(
+        F.expr("round(percentile(lm_score, 0.33), 6)").alias("p33"),
+        F.expr("round(percentile(lm_score, 0.67), 6)").alias("p67"),
+    )
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "lm_score",
+        F.expr(
+            "CASE WHEN lm_score >= p67 THEN 'head'"
+            " WHEN lm_score >= p33 THEN 'middle'"
+            " ELSE 'tail' END"
+        ).alias("bucket"),
+    )
+
+
+def _buckets_oracle() -> str:
+    return f"""
+WITH qscored AS ({_charlm_oracle()}),
+cuts AS (
+  SELECT round(percentile_cont(0.33) WITHIN GROUP (ORDER BY lm_score), 6) AS p33,
+         round(percentile_cont(0.67) WITHIN GROUP (ORDER BY lm_score), 6) AS p67
+  FROM qscored
+)
+SELECT doc_id, lm_score,
+       CASE WHEN lm_score >= p67 THEN 'head'
+            WHEN lm_score >= p33 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM qscored, cuts
+"""
+
+
 CHARLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_charlm": quality_charlm,
+    "quality_buckets": quality_buckets,
 }
 
 CHARLM_ORACLES: dict[str, str] = {
     "quality_charlm": _charlm_oracle(),
+    "quality_buckets": _buckets_oracle(),
 }
