@@ -15,6 +15,7 @@ from etl_pipeline_example_spark.operators.decontam_fuzzy import (
     DECONTAM_FUZZY_QUERIES,
     DECONTAM_FUZZY_ORACLES,
 )
+from etl_pipeline_example_spark.operators.dsir import DSIR_QUERIES, DSIR_ORACLES
 
 __all__ = [
     "DECONTAM_QUERIES",
@@ -39,4 +40,6 @@ __all__ = [
     "BPE_ORACLES",
     "DOMAIN_QUERIES",
     "DOMAIN_ORACLES",
+    "DSIR_QUERIES",
+    "DSIR_ORACLES",
 ]

@@ -105,3 +105,30 @@ def test_contamination_minhash_flags_the_paraphrase_not_the_stranger(spark, tmp_
     # shared → jaccard = 7 / (8 + 8 - 7) = 7/9
     assert flagged[1][1] == pytest.approx(7 / 9, abs=1e-4)
     assert 2 not in flagged
+
+
+def test_dsir_scores_target_like_docs_above_raw_typical(spark, tmp_path):
+    """Target (src0): 'a b a b' — bigram counts ab:2, ba:1 (T_t=3).
+    Raw: doc 1 'a b x' (bigrams ab, bx), doc 2 'x y z' (xy, yz; T_r=4).
+
+    λ(ab) = ((2+1)/(3+B)) / ((1+1)/(4+B)) ≈ 1.50 → the shared target
+    bigram contributes +0.5; every raw-only bigram has λ ≈ 0.5 → −0.5.
+    So doc 1 ≈ +0.002 outranks doc 2 ≈ −1.0 (< 0), and the target doc
+    itself never appears in the output.
+    """
+    from etl_pipeline_example_spark.operators.dsir import dsir_weights
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "a b a b", "en", "src0"),
+            (1, "a b x", "en", "src1"),
+            (2, "x y z", "en", "src2"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dsir_weights(spark, sf).collect()}
+    assert set(rows) == {1, 2}, rows
+    assert rows[1]["n_bigrams"] == 2 and rows[2]["n_bigrams"] == 2
+    assert rows[1]["dsir_score"] > rows[2]["dsir_score"]
+    assert rows[2]["dsir_score"] < 0

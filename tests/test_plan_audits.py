@@ -492,3 +492,17 @@ def test_domain_cap_rank_filter_compiles_to_window_group_limit(spark, sf_dir):
     plan = plan_str(domain_cap(spark, sf_dir), mode="simple")
     assert "WindowGroupLimit" in plan, plan
     assert "Partial" in plan, plan  # the pre-shuffle prune half
+
+
+def test_dsir_model_broadcasts_and_topk_is_take_ordered(spark, sf_dir):
+    """DSIR scale contract: the fitted bucket model joins the exploded
+    raw bigrams as a BROADCAST (≤ DSIR_BUCKETS rows — never a shuffle of
+    the corpus side), the one-row totals ride a broadcast nested loop,
+    and the final top-K is TakeOrderedAndProject, not a global sort."""
+    from etl_pipeline_example_spark.operators.dsir import dsir_weights
+
+    plan = plan_str(dsir_weights(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
