@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_pipeline_example_spark.operators import (
     BPE_ORACLES,
     BPE_QUERIES,
+    C4_ORACLES,
+    C4_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
     CHARLM_ORACLES,
@@ -84,8 +86,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window tfidf/token entries), and `q13_custdist` (relational.py
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
-# `quality_buckets` and `dsir_weights` (built late in round 6) register
-# BEYOND the window:
+# `quality_buckets`, `dsir_weights`, and `quality_c4` (built late in
+# round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -163,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DECONTAM_QUERIES)
     out.update(DECONTAM_FUZZY_QUERIES)
     out.update(DSIR_QUERIES)
+    out.update(C4_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -186,6 +189,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DECONTAM_ORACLES)
     out.update(DECONTAM_FUZZY_ORACLES)
     out.update(DSIR_ORACLES)
+    out.update(C4_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

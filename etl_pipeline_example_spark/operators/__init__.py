@@ -16,6 +16,7 @@ from etl_pipeline_example_spark.operators.decontam_fuzzy import (
     DECONTAM_FUZZY_ORACLES,
 )
 from etl_pipeline_example_spark.operators.dsir import DSIR_QUERIES, DSIR_ORACLES
+from etl_pipeline_example_spark.operators.c4 import C4_QUERIES, C4_ORACLES
 
 __all__ = [
     "DECONTAM_QUERIES",
@@ -42,4 +43,6 @@ __all__ = [
     "DOMAIN_ORACLES",
     "DSIR_QUERIES",
     "DSIR_ORACLES",
+    "C4_QUERIES",
+    "C4_ORACLES",
 ]

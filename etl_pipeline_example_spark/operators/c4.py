@@ -1,0 +1,129 @@
+"""C4-style rule-based document quality gate.
+
+Raffel et al. 2020 (T5 / C4) clean Common Crawl with a fixed list of
+per-document heuristics — length bounds, naturalness checks, markup and
+placeholder-text rejection — each a cheap scan-side predicate, with the
+keep decision their conjunction. This module implements that rule-gate
+shape over the documents table, adapted to the corpus at hand (the C4
+terminal-punctuation rule is replaced by a stopword-presence check —
+the same "does this read like prose" intent — because the gate must be
+non-vacuous on whatever corpus it runs over):
+
+  - word-count bounds  (C4 drops pages with < 5 sentences / too few
+    words; here ``C4_MIN_WORDS`` ≤ n ≤ ``C4_MAX_WORDS``),
+  - mean-token-length band (C4's 3..10 chars, kept verbatim) — checked
+    as the INTEGER inequality  3·n ≤ Σlen ≤ 10·n, so the mean is never
+    materialized as a float and the flag is bit-exact in any engine,
+  - stopword presence (prose contains function words),
+  - markup/placeholder rejection (no ``{`` — C4's JavaScript/code
+    tell — and no ``lorem ipsum``).
+
+Every flag is an integer/boolean expression over one scan: no shuffle,
+no join, no floating point anywhere. ``keep`` is the conjunction.
+
+No reference counterpart (the reference is a 305-LoC ETL example);
+LLM-pipeline surface, SURVEY.md §2 row 29d.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.hashing import duck_tokens, spark_tokens
+from etl_pipeline_example_spark.sources.readers import read_table
+
+C4_MIN_WORDS = 20
+C4_MAX_WORDS = 5000
+C4_MEAN_LEN_LO = 3  # chars — C4's mean-word-length band
+C4_MEAN_LEN_HI = 10
+C4_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
+
+
+def quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc C4 rule flags + keep conjunction: (doc_id, word_cnt,
+    tok_chars, len_ok, mean_len_ok, has_stopword, clean_markup, keep).
+
+    Scale shape: a single projection over the scan — every rule is a
+    scan-side expression inside whole-stage codegen, there is no
+    shuffle, no join, no aggregation, and column pruning reaches the
+    reader (only doc_id and text are read). At 100 TB this runs at
+    I/O speed, which is the entire point of rule-based gates: they are
+    the first, cheapest pass of the cleaning funnel.
+    """
+    sw = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.expr(spark_tokens("text")).alias("tk"),
+        )
+        .select(
+            "doc_id",
+            F.expr("size(tk)").alias("word_cnt"),
+            F.expr(
+                "aggregate(tk, 0L, (acc, t) -> acc + length(t))"
+            ).alias("tok_chars"),
+            F.expr(f"arrays_overlap(tk, array({sw}))").alias("has_stopword"),
+            F.expr(
+                "NOT (instr(lower(text), '{') > 0"
+                " OR instr(lower(text), 'lorem ipsum') > 0)"
+            ).alias("clean_markup"),
+        )
+        .select(
+            "doc_id",
+            "word_cnt",
+            "tok_chars",
+            F.expr(
+                f"word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS}"
+            ).alias("len_ok"),
+            F.expr(
+                f"tok_chars >= {C4_MEAN_LEN_LO} * word_cnt"
+                f" AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt"
+            ).alias("mean_len_ok"),
+            "has_stopword",
+            "clean_markup",
+        )
+        .withColumn(
+            "keep",
+            F.expr("len_ok AND mean_len_ok AND has_stopword AND clean_markup"),
+        )
+    )
+
+
+_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+
+QUALITY_C4_SQL = f"""
+WITH flags AS (
+  SELECT doc_id,
+         len(tk) AS word_cnt,
+         cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
+              AS bigint) AS tok_chars,
+         len(list_intersect(tk, [{_SW_DUCK}])) > 0 AS has_stopword,
+         NOT (position('{{' IN lower(text)) > 0
+              OR position('lorem ipsum' IN lower(text)) > 0) AS clean_markup
+  FROM (SELECT doc_id, text, {duck_tokens("text")} AS tk FROM documents)
+)
+SELECT doc_id, word_cnt, tok_chars,
+       word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS} AS len_ok,
+       tok_chars >= {C4_MEAN_LEN_LO} * word_cnt
+         AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt AS mean_len_ok,
+       has_stopword, clean_markup,
+       (word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS})
+         AND (tok_chars >= {C4_MEAN_LEN_LO} * word_cnt
+              AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt)
+         AND has_stopword AND clean_markup AS keep
+FROM flags
+"""
+
+
+C4_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_c4": quality_c4,
+}
+
+C4_ORACLES: dict[str, str] = {
+    "quality_c4": QUALITY_C4_SQL,
+}

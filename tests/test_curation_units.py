@@ -132,3 +132,30 @@ def test_dsir_scores_target_like_docs_above_raw_typical(spark, tmp_path):
     assert rows[1]["n_bigrams"] == 2 and rows[2]["n_bigrams"] == 2
     assert rows[1]["dsir_score"] > rows[2]["dsir_score"]
     assert rows[2]["dsir_score"] < 0
+
+
+def test_quality_c4_each_rule_fires_on_its_planted_violation(spark, tmp_path):
+    """Five planted docs, one per rule: a clean prose doc keeps; a
+    5-word doc fails len_ok; a '{'-bearing doc fails clean_markup; a
+    doc of 25 twelve-char words fails mean_len_ok; a 25-word doc with
+    no function words fails has_stopword."""
+    from etl_pipeline_example_spark.operators.c4 import quality_c4
+
+    prose = "the quick brown fox jumps over a lazy dog near the river bank " * 2
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, prose, "en", "src1"),
+            (1, "too few words here now", "en", "src1"),
+            (2, prose + " { code }", "en", "src1"),
+            (3, " ".join(["zzzzzzzzzzzz"] * 25), "en", "src1"),
+            (4, " ".join([f"word{i}" for i in range(25)]), "en", "src1"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in quality_c4(spark, sf).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["len_ok"] is False and rows[1]["keep"] is False
+    assert rows[2]["clean_markup"] is False and rows[2]["keep"] is False
+    assert rows[3]["mean_len_ok"] is False and rows[3]["keep"] is False
+    assert rows[4]["has_stopword"] is False and rows[4]["keep"] is False

@@ -506,3 +506,21 @@ def test_dsir_model_broadcasts_and_topk_is_take_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_quality_c4_is_a_pure_scan(spark, sf_dir):
+    """The C4 rule gate is the cheapest pass of the cleaning funnel:
+    every rule must stay a scan-side expression — no Exchange, no join,
+    no aggregate — and column pruning must reach the reader."""
+    from etl_pipeline_example_spark.operators.c4 import quality_c4
+
+    df = quality_c4(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    # the only allowed Exchange is read_table(parallel=True)'s round-robin
+    # reader fan-out; a hashpartitioning Exchange would mean a real shuffle
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    formatted = plan_str(df, mode="formatted")
+    schema_lines = [ln for ln in formatted.splitlines() if "ReadSchema" in ln]
+    assert schema_lines and "lang" not in schema_lines[0], schema_lines
