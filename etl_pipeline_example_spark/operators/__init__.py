@@ -17,6 +17,7 @@ from etl_pipeline_example_spark.operators.decontam_fuzzy import (
 )
 from etl_pipeline_example_spark.operators.dsir import DSIR_QUERIES, DSIR_ORACLES
 from etl_pipeline_example_spark.operators.c4 import C4_QUERIES, C4_ORACLES
+from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
 
 __all__ = [
     "DECONTAM_QUERIES",
@@ -45,4 +46,6 @@ __all__ = [
     "DSIR_ORACLES",
     "C4_QUERIES",
     "C4_ORACLES",
+    "PMI_QUERIES",
+    "PMI_ORACLES",
 ]

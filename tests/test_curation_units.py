@@ -159,3 +159,19 @@ def test_quality_c4_each_rule_fires_on_its_planted_violation(spark, tmp_path):
     assert rows[2]["clean_markup"] is False and rows[2]["keep"] is False
     assert rows[3]["mean_len_ok"] is False and rows[3]["keep"] is False
     assert rows[4]["has_stopword"] is False and rows[4]["keep"] is False
+
+
+def test_pmi_lift_matches_hand_computation(spark, tmp_path):
+    """Corpus 'x y x y x y x y x y x y': 12 tokens, 11 bigrams —
+    (x,y)×6 and (y,x)×5. Marginals: l(x)=6, l(y)=5, r(y)=6, r(x)=5.
+    lift(x,y) = 6·11/(6·6) = 11/6; lift(y,x) = 5·11/(5·5) = 11/5 —
+    the rarer-marginal pair outranks the more frequent one, which is
+    exactly what separates PMI from raw counts."""
+    from etl_pipeline_example_spark.operators.pmi import pmi_bigrams
+
+    sf = _write_docs(spark, tmp_path, [(0, "x y " * 6, "en", "src1")])
+    rows = [
+        (r["w1"], r["w2"], r["pair_cnt"], r["lift"])
+        for r in pmi_bigrams(spark, sf).collect()
+    ]
+    assert rows == [("y", "x", 5, 55 / 25), ("x", "y", 6, 66 / 36)], rows

@@ -17,6 +17,8 @@ from etl_pipeline_example_spark.operators import (
     C4_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    PMI_ORACLES,
+    PMI_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
     SIM_ORACLES,
@@ -28,11 +30,11 @@ from etl_pipeline_example_spark.operators import (
 from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
-    **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES,
+    **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
-    **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES,
+    **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
 

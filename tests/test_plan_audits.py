@@ -524,3 +524,18 @@ def test_quality_c4_is_a_pure_scan(spark, sf_dir):
     formatted = plan_str(df, mode="formatted")
     schema_lines = [ln for ln in formatted.splitlines() if "ReadSchema" in ln]
     assert schema_lines and "lang" not in schema_lines[0], schema_lines
+
+
+def test_pmi_pair_agg_is_partial_and_topk_is_take_ordered(spark, sf_dir):
+    """PMI scale contract: the (w1,w2) pair aggregation partial-aggregates
+    map-side (the shuffle carries distinct pairs, not token occurrences),
+    the one-row total broadcasts, and the top-K is TakeOrderedAndProject
+    — never a global sort of the pair table."""
+    from etl_pipeline_example_spark.operators.pmi import pmi_bigrams
+
+    df = pmi_bigrams(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row total
+    formatted = plan_str(df, mode="formatted")
+    assert "partial_count" in formatted or "Partial" in formatted, formatted
