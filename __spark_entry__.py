@@ -16,6 +16,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_pipeline_example_spark.operators import (
+    BOILERSTRIP_ORACLES,
+    BOILERSTRIP_QUERIES,
     BPE_ORACLES,
     BPE_QUERIES,
     C4_ORACLES,
@@ -88,8 +90,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window tfidf/token entries), and `q13_custdist` (relational.py
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
-# `quality_buckets`, `dsir_weights`, `quality_c4`, and `pmi_bigrams`
-# (built late in round 6) register BEYOND the window:
+# `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`, and
+# `boilerplate_strip` (built late in round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -169,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DSIR_QUERIES)
     out.update(C4_QUERIES)
     out.update(PMI_QUERIES)
+    out.update(BOILERSTRIP_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -194,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DSIR_ORACLES)
     out.update(C4_ORACLES)
     out.update(PMI_ORACLES)
+    out.update(BOILERSTRIP_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

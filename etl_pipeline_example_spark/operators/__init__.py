@@ -18,6 +18,10 @@ from etl_pipeline_example_spark.operators.decontam_fuzzy import (
 from etl_pipeline_example_spark.operators.dsir import DSIR_QUERIES, DSIR_ORACLES
 from etl_pipeline_example_spark.operators.c4 import C4_QUERIES, C4_ORACLES
 from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
+from etl_pipeline_example_spark.operators.boilerstrip import (
+    BOILERSTRIP_QUERIES,
+    BOILERSTRIP_ORACLES,
+)
 
 __all__ = [
     "DECONTAM_QUERIES",
@@ -48,4 +52,6 @@ __all__ = [
     "C4_ORACLES",
     "PMI_QUERIES",
     "PMI_ORACLES",
+    "BOILERSTRIP_QUERIES",
+    "BOILERSTRIP_ORACLES",
 ]

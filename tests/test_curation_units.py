@@ -175,3 +175,35 @@ def test_pmi_lift_matches_hand_computation(spark, tmp_path):
         for r in pmi_bigrams(spark, sf).collect()
     ]
     assert rows == [("y", "x", 5, 55 / 25), ("x", "y", 6, 66 / 36)], rows
+
+
+def test_boilerplate_strip_removes_shared_chunk_and_keeps_unique_tail(spark, tmp_path):
+    """Docs 0 and 1 share a 32-token boilerplate prefix chunk followed by
+    a unique 32-token tail; doc 2 is all-unique; doc 3 is ONLY the
+    boilerplate. The shared chunk is dropped from 0/1, doc 2 is
+    untouched, doc 3 vanishes (nothing left), and doc 0's clean hash is
+    exactly md5 of its unique tail."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.boilerstrip import boilerplate_strip
+
+    boiler = " ".join(f"b{i}" for i in range(32))
+    u0 = " ".join(f"u{i}" for i in range(32))
+    u1 = " ".join(f"v{i}" for i in range(32))
+    u2 = " ".join(f"w{i}" for i in range(32))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, f"{boiler} {u0}", "en", "src1"),
+            (1, f"{boiler} {u1}", "en", "src1"),
+            (2, u2, "en", "src1"),
+            (3, boiler, "en", "src1"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in boilerplate_strip(spark, sf).collect()}
+    assert set(rows) == {0, 1, 2}, rows
+    assert (rows[0]["n_chunks"], rows[0]["n_kept"], rows[0]["n_dropped"]) == (2, 1, 1)
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"], rows[1]["n_dropped"]) == (2, 1, 1)
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"], rows[2]["n_dropped"]) == (1, 1, 0)
+    assert rows[0]["clean_hash"] == hashlib.md5(u0.encode()).hexdigest()

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 
 from etl_pipeline_example_spark.operators import (
+    BOILERSTRIP_ORACLES,
+    BOILERSTRIP_QUERIES,
     BPE_ORACLES,
     BPE_QUERIES,
     CHARLM_ORACLES,
@@ -31,10 +33,12 @@ from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
+    **BOILERSTRIP_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
+    **BOILERSTRIP_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
 

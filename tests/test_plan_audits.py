@@ -539,3 +539,20 @@ def test_pmi_pair_agg_is_partial_and_topk_is_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # the one-row total
     formatted = plan_str(df, mode="formatted")
     assert "partial_count" in formatted or "Partial" in formatted, formatted
+
+
+def test_boilerplate_strip_reuses_cached_chunks_and_joins_on_hash(spark, sf_dir):
+    """The chunk explode must run once: its three consumers (removal
+    list, totals, anti-join) read the persisted frame — ≥ 2
+    InMemoryTableScans in the final plan. The anti-join build side is
+    the narrow chunk_hash list, so no exchange partitioned on
+    chunk_hash may carry chunk_text."""
+    from etl_pipeline_example_spark.operators.boilerstrip import boilerplate_strip
+
+    df = boilerplate_strip(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    fmt = plan_str(df, mode="formatted")
+    for b in _formatted_blocks(fmt):
+        if ") Exchange" in b.split("\n")[0] and "hashpartitioning(chunk_hash" in b:
+            assert "chunk_text" not in b, b
