@@ -87,7 +87,12 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-output pass, scoring is embarrassingly parallel.
     """
     docs = read_table(spark, sf_dir, "documents", parallel=True)
-    grams = _bigram_buckets(docs)
+    # persisted: the md5-derived bucket hash is the dominant per-row cost
+    # and BOTH consumers (model fit, raw-pool scoring) need it — without
+    # the cache the explode+hash runs twice (measured 2× at sf0.1). The
+    # cached rows are three narrow columns; at corpus scale this spills
+    # to disk rather than re-hashing (the decontam module's contract).
+    grams = _bigram_buckets(docs).persist()
     model = grams.groupBy("bucket").agg(
         F.sum(
             F.expr(f"CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END")
