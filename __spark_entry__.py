@@ -90,8 +90,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window tfidf/token entries), and `q13_custdist` (relational.py
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
-# `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`, and
-# `boilerplate_strip` (built late in round 6) register BEYOND the window:
+# `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
+# `boilerplate_strip`, and `bpe_encode` (built late in round 6) register
+# BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.

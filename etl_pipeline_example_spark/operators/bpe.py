@@ -50,9 +50,13 @@ _SPARK_PAIRS = (
 )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(round, merge_pair, merged, pair_cnt): the first ``BPE_ROUNDS``
-    BPE merges learned from the corpus, in merge order."""
+def _train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """Run the ``BPE_ROUNDS`` merge loop; return (merges, the persisted
+    base vocabulary, and the final vocabulary with all merges applied).
+    The caller owns the persist (bpe_train releases it; bpe_encode keeps
+    it live through its vocabulary join)."""
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
     words = (
@@ -79,9 +83,44 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.withColumn(
             "sym", F.expr(f"replace(sym, '{top['pair']}', '{merged}')")
         )
+    return merges, words, cur
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(round, merge_pair, merged, pair_cnt): the first ``BPE_ROUNDS``
+    BPE merges learned from the corpus, in merge order."""
+    merges, words, _ = _train(spark, sf_dir)
     words.unpersist()
     return spark.createDataFrame(
         merges, "round int, merge_pair string, merged string, pair_cnt bigint"
+    )
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained merges:
+    (doc_id, n_words, n_bpe_tokens).
+
+    The scale insight tokenizer APPLICATION shares with training: all
+    merge work happens on the VOCABULARY (word, sym) table — each word
+    is segmented once however many times it occurs — and documents just
+    join their exploded words to the finished per-word symbol count.
+    The join key is the word; the vocabulary side grows sublinearly
+    (Heaps' law) and carries two narrow columns, the per-doc aggregate
+    is map-side combined, and no merge ever touches a corpus-sized row.
+    """
+    _, words, final = _train(spark, sf_dir)
+    vocab = final.select(
+        "word", F.expr("size(split(sym, ' '))").alias("n_sym")
+    )
+    docs = read_table(spark, sf_dir, "documents", parallel=True)
+    return (
+        docs.select("doc_id", F.explode(F.expr(spark_tokens("text"))).alias("word"))
+        .join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
     )
 
 
@@ -125,10 +164,41 @@ s0 AS (
 )
 
 
+BPE_ENCODE_SQL = (
+    f"""
+WITH w AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest({duck_tokens("text")}) AS word FROM documents)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT word, freq,
+         rtrim(regexp_replace(word, '(.)', '_\\1_ ', 'g')) AS sym
+  FROM w
+),
+"""
+    + ",\n".join(_duck_round(r) for r in range(BPE_ROUNDS))
+    + f""",
+vocab AS (
+  SELECT word, len(string_split(sym, ' ')) AS n_sym FROM s{BPE_ROUNDS}
+),
+dw AS (
+  SELECT doc_id, unnest({duck_tokens("text")}) AS word FROM documents
+)
+SELECT doc_id, count(*) AS n_words,
+       cast(sum(n_sym) AS bigint) AS n_bpe_tokens
+FROM dw JOIN vocab USING (word)
+GROUP BY 1
+"""
+)
+
+
 BPE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
 }
 
 BPE_ORACLES: dict[str, str] = {
     "bpe_train": BPE_TRAIN_SQL,
+    "bpe_encode": BPE_ENCODE_SQL,
 }

@@ -207,3 +207,15 @@ def test_boilerplate_strip_removes_shared_chunk_and_keeps_unique_tail(spark, tmp
     assert (rows[1]["n_chunks"], rows[1]["n_kept"], rows[1]["n_dropped"]) == (2, 1, 1)
     assert (rows[2]["n_chunks"], rows[2]["n_kept"], rows[2]["n_dropped"]) == (1, 1, 0)
     assert rows[0]["clean_hash"] == hashlib.md5(u0.encode()).hexdigest()
+
+
+def test_bpe_encode_applies_learned_merges_at_vocabulary_level(spark, tmp_path):
+    """Same corpus as the bpe_train test ('aaab aaab abab'): the learned
+    merges collapse 'aaab' to ONE symbol and 'abab' to TWO ('_ab_ _ab_'),
+    so the doc's 3 words encode to 1+1+2 = 4 BPE tokens."""
+    from etl_pipeline_example_spark.operators.bpe import bpe_encode
+
+    sf = _write_docs(spark, tmp_path, [(0, "aaab aaab abab", "en", "src1")])
+    rows = bpe_encode(spark, sf).collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_words"], rows[0]["n_bpe_tokens"]) == (3, 4), rows
