@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.profiling import (
+    PROFILE_QUERIES,
+    PROFILE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.relational import (
     RELATIONAL_QUERIES,
     RELATIONAL_ORACLES,
@@ -12,4 +16,6 @@ __all__ = [
     "RELATIONAL_ORACLES",
     "SCALE_QUERIES",
     "SCALE_ORACLES",
+    "PROFILE_QUERIES",
+    "PROFILE_ORACLES",
 ]

@@ -219,3 +219,37 @@ def test_bpe_encode_applies_learned_merges_at_vocabulary_level(spark, tmp_path):
     rows = bpe_encode(spark, sf).collect()
     assert len(rows) == 1
     assert (rows[0]["n_words"], rows[0]["n_bpe_tokens"]) == (3, 4), rows
+
+
+def test_dq_profile_approx_lands_inside_sketch_error_bounds(spark):
+    """Sketch estimates vs exact answers on the real sf0.001 orders
+    table: HLL++ distinct counts within 3×rsd of exact, GK percentiles
+    within the rank-error window of the exact sorted values."""
+    from etl_pipeline_example_spark.plans.profiling import HLL_RSD, dq_profile_approx
+    from etl_pipeline_example_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["col_name"]: r for r in dq_profile_approx(spark, sf).collect()}
+    orders = read_table(spark, sf, "orders")
+    exact = orders.agg(
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.countDistinct("o_totalprice").alias("d_price"),
+        F.expr("percentile(o_custkey, 0.5)").alias("p50_cust"),
+        F.expr("percentile(o_custkey, 0.9)").alias("p90_cust"),
+    ).collect()[0]
+    for col, d in (
+        ("o_orderstatus", exact["d_status"]),
+        ("o_custkey", exact["d_cust"]),
+        ("o_totalprice", exact["d_price"]),
+    ):
+        got = rows[col]["approx_distinct"]
+        assert abs(got - d) <= max(1, 3 * HLL_RSD * d), (col, got, d)
+    # GK percentile: allow a generous ±2% of the value range for rank error
+    lo, hi = orders.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+    span = (hi - lo) * 0.02
+    assert abs(rows["o_custkey"]["p50"] - exact["p50_cust"]) <= span + 1
+    assert abs(rows["o_custkey"]["p90"] - exact["p90_cust"]) <= span + 1
+    # nulls/row counts are exact by construction
+    assert all(r["n_nulls"] == 0 for r in rows.values())

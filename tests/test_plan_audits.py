@@ -556,3 +556,23 @@ def test_boilerplate_strip_reuses_cached_chunks_and_joins_on_hash(spark, sf_dir)
     for b in _formatted_blocks(fmt):
         if ") Exchange" in b.split("\n")[0] and "hashpartitioning(chunk_hash" in b:
             assert "chunk_text" not in b, b
+
+
+def test_dq_profile_approx_is_one_bounded_aggregation_pass(spark, sf_dir):
+    """The sketch profile must stay ONE aggregation over one scan with a
+    map-side partial (sketches are fixed-size mergeable buffers — that
+    bounded-state property is the whole point vs exact dq_profile): two
+    aggregate nodes, one scan, no join, no countDistinct expand."""
+    from etl_pipeline_example_spark.plans.profiling import dq_profile_approx
+
+    plan = (
+        dq_profile_approx(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "Expand" not in plan, plan  # exact multi-countDistinct shape
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("ObjectHashAggregate") == 2, plan
+    assert "partial_approx_count_distinct" in plan, plan  # map-side sketch
