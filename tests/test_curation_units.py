@@ -253,3 +253,61 @@ def test_dq_profile_approx_lands_inside_sketch_error_bounds(spark):
     assert abs(rows["o_custkey"]["p90"] - exact["p90_cust"]) <= span + 1
     # nulls/row counts are exact by construction
     assert all(r["n_nulls"] == 0 for r in rows.values())
+
+
+def test_embed_rp_projects_basis_vector_to_hashed_sign_row(spark, tmp_path):
+    """A one-hot embedding e_d isolates matrix column d: proj_j must be
+    exactly 0.25·sign(j, d), with the sign recomputed here via hashlib —
+    pinning that the engine's matrix IS the md5 derivation."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.rp import RP_K, embed_rp
+
+    d = 3  # 1-indexed dim carrying the 1.0
+    vec = [0.0] * 8
+    vec[d - 1] = 1.0
+    df = spark.createDataFrame(
+        [(0, vec, 1)], "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    row = embed_rp(spark, str(tmp_path)).collect()[0]
+    expected = [
+        0.25 * (1.0 if hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[0] < "8" else -1.0)
+        for j in range(RP_K)
+    ]
+    assert row["proj"] == expected, (row["proj"], expected)
+
+
+def test_embed_rp_roughly_preserves_pairwise_distances(spark):
+    """JL sanity on real sf0.001 embeddings: for sampled pairs, the
+    projected squared distance is within a loose [0.2, 5] factor of the
+    original (k=16 gives weak concentration; this guards sign/scale
+    bugs, not the lemma's tight bound)."""
+    from etl_pipeline_example_spark.operators.rp import embed_rp
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in read_table(spark, sf, "embeddings").limit(6).collect()
+    }
+    proj = {
+        r["vec_id"]: r["proj"]
+        for r in embed_rp(spark, sf).collect()
+        if r["vec_id"] in orig
+    }
+
+    def sq(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    ids = sorted(orig)
+    checked = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = sq(orig[ids[i]], orig[ids[j]])
+            if d0 < 1e-12:
+                continue
+            ratio = sq(proj[ids[i]], proj[ids[j]]) / d0
+            assert 0.2 <= ratio <= 5.0, (ids[i], ids[j], ratio)
+            checked += 1
+    assert checked >= 10

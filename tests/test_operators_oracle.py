@@ -23,6 +23,8 @@ from etl_pipeline_example_spark.operators import (
     PMI_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
+    RP_ORACLES,
+    RP_QUERIES,
     SIM_ORACLES,
     SIM_QUERIES,
     TEXT_ORACLES,
@@ -33,12 +35,12 @@ from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
-    **BOILERSTRIP_QUERIES,
+    **BOILERSTRIP_QUERIES, **RP_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
-    **BOILERSTRIP_ORACLES,
+    **BOILERSTRIP_ORACLES, **RP_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
 

@@ -576,3 +576,15 @@ def test_dq_profile_approx_is_one_bounded_aggregation_pass(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan
     assert plan.count("ObjectHashAggregate") == 2, plan
     assert "partial_approx_count_distinct" in plan, plan  # map-side sketch
+
+
+def test_embed_rp_is_a_pure_scan(spark, sf_dir):
+    """Random projection is scan-speed by construction: the sign matrix
+    is inlined as literals, so the plan must contain no shuffle, no
+    join, no aggregate — just the projection over the reader."""
+    from etl_pipeline_example_spark.operators.rp import embed_rp
+
+    plan = plan_str(embed_rp(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Aggregate" not in plan, plan
