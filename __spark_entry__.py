@@ -42,6 +42,8 @@ from etl_pipeline_example_spark.operators import (
     DEDUP_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
+    PCA_ORACLES,
+    PCA_QUERIES,
     RP_ORACLES,
     RP_QUERIES,
     SIM_ORACLES,
@@ -95,8 +97,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
 # `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
-# `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, and `embed_rp`
-# (built late in round 6) register BEYOND the window:
+# `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`, and
+# `embed_pca` (built late in round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -179,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BOILERSTRIP_QUERIES)
     out.update(PROFILE_QUERIES)
     out.update(RP_QUERIES)
+    out.update(PCA_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -207,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BOILERSTRIP_ORACLES)
     out.update(PROFILE_ORACLES)
     out.update(RP_ORACLES)
+    out.update(PCA_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -19,6 +19,7 @@ from etl_pipeline_example_spark.operators.dsir import DSIR_QUERIES, DSIR_ORACLES
 from etl_pipeline_example_spark.operators.c4 import C4_QUERIES, C4_ORACLES
 from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
 from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
+from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.boilerstrip import (
     BOILERSTRIP_QUERIES,
     BOILERSTRIP_ORACLES,
@@ -57,4 +58,6 @@ __all__ = [
     "BOILERSTRIP_ORACLES",
     "RP_QUERIES",
     "RP_ORACLES",
+    "PCA_QUERIES",
+    "PCA_ORACLES",
 ]

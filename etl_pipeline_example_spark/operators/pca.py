@@ -1,0 +1,138 @@
+"""PCA embedding compression via distributed gram-matrix aggregation.
+
+The trained counterpart of ``embed_rp``: where JL projection needs no
+data, PCA fits the directions that actually carry the corpus' variance
+— the classic pre-indexing reduction (and the rotation step OPQ-style
+quantizers build on). The decomposition itself is tiny (d×d); what has
+to scale is accumulating the covariance from N vectors, and that is the
+part expressed as DataFrame ops:
+
+  pass 1   per-dim means — one aggregation, d-bounded output;
+  pass 2   upper-triangle covariance sums — explode each vector into
+           its d(d+1)/2 centered products, map-side-combined groupBy:
+           the shuffle carries d(d+1)/2 partial rows per partition,
+           NEVER a vector; at 100 TB this is the one corpus-scale pass
+           and it is embarrassingly parallel;
+  driver   numpy ``eigh`` on the d×d matrix (microseconds — the same
+           driver-side-small-state pattern as kmeans_fit's centroids);
+  project  y = Vᵀ(x − μ) as an Arrow-batched pandas UDF: the matmul
+           runs vectorized numpy per batch, the correct tool for a
+           dense BLAS kernel (element-wise SQL folds re-derive it ~10×
+           slower at d=64, and there is no oracle to stay exact for).
+
+No SQL oracle by design: eigenvectors are sign/rotation ambiguous and
+library-specific, so cross-engine value equality is ill-posed — the
+driver records the rows-only check and the REAL contract is pytest-
+pinned algebra: orthonormal components, descending eigenvalues whose
+sum matches the total variance, and per-component projected variance
+equal to its eigenvalue.
+
+No reference counterpart (the reference is a 305-LoC ETL example);
+LLM-pipeline surface, SURVEY.md §2 row 27i.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.sources.readers import read_table
+
+PCA_COMPONENTS = 8
+
+
+def _fit_pca(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit on the embeddings table: (mu[d], V[d, P], eigvals[P]).
+
+    V's columns are the top-``PCA_COMPONENTS`` eigenvectors of the
+    sample covariance (descending eigenvalue), sign-canonicalized so the
+    largest-magnitude entry of each component is positive (eigh's sign
+    is arbitrary; pinning it makes the fit deterministic given the
+    covariance).
+    """
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+    d = len(emb.select("embedding").first()["embedding"])
+    n = emb.count()
+
+    # ONE corpus pass for both moment orders: each vector explodes into
+    # d linear-sum sentinels (j = 0) plus its d(d+1)/2 upper-triangle
+    # products, and a single map-side-combined groupBy reduces them —
+    # the shuffle carries ≤ d(d+1)/2 + d partial rows per partition,
+    # never a vector. cov is then (Σxixj − n·μiμj)/(n−1) on the driver.
+    moments = (
+        emb.select(
+            F.expr(
+                f"transform(sequence(1, {d}),"
+                " i -> cast(element_at(embedding, i) as double))"
+            ).alias("x")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"concat("
+                    f" transform(sequence(1, {d}),"
+                    "  i -> struct(i as i, 0 as j, x[i - 1] as v)),"
+                    f" flatten(transform(sequence(1, {d}), i ->"
+                    f"  transform(sequence(i, {d}), j ->"
+                    "   struct(i as i, j as j, x[i - 1] * x[j - 1] as v)))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.i", "p.j")
+        .agg(F.sum("p.v").alias("s"))
+        .collect()
+    )
+    mu = np.zeros(d)
+    S = np.zeros((d, d))
+    for r in moments:
+        if r["j"] == 0:
+            mu[r["i"] - 1] = r["s"] / n
+        else:
+            S[r["i"] - 1, r["j"] - 1] = S[r["j"] - 1, r["i"] - 1] = r["s"]
+    cov = (S - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending
+    idx = np.argsort(w)[::-1][:PCA_COMPONENTS]
+    eigvals, V = w[idx], v[:, idx]
+    for k in range(V.shape[1]):  # canonical sign
+        if V[np.argmax(np.abs(V[:, k])), k] < 0:
+            V[:, k] = -V[:, k]
+    return mu, V, eigvals
+
+
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, pc): every embedding projected onto the top
+    ``PCA_COMPONENTS`` principal components.
+
+    The fit collects only d-bounded state to the driver (means +
+    d(d+1)/2 covariance sums); the projection broadcasts (μ, V) inside
+    an Arrow-batched pandas UDF — one numpy matmul per batch, no
+    per-row Python.
+    """
+    mu, V, _ = _fit_pca(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+
+    from pyspark.sql.functions import pandas_udf
+
+    mu_b, v_b = mu.copy(), V.copy()
+
+    @pandas_udf("array<double>")
+    def project(col):
+        import pandas as pd
+
+        X = np.vstack(col.to_numpy())  # (batch, d) float32
+        Y = (X.astype(np.float64) - mu_b) @ v_b
+        return pd.Series(list(Y))
+
+    return emb.select("vec_id", "label", project("embedding").alias("pc"))
+
+
+PCA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embed_pca": embed_pca,
+}
+
+# intentionally empty: eigendecomposition is sign/library-specific (see
+# module doc) — pytest pins the algebraic contract instead
+PCA_ORACLES: dict[str, str] = {}

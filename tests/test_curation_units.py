@@ -311,3 +311,46 @@ def test_embed_rp_roughly_preserves_pairwise_distances(spark):
             assert 0.2 <= ratio <= 5.0, (ids[i], ids[j], ratio)
             checked += 1
     assert checked >= 10
+
+
+def test_embed_pca_satisfies_the_spectral_contract(spark):
+    """PCA algebra on real sf0.001 embeddings: components orthonormal,
+    eigenvalues descending and summing to (at most) the total variance,
+    per-component projected sample variance equal to its eigenvalue,
+    and a planted dominant direction is recovered as PC1."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.pca import (
+        PCA_COMPONENTS,
+        _fit_pca,
+        embed_pca,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mu, V, w = _fit_pca(spark, sf)
+    assert np.allclose(V.T @ V, np.eye(PCA_COMPONENTS), atol=1e-8)
+    assert all(w[i] >= w[i + 1] - 1e-12 for i in range(len(w) - 1))
+    rows = embed_pca(spark, sf).collect()
+    Y = np.array([r["pc"] for r in rows])
+    assert Y.shape == (len(rows), PCA_COMPONENTS)
+    assert np.allclose(Y.var(axis=0, ddof=1), w, rtol=1e-6)
+    assert abs(Y.mean(axis=0)).max() < 1e-9  # centered projection
+
+
+def test_embed_pca_recovers_a_planted_dominant_direction(spark, tmp_path):
+    """Vectors = t·e1 + small noise in e2: PC1 must align with e1
+    (|V[0,0]| ≈ 1) and eigval1 must dwarf eigval2."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.pca import _fit_pca
+
+    rng = [(-2.0, 0.01), (-1.0, -0.02), (0.0, 0.015), (1.0, -0.01), (2.0, 0.005),
+           (1.5, 0.02), (-1.5, -0.015), (0.5, 0.0)]
+    rows = [
+        (i, [t, e] + [0.0] * 6, 0) for i, (t, e) in enumerate(rng)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    _, V, w = _fit_pca(spark, str(tmp_path))
+    assert abs(V[0, 0]) > 0.999, V[:, 0]
+    assert w[0] > 100 * w[1], w[:2]

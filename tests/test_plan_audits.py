@@ -588,3 +588,18 @@ def test_embed_rp_is_a_pure_scan(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Join" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_embed_pca_moments_shuffle_is_dim_bounded_and_projection_is_arrow(spark, sf_dir):
+    """PCA scale contract: the moment pass's exchange partitions on the
+    (i, j) moment keys after a map-side partial — the shuffle carries
+    d(d+1)/2 + d rows per partition, never an embedding — and the
+    projection stage is an Arrow-batched python eval with no shuffle."""
+    from etl_pipeline_example_spark.operators.pca import embed_pca
+
+    df = embed_pca(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "ArrowEvalPython" in plan, plan
+    # projection itself never shuffles (round-robin reader fan-out aside)
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
