@@ -26,6 +26,8 @@ from etl_pipeline_example_spark.operators import (
     PMI_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    FUNNEL_ORACLES,
+    FUNNEL_QUERIES,
     CHARLM_ORACLES,
     CHARLM_QUERIES,
     CLUSTER_ORACLES,
@@ -97,8 +99,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # frozen; outer-join + count-of-counts, shape-adjacent to the in-window
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
 # `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
-# `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`, and
-# `embed_pca` (built late in round 6) register BEYOND the window:
+# `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
+# `embed_pca`, and `curation_funnel` (built late in round 6) register
+# BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -182,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PROFILE_QUERIES)
     out.update(RP_QUERIES)
     out.update(PCA_QUERIES)
+    out.update(FUNNEL_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -211,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PROFILE_ORACLES)
     out.update(RP_ORACLES)
     out.update(PCA_ORACLES)
+    out.update(FUNNEL_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -20,6 +20,7 @@ from etl_pipeline_example_spark.operators.c4 import C4_QUERIES, C4_ORACLES
 from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
 from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
+from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.boilerstrip import (
     BOILERSTRIP_QUERIES,
     BOILERSTRIP_ORACLES,
@@ -60,4 +61,6 @@ __all__ = [
     "RP_ORACLES",
     "PCA_QUERIES",
     "PCA_ORACLES",
+    "FUNNEL_QUERIES",
+    "FUNNEL_ORACLES",
 ]

@@ -354,3 +354,38 @@ def test_embed_pca_recovers_a_planted_dominant_direction(spark, tmp_path):
     _, V, w = _fit_pca(spark, str(tmp_path))
     assert abs(V[0, 0]) > 0.999, V[:, 0]
     assert w[0] > 100 * w[1], w[:2]
+
+
+def test_curation_funnel_attributes_each_drop_to_its_stage(spark, tmp_path):
+    """One planted casualty per stage: a short doc dies at the C4 gate,
+    an exact copy dies at dedup, an eval-overlapping doc dies at
+    decontam, and an oversized domain is trimmed to DOMAIN_CAP."""
+    from etl_pipeline_example_spark.operators.domain import DOMAIN_CAP
+    from etl_pipeline_example_spark.operators.funnel import curation_funnel
+
+    eval_text = "the quick brown fox jumps over a lazy dog near the river bank today"
+    prose = "we all think data systems should scale to the moon and back " * 2
+    rows = [
+        (0, eval_text, "en", "src0"),  # eval slice — not corpus material
+        (1, prose, "en", "src1"),  # survives everything
+        (2, prose, "en", "src1"),  # exact dup of 1 → dies at dedup
+        (3, "too short for the gate", "en", "src1"),  # dies at c4
+        (4, eval_text + " and then some extra words to pass the gate easily onward",
+         "en", "src1"),  # shares eval 5-grams → dies at decontam
+    ]
+    big = DOMAIN_CAP + 3
+    rows += [
+        (10 + i,
+         f"big domain doc number {i} with plenty of ordinary words in the body "
+         "so that the gate is passed and the text stays perfectly unique here "
+         f"variant {i}",
+         "en", "big")
+        for i in range(big)
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["stage"]: (r["n_in"], r["n_kept"]) for r in curation_funnel(spark, sf).collect()}
+    n_train = 4 + big
+    assert got["1_c4_gate"] == (n_train, n_train - 1)  # doc 3 out
+    assert got["2_exact_dedup"] == (n_train - 1, n_train - 2)  # doc 2 out
+    assert got["3_decontam"] == (n_train - 2, n_train - 3)  # doc 4 out
+    assert got["4_domain_cap"] == (n_train - 3, n_train - 6)  # big capped

@@ -19,6 +19,8 @@ from etl_pipeline_example_spark.operators import (
     C4_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    FUNNEL_ORACLES,
+    FUNNEL_QUERIES,
     PMI_ORACLES,
     PMI_QUERIES,
     MM_ORACLES,
@@ -35,12 +37,12 @@ from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
-    **BOILERSTRIP_QUERIES, **RP_QUERIES,
+    **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
-    **BOILERSTRIP_ORACLES, **RP_ORACLES,
+    **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
 
