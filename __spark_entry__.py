@@ -56,6 +56,8 @@ from etl_pipeline_example_spark.operators import (
 from etl_pipeline_example_spark.plans import (
     ANALYTIC_ORACLES,
     ANALYTIC_QUERIES,
+    BEHAVIOR_ORACLES,
+    BEHAVIOR_QUERIES,
     PROFILE_ORACLES,
     PROFILE_QUERIES,
     RELATIONAL_ORACLES,
@@ -100,8 +102,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
 # `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
 # `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
-# `embed_pca`, and `curation_funnel` (built late in round 6) register
-# BEYOND the window:
+# `embed_pca`, `curation_funnel`, and the behavior suite
+# (`q_window_funnel`/`q_retention`/`q_event_path`, built late in
+# round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -186,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RP_QUERIES)
     out.update(PCA_QUERIES)
     out.update(FUNNEL_QUERIES)
+    out.update(BEHAVIOR_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -216,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RP_ORACLES)
     out.update(PCA_ORACLES)
     out.update(FUNNEL_ORACLES)
+    out.update(BEHAVIOR_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

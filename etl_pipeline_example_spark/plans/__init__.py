@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.behavior import (
+    BEHAVIOR_QUERIES,
+    BEHAVIOR_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -18,4 +22,6 @@ __all__ = [
     "SCALE_ORACLES",
     "PROFILE_QUERIES",
     "PROFILE_ORACLES",
+    "BEHAVIOR_QUERIES",
+    "BEHAVIOR_ORACLES",
 ]
