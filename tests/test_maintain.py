@@ -94,3 +94,52 @@ def test_expire_snapshots_keeps_newest(spark, tmp_path):
     assert gone == ["snap=2026-08-10", "snap=2026-08-11"]
     left = {str(r["snap"]) for r in spark.read.parquet(path).select("snap").distinct().collect()}
     assert left == {"2026-08-12", "2026-08-13"}  # partition col inferred as date
+
+
+def test_zorder_write_shrinks_per_file_bounding_boxes(spark, tmp_path):
+    """Write orders plain and z-ordered on (o_custkey, o_totalprice);
+    read the parquet footers back and compare the summed normalized
+    per-file bounding-box areas over the two keys. The z-order layout
+    must cover the key space in compact rectangles (markedly smaller
+    total area), preserve every row, and prune on BOTH columns."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_pipeline_example_spark.sinks.zorder import zorder_write
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    n = orders.count()
+    plain_dir = f"{tmp_path}/plain"
+    z_dir = f"{tmp_path}/zorder"
+    orders.repartition(8).write.mode("overwrite").parquet(plain_dir)
+    zorder_write(orders, z_dir, "o_custkey", "o_totalprice", n_files=8)
+
+    def total_box_area(d):
+        los_x, his_x, los_y, his_y = [], [], [], []
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.row_group(0).column(i).path_in_schema: i
+                    for i in range(md.num_columns)}
+            xs, ys = [], []
+            for g in range(md.num_row_groups):
+                sx = md.row_group(g).column(cols["o_custkey"]).statistics
+                sy = md.row_group(g).column(cols["o_totalprice"]).statistics
+                xs += [sx.min, sx.max]
+                ys += [float(sy.min), float(sy.max)]
+            los_x.append(min(xs)); his_x.append(max(xs))
+            los_y.append(min(ys)); his_y.append(max(ys))
+        gx = max(his_x) - min(los_x)
+        gy = max(his_y) - min(los_y)
+        return sum(
+            ((hx - lx) / gx) * ((hy - ly) / gy)
+            for lx, hx, ly, hy in zip(los_x, his_x, los_y, his_y)
+        )
+
+    assert spark.read.parquet(z_dir).count() == n
+    plain_area = total_box_area(plain_dir)
+    z_area = total_box_area(z_dir)
+    # plain round-robin files each span ~the full plane (area ≈ 8);
+    # z-order files tile it (total area ≈ 1-2)
+    assert z_area < 0.5 * plain_area, (z_area, plain_area)
