@@ -44,6 +44,8 @@ from etl_pipeline_example_spark.operators import (
     DEDUP_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
+    NORMALIZE_ORACLES,
+    NORMALIZE_QUERIES,
     PCA_ORACLES,
     PCA_QUERIES,
     RP_ORACLES,
@@ -103,8 +105,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
 # `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
 # `embed_pca`, `curation_funnel`, and the behavior suite
-# (`q_window_funnel`/`q_retention`/`q_event_path`, built late in
-# round 6) register BEYOND the window:
+# (`q_window_funnel`/`q_retention`/`q_event_path`), and `text_normalize`
+# (built late in round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -190,6 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PCA_QUERIES)
     out.update(FUNNEL_QUERIES)
     out.update(BEHAVIOR_QUERIES)
+    out.update(NORMALIZE_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -221,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PCA_ORACLES)
     out.update(FUNNEL_ORACLES)
     out.update(BEHAVIOR_ORACLES)
+    out.update(NORMALIZE_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -21,6 +21,10 @@ from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
 from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
+from etl_pipeline_example_spark.operators.normalize import (
+    NORMALIZE_QUERIES,
+    NORMALIZE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.boilerstrip import (
     BOILERSTRIP_QUERIES,
     BOILERSTRIP_ORACLES,
@@ -63,4 +67,6 @@ __all__ = [
     "PCA_ORACLES",
     "FUNNEL_QUERIES",
     "FUNNEL_ORACLES",
+    "NORMALIZE_QUERIES",
+    "NORMALIZE_ORACLES",
 ]

@@ -389,3 +389,38 @@ def test_curation_funnel_attributes_each_drop_to_its_stage(spark, tmp_path):
     assert got["2_exact_dedup"] == (n_train - 1, n_train - 2)  # doc 2 out
     assert got["3_decontam"] == (n_train - 2, n_train - 3)  # doc 4 out
     assert got["4_domain_cap"] == (n_train - 3, n_train - 6)  # big capped
+
+
+def test_text_normalize_composes_strips_and_collapses(spark, tmp_path, duck):
+    """Planted unicode, matched cross-engine (DuckDB's utf8proc vs
+    Python's unicodedata — two NFC implementations): decomposed é
+    composes (one char shorter), control chars strip, whitespace runs
+    collapse, the ﬁ ligature survives NFC, and the composed/decomposed
+    café docs hash APART only because their tail words differ."""
+    import duckdb
+
+    from etl_pipeline_example_spark.operators.normalize import (
+        TEXT_NORMALIZE_SQL,
+        text_normalize,
+    )
+    from tests.oracle_util import assert_matches_oracle
+
+    rows = [
+        (0, "café composed", "en", "s"),
+        (1, "café decomposed", "en", "s"),
+        (2, "tab\tand\x00control\x07chars", "en", "s"),
+        (3, "many     spaces\n\nand newlines", "en", "s"),
+        (4, "ﬁ ligature stays under NFC", "en", "s"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    assert_matches_oracle(text_normalize(spark, sf), con, TEXT_NORMALIZE_SQL)
+    out = {r["doc_id"]: r for r in text_normalize(spark, sf).collect()}
+    assert out[0]["changed"] is False
+    assert out[1]["n_chars_norm"] == out[1]["n_chars_raw"] - 1  # NFC composed
+    assert out[2]["n_chars_norm"] == out[2]["n_chars_raw"] - 2  # 2 ctrls gone
+    assert out[3]["n_chars_norm"] < out[3]["n_chars_raw"]  # runs collapsed
+    assert out[4]["changed"] is False  # ligature untouched by NFC
