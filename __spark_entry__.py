@@ -50,6 +50,8 @@ from etl_pipeline_example_spark.operators import (
     PCA_QUERIES,
     RP_ORACLES,
     RP_QUERIES,
+    SHARD_ORACLES,
+    SHARD_QUERIES,
     SIM_ORACLES,
     SIM_QUERIES,
     TEXT_ORACLES,
@@ -105,8 +107,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
 # `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
 # `embed_pca`, `curation_funnel`, and the behavior suite
-# (`q_window_funnel`/`q_retention`/`q_event_path`), and `text_normalize`
-# (built late in round 6) register BEYOND the window:
+# (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
+# `shard_by_tokens` (built late in round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -193,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(FUNNEL_QUERIES)
     out.update(BEHAVIOR_QUERIES)
     out.update(NORMALIZE_QUERIES)
+    out.update(SHARD_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -225,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(FUNNEL_ORACLES)
     out.update(BEHAVIOR_ORACLES)
     out.update(NORMALIZE_ORACLES)
+    out.update(SHARD_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

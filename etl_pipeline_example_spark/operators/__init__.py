@@ -21,6 +21,7 @@ from etl_pipeline_example_spark.operators.pmi import PMI_QUERIES, PMI_ORACLES
 from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
+from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
 from etl_pipeline_example_spark.operators.normalize import (
     NORMALIZE_QUERIES,
     NORMALIZE_ORACLES,
@@ -69,4 +70,6 @@ __all__ = [
     "FUNNEL_ORACLES",
     "NORMALIZE_QUERIES",
     "NORMALIZE_ORACLES",
+    "SHARD_QUERIES",
+    "SHARD_ORACLES",
 ]

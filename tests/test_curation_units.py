@@ -424,3 +424,31 @@ def test_text_normalize_composes_strips_and_collapses(spark, tmp_path, duck):
     assert out[2]["n_chars_norm"] == out[2]["n_chars_raw"] - 2  # 2 ctrls gone
     assert out[3]["n_chars_norm"] < out[3]["n_chars_raw"]  # runs collapsed
     assert out[4]["changed"] is False  # ligature untouched by NFC
+
+
+def test_shard_by_tokens_respects_budget_and_never_splits_docs(spark, sf_dir):
+    """Shard totals: a doc belongs to the shard its running total
+    STARTS in, so each non-final shard's total differs from the budget
+    by LESS THAN ONE DOC (the straddling doc tips either way); shard
+    ids are contiguous from 0; every doc appears exactly once."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.shard import (
+        SHARD_TOKENS,
+        shard_by_tokens,
+    )
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    df = shard_by_tokens(spark, sf_dir)
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    per = {
+        r["shard_id"]: r["tok"]
+        for r in df.groupBy("shard_id").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    ids = sorted(per)
+    assert ids == list(range(len(ids)))
+    max_doc = df.agg(F.max("n_tokens")).collect()[0][0]
+    for sid in ids[:-1]:
+        assert abs(per[sid] - SHARD_TOKENS) < max_doc, (sid, per[sid], max_doc)

@@ -29,6 +29,8 @@ from etl_pipeline_example_spark.operators import (
     NORMALIZE_QUERIES,
     RP_ORACLES,
     RP_QUERIES,
+    SHARD_ORACLES,
+    SHARD_QUERIES,
     SIM_ORACLES,
     SIM_QUERIES,
     TEXT_ORACLES,
@@ -39,12 +41,12 @@ from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
-    **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES,
+    **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
 ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
-    **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES,
+    **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
 

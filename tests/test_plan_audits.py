@@ -603,3 +603,21 @@ def test_embed_pca_moments_shuffle_is_dim_bounded_and_projection_is_arrow(spark,
     # projection itself never shuffles (round-robin reader fan-out aside)
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_shard_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    """The scalable-prefix-sum contract: NO window in the plan may run
+    over a single global partition — the cumsum must partition by the
+    hash bucket (the 100 TB bottleneck this operator exists to avoid)
+    — and the per-bucket offsets join back as a broadcast."""
+    from etl_pipeline_example_spark.operators.shard import shard_by_tokens
+
+    df = shard_by_tokens(spark, sf_dir)
+    fmt = plan_str(df, mode="formatted")
+    win_blocks = [b for b in _formatted_blocks(fmt) if b.split("\n")[0].endswith("Window")
+                  or ") Window" in b.split("\n")[0]]
+    assert win_blocks, fmt
+    for b in win_blocks:
+        assert "bucket" in b, b  # partition spec carries the bucket key
+    plan = plan_str(df, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
