@@ -42,6 +42,8 @@ from etl_pipeline_example_spark.operators import (
     DECONTAM_QUERIES,
     DEDUP_ORACLES,
     DEDUP_QUERIES,
+    MEDIAHDR_ORACLES,
+    MEDIAHDR_QUERIES,
     MM_ORACLES,
     MM_QUERIES,
     NORMALIZE_ORACLES,
@@ -108,7 +110,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
 # `embed_pca`, `curation_funnel`, and the behavior suite
 # (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
-# `shard_by_tokens` (built late in round 6) register BEYOND the window:
+# `shard_by_tokens`, and `multimodal_header` (built late in round 6)
+# register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -196,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BEHAVIOR_QUERIES)
     out.update(NORMALIZE_QUERIES)
     out.update(SHARD_QUERIES)
+    out.update(MEDIAHDR_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -229,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BEHAVIOR_ORACLES)
     out.update(NORMALIZE_ORACLES)
     out.update(SHARD_ORACLES)
+    out.update(MEDIAHDR_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

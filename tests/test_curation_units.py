@@ -452,3 +452,22 @@ def test_shard_by_tokens_respects_budget_and_never_splits_docs(spark, sf_dir):
     max_doc = df.agg(F.max("n_tokens")).collect()[0][0]
     for sid in ids[:-1]:
         assert abs(per[sid] - SHARD_TOKENS) < max_doc, (sid, per[sid], max_doc)
+
+
+def test_media_header_parser_reads_real_png_and_wav_bytes():
+    """The container parser is REAL: hand-built PNG/WAV byte strings
+    round-trip through struct parsing, and corrupt magics are refused."""
+    import pytest as _pytest
+
+    from etl_pipeline_example_spark.operators.mediahdr import (
+        parse_media_header,
+        synth_png,
+        synth_wav,
+    )
+
+    png = parse_media_header(synth_png(1920, 1080))
+    assert (png["width"], png["height"]) == (1920, 1080)
+    wav = parse_media_header(synth_wav(44100, 2, 44100))
+    assert (wav["sample_rate"], wav["channels"], wav["duration_ms"]) == (44100, 2, 1000)
+    with _pytest.raises(ValueError):
+        parse_media_header(b"GIF89a not supported")
