@@ -27,6 +27,10 @@ from etl_pipeline_example_spark.operators.corpus import (
     DOC_CHUNK_SQL,
     doc_chunk,
 )
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 
@@ -46,10 +50,14 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the output IS the cleaned text (hashed here to keep the
     driver-facing result narrow).
     """
-    chunks = (
-        doc_chunk(spark, sf_dir)
-        .select("doc_id", "chunk_id", "chunk_text", F.expr("md5(chunk_text)").alias("chunk_hash"))
-        .persist()
+    release_similarity_caches()
+    chunks = tracked_persist(
+        doc_chunk(spark, sf_dir).select(
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            F.expr("md5(chunk_text)").alias("chunk_hash"),
+        )
     )
     boiler = (
         chunks.groupBy("chunk_hash")

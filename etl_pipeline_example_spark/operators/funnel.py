@@ -47,6 +47,10 @@ from etl_pipeline_example_spark.operators.c4 import (
 )
 from etl_pipeline_example_spark.operators.decontam import EVAL_SOURCE, NGRAM_N
 from etl_pipeline_example_spark.operators.domain import DOMAIN_CAP
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.operators.hashing import (
     duck_hexint,
     duck_norm_text,
@@ -61,6 +65,7 @@ from etl_pipeline_example_spark.sources.readers import read_table
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-stage attrition report: (stage, n_in, n_kept), one row per
     stage in pipeline order."""
+    release_similarity_caches()
     sw = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     train = docs.filter(F.col("source") != EVAL_SOURCE)
@@ -91,12 +96,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tk",
             F.expr(f"md5({spark_norm_text('text')})").alias("content_hash"),
         )
-        .persist()
     )
+    s1 = tracked_persist(s1)
 
     # --- stage 2: exact dedup (lowest doc_id survives its hash group) --
     keepers = s1.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    s2 = s1.join(keepers, ["content_hash", "doc_id"], "left_semi").persist()
+    s2 = tracked_persist(s1.join(keepers, ["content_hash", "doc_id"], "left_semi"))
 
     # --- stage 3: decontamination (no 5-gram shared with eval slice) ---
     gram = spark_hexint(f"concat_ws(' ', slice(tk, j + 1, {NGRAM_N}))")
@@ -122,7 +127,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s3 = s2.join(contaminated, "doc_id", "left_anti").persist()
+    s3 = tracked_persist(s2.join(contaminated, "doc_id", "left_anti"))
 
     # --- stage 4: per-source frequency cap (domain_cap's rank) ---------
     h = spark_hexint("concat('cap:', cast(doc_id as string))")
