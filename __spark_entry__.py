@@ -24,6 +24,8 @@ from etl_pipeline_example_spark.operators import (
     C4_QUERIES,
     PMI_ORACLES,
     PMI_QUERIES,
+    DOMAINSHIFT_ORACLES,
+    DOMAINSHIFT_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
     FUNNEL_ORACLES,
@@ -64,6 +66,8 @@ from etl_pipeline_example_spark.plans import (
     ANALYTIC_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
+    PATTERN_ORACLES,
+    PATTERN_QUERIES,
     PROFILE_ORACLES,
     PROFILE_QUERIES,
     RELATIONAL_ORACLES,
@@ -110,8 +114,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
 # `embed_pca`, `curation_funnel`, and the behavior suite
 # (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
-# `shard_by_tokens`, and `multimodal_header` (built late in round 6)
-# register BEYOND the window:
+# `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
+# `anomaly_mad`, and `domain_chi2` (built late in round 6) register
+# BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -200,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(NORMALIZE_QUERIES)
     out.update(SHARD_QUERIES)
     out.update(MEDIAHDR_QUERIES)
+    out.update(DOMAINSHIFT_QUERIES)
+    out.update(PATTERN_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -234,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(NORMALIZE_ORACLES)
     out.update(SHARD_ORACLES)
     out.update(MEDIAHDR_ORACLES)
+    out.update(DOMAINSHIFT_ORACLES)
+    out.update(PATTERN_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.patterns import (
+    PATTERN_QUERIES,
+    PATTERN_ORACLES,
+)
 from etl_pipeline_example_spark.plans.behavior import (
     BEHAVIOR_QUERIES,
     BEHAVIOR_ORACLES,
@@ -24,4 +28,6 @@ __all__ = [
     "PROFILE_ORACLES",
     "BEHAVIOR_QUERIES",
     "BEHAVIOR_ORACLES",
+    "PATTERN_QUERIES",
+    "PATTERN_ORACLES",
 ]

@@ -5,15 +5,21 @@ from __future__ import annotations
 
 import pytest
 
-from etl_pipeline_example_spark.plans import BEHAVIOR_ORACLES, BEHAVIOR_QUERIES
+from etl_pipeline_example_spark.plans import (
+    BEHAVIOR_ORACLES,
+    BEHAVIOR_QUERIES,
+    PATTERN_ORACLES,
+    PATTERN_QUERIES,
+)
 
 from tests.oracle_util import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted(BEHAVIOR_QUERIES))
+@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
-    df = BEHAVIOR_QUERIES[name](spark, sf_dir)
-    assert_matches_oracle(df, duck, BEHAVIOR_ORACLES[name])
+    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES}
+    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES}
+    assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
 def test_funnel_counts_are_monotone(spark, sf_dir):
@@ -65,3 +71,74 @@ def test_retention_week_zero_covers_every_user(spark, sf_dir):
     week0 = sum(r["n_active"] for r in rows if r["week_k"] == 0)
     n_users = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert week0 == n_users
+
+
+def test_sequence_match_requires_order_and_no_error_between(spark, tmp_path):
+    """Planted users: s→v→p matches; s→e→p has an error between (no
+    match); p→s is out of order (no match); bare s→p matches."""
+    from etl_pipeline_example_spark.plans.patterns import q_sequence_match
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "signup"),
+        (2, "2024-01-01 01:00:00", 1, "view"),
+        (3, "2024-01-01 02:00:00", 1, "purchase"),
+        (4, "2024-01-02 00:00:00", 2, "signup"),
+        (5, "2024-01-02 01:00:00", 2, "error"),
+        (6, "2024-01-02 02:00:00", 2, "purchase"),
+        (7, "2024-01-03 00:00:00", 3, "purchase"),
+        (8, "2024-01-03 01:00:00", 3, "signup"),
+        (9, "2024-01-04 00:00:00", 4, "signup"),
+        (10, "2024-01-04 01:00:00", 4, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    row = q_sequence_match(spark, str(tmp_path)).collect()[0]
+    assert (row["n_matched"], row["n_users"]) == (2, 4), row
+
+
+def test_anomaly_mad_flags_only_the_planted_outlier(spark, tmp_path):
+    """click values [0, 0, 1, -1, 100]: median 0, MAD 1 — only the 100
+    exceeds 5 MADs (dev = 100); the spread values never flag."""
+    from etl_pipeline_example_spark.plans.patterns import anomaly_mad
+
+    vals = [0.0, 0.0, 1.0, -1.0, 100.0]
+    rows = [
+        (i, f"2024-01-01 0{i}:00:00", 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = anomaly_mad(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0]["event_id"] == 4, got
+    assert got[0]["dev_mads"] == 100.0, got
+
+
+def test_domain_chi2_ranks_the_divergent_source_first(spark, tmp_path):
+    """Three sources: two share a vocabulary, one speaks a disjoint
+    one — the disjoint source must rank top by χ²."""
+    from etl_pipeline_example_spark.operators.domainshift import domain_chi2
+
+    shared = "alpha beta gamma delta epsilon zeta " * 4
+    weird = "qqq www eee rrr ttt yyy " * 4
+    rows = [
+        (0, shared, "en", "same1", len(shared)),
+        (1, shared, "en", "same2", len(shared)),
+        (2, weird, "en", "odd", len(weird)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = domain_chi2(spark, str(tmp_path)).collect()
+    assert got[0]["source"] == "odd", got
+    assert got[0]["chi2"] > got[-1]["chi2"], got
