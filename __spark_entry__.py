@@ -22,6 +22,8 @@ from etl_pipeline_example_spark.operators import (
     BPE_QUERIES,
     C4_ORACLES,
     C4_QUERIES,
+    CONTAINMENT_ORACLES,
+    CONTAINMENT_QUERIES,
     PMI_ORACLES,
     PMI_QUERIES,
     DOMAINSHIFT_ORACLES,
@@ -115,8 +117,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `embed_pca`, `curation_funnel`, and the behavior suite
 # (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
 # `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
-# `anomaly_mad`, and `domain_chi2` (built late in round 6) register
-# BEYOND the window:
+# `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
+# round 6) register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -206,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SHARD_QUERIES)
     out.update(MEDIAHDR_QUERIES)
     out.update(DOMAINSHIFT_QUERIES)
+    out.update(CONTAINMENT_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
@@ -242,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SHARD_ORACLES)
     out.update(MEDIAHDR_ORACLES)
     out.update(DOMAINSHIFT_ORACLES)
+    out.update(CONTAINMENT_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)

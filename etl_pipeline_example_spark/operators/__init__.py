@@ -22,6 +22,10 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.containment import (
+    CONTAINMENT_QUERIES,
+    CONTAINMENT_ORACLES,
+)
 from etl_pipeline_example_spark.operators.domainshift import (
     DOMAINSHIFT_QUERIES,
     DOMAINSHIFT_ORACLES,
@@ -84,4 +88,6 @@ __all__ = [
     "MEDIAHDR_ORACLES",
     "DOMAINSHIFT_QUERIES",
     "DOMAINSHIFT_ORACLES",
+    "CONTAINMENT_QUERIES",
+    "CONTAINMENT_ORACLES",
 ]

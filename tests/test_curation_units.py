@@ -471,3 +471,26 @@ def test_media_header_parser_reads_real_png_and_wav_bytes():
     assert (wav["sample_rate"], wav["channels"], wav["duration_ms"]) == (44100, 2, 1000)
     with _pytest.raises(ValueError):
         parse_media_header(b"GIF89a not supported")
+
+
+def test_containment_catches_the_subset_dup_jaccard_misses(spark, tmp_path):
+    """Doc 1 is exactly the first half of doc 0: containment(1→0) = 1.0
+    while Jaccard ≈ 0.5 (under every minhash threshold) — the
+    asymmetric detector's whole point. Doc 2 is unrelated and appears
+    in no pair."""
+    from etl_pipeline_example_spark.operators.containment import dedup_containment
+
+    half = " ".join(f"w{i} x{i} y{i}" for i in range(8))
+    full = half + " " + " ".join(f"a{i} b{i} c{i}" for i in range(8))
+    other = " ".join(f"z{i} q{i} r{i}" for i in range(12))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, full, "en", "s"), (1, half, "en", "s"), (2, other, "en", "s")],
+    )
+    rows = dedup_containment(spark, sf).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["cont_ba"] == 1.0  # B (the half) fully inside A
+    assert r["cont_ab"] < 0.8  # the full doc is NOT inside the half
