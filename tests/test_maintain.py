@@ -143,3 +143,39 @@ def test_zorder_write_shrinks_per_file_bounding_boxes(spark, tmp_path):
     # plain round-robin files each span ~the full plane (area ≈ 8);
     # z-order files tile it (total area ≈ 1-2)
     assert z_area < 0.5 * plain_area, (z_area, plain_area)
+
+
+def test_write_training_shards_roundtrips_with_balanced_budgets(spark, tmp_path):
+    """Shard directories land as shard_id=N/*.json.gz, every document
+    survives the roundtrip exactly once, and re-reading reproduces the
+    same per-shard token totals the assignment computed."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.shard import shard_by_tokens
+    from etl_pipeline_example_spark.sinks.shards import write_training_shards
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    sf = "/root/testdata/sf0.001"
+    out = f"{tmp_path}/shards"
+    n_shards = write_training_shards(spark, sf, out)
+    dirs = sorted(glob.glob(f"{out}/shard_id=*"))
+    assert len(dirs) == n_shards and n_shards >= 2, dirs
+    assert all(glob.glob(f"{d}/*.json.gz") for d in dirs)
+    back = spark.read.json(out)
+    n_docs = read_table(spark, sf, "documents").count()
+    assert back.count() == n_docs
+    assert back.select("doc_id").distinct().count() == n_docs
+    got = {
+        r["shard_id"]: r["tok"]
+        for r in back.groupBy("shard_id").agg(F.sum("n_tokens").alias("tok")).collect()
+    }
+    want = {
+        r["shard_id"]: r["tok"]
+        for r in shard_by_tokens(spark, sf)
+        .groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    assert got == want
