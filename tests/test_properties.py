@@ -91,3 +91,35 @@ def test_tokenizer_contract_is_cross_engine_identical(spark, duck):
     }
     for i, case in enumerate(cases):
         assert srows[i] == drows[i], f"tokenizer diverged on {case!r}: {srows[i]} vs {drows[i]}"
+
+
+@given(
+    st.integers(min_value=1, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=2**31 - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_png_header_roundtrip(width, height):
+    from etl_pipeline_example_spark.operators.mediahdr import (
+        parse_media_header,
+        synth_png,
+    )
+
+    meta = parse_media_header(synth_png(width, height))
+    assert (meta["width"], meta["height"]) == (width, height)
+
+
+@given(
+    st.integers(min_value=1, max_value=384000),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=0, max_value=10_000_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_wav_header_roundtrip(rate, channels, n_samples):
+    from etl_pipeline_example_spark.operators.mediahdr import (
+        parse_media_header,
+        synth_wav,
+    )
+
+    meta = parse_media_header(synth_wav(rate, channels, n_samples))
+    assert (meta["sample_rate"], meta["channels"]) == (rate, channels)
+    assert meta["duration_ms"] == n_samples * 1000 // rate
