@@ -30,6 +30,8 @@ from etl_pipeline_example_spark.operators import (
     DOMAINSHIFT_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    EMBEDNORM_ORACLES,
+    EMBEDNORM_QUERIES,
     FUNNEL_ORACLES,
     FUNNEL_QUERIES,
     CHARLM_ORACLES,
@@ -56,6 +58,8 @@ from etl_pipeline_example_spark.operators import (
     PCA_QUERIES,
     RP_ORACLES,
     RP_QUERIES,
+    RPRERANK_ORACLES,
+    RPRERANK_QUERIES,
     SHARD_ORACLES,
     SHARD_QUERIES,
     SIM_ORACLES,
@@ -118,7 +122,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
 # `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
 # `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
-# round 6) register BEYOND the window:
+# round 6), plus `embed_normalize` and `ann_rp_rerank`, register BEYOND
+# the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -209,6 +214,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MEDIAHDR_QUERIES)
     out.update(DOMAINSHIFT_QUERIES)
     out.update(CONTAINMENT_QUERIES)
+    out.update(EMBEDNORM_QUERIES)
+    out.update(RPRERANK_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
@@ -246,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(MEDIAHDR_ORACLES)
     out.update(DOMAINSHIFT_ORACLES)
     out.update(CONTAINMENT_ORACLES)
+    out.update(EMBEDNORM_ORACLES)
+    out.update(RPRERANK_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)

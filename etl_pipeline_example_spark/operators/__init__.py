@@ -22,6 +22,14 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.embednorm import (
+    EMBEDNORM_QUERIES,
+    EMBEDNORM_ORACLES,
+)
+from etl_pipeline_example_spark.operators.rprerank import (
+    RPRERANK_QUERIES,
+    RPRERANK_ORACLES,
+)
 from etl_pipeline_example_spark.operators.containment import (
     CONTAINMENT_QUERIES,
     CONTAINMENT_ORACLES,
@@ -90,4 +98,8 @@ __all__ = [
     "DOMAINSHIFT_ORACLES",
     "CONTAINMENT_QUERIES",
     "CONTAINMENT_ORACLES",
+    "EMBEDNORM_QUERIES",
+    "EMBEDNORM_ORACLES",
+    "RPRERANK_QUERIES",
+    "RPRERANK_ORACLES",
 ]

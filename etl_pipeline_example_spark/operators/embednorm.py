@@ -1,0 +1,77 @@
+"""L2 normalization of embedding vectors.
+
+The preprocessing step every cosine-metric index assumes: unit-norm
+vectors turn cosine into a plain dot product (one fold instead of
+three) and make int8/PQ quantizer ranges comparable across vectors.
+Exactness note: IEEE-754 REQUIRES sqrt to be correctly rounded, so
+norm = sqrt(Σx²) with the sequential-fold dot (simcore contract) and
+each component x/norm are bit-identical across engines — the full
+normalized vector matches the oracle with no rounding step, like
+``embed_rp``.
+
+Zero vectors (no direction to keep) drop out by contract.
+
+No reference counterpart (the reference is a 305-LoC ETL example);
+LLM-pipeline surface, SURVEY.md §2 row 27j.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.sources.readers import read_table
+
+_SPARK_SELF_DOT = (
+    "aggregate(embedding, cast(0 as double),"
+    " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+)
+_DUCK_SELF_DOT = (
+    "list_sum([ cast(embedding[i] as double) * cast(embedding[i] as double)"
+    " for i in range(1, len(embedding) + 1) ])"
+)
+
+
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, norm, unit): every non-zero embedding scaled to
+    unit L2 norm.
+
+    Scale shape: a pure per-row projection — no shuffle, no join; the
+    self-dot fold, the correctly-rounded sqrt, and the per-component
+    division all run inside one codegen'd expression at scan speed.
+    """
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+    return (
+        emb.withColumn("norm", F.expr(f"sqrt({_SPARK_SELF_DOT})"))
+        .filter(F.col("norm") > 0)
+        .select(
+            "vec_id",
+            "label",
+            "norm",
+            F.expr(
+                "transform(embedding, v -> cast(v as double) / norm)"
+            ).alias("unit"),
+        )
+    )
+
+
+EMBED_NORMALIZE_SQL = f"""
+SELECT vec_id, label, norm,
+       [ cast(embedding[i] as double) / norm
+         for i in range(1, len(embedding) + 1) ] AS unit
+FROM (
+  SELECT vec_id, label, embedding, sqrt({_DUCK_SELF_DOT}) AS norm
+  FROM embeddings
+) WHERE norm > 0
+"""
+
+
+EMBEDNORM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embed_normalize": embed_normalize,
+}
+
+EMBEDNORM_ORACLES: dict[str, str] = {
+    "embed_normalize": EMBED_NORMALIZE_SQL,
+}

@@ -430,3 +430,27 @@ def test_ivfpq_recall_and_containment(spark, sf_dir):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_rp_rerank_recall_floor(spark):
+    """RP-coarse + exact-rerank recall@10 vs bruteforce on the
+    near-uniform sf0.001 vectors (JL's worst case): pin the measured
+    floor so a projection/candidate regression shows up."""
+    from etl_pipeline_example_spark.operators.rprerank import ann_rp_rerank
+    from etl_pipeline_example_spark.operators.similarity import ann_bruteforce
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce(spark, sf).collect()}
+    rp = {(r["query_id"], r["neighbor_id"]) for r in ann_rp_rerank(spark, sf).collect()}
+    assert len(bf & rp) / len(bf) >= 0.6, len(bf & rp) / len(bf)
+
+
+def test_embed_normalize_produces_unit_vectors(spark):
+    import math
+
+    from etl_pipeline_example_spark.operators.embednorm import embed_normalize
+
+    rows = embed_normalize(spark, "/root/testdata/sf0.001").take(20)
+    for r in rows:
+        n = math.sqrt(sum(v * v for v in r["unit"]))
+        assert abs(n - 1.0) < 1e-9, (r["vec_id"], n)
