@@ -122,8 +122,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
 # `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
 # `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
-# round 6), plus `embed_normalize` and `ann_rp_rerank`, register BEYOND
-# the window:
+# round 6), plus `embed_normalize`, `ann_rp_rerank`, and
+# `stream_c4_gate`, register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.

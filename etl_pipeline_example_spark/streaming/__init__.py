@@ -8,9 +8,15 @@ from etl_pipeline_example_spark.streaming.stateful import (
     STATEFUL_QUERIES,
     stream_user_stats,
 )
+from etl_pipeline_example_spark.streaming.curation import (
+    CURATION_STREAM_ORACLES,
+    CURATION_STREAM_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
+STREAM_QUERIES.update(CURATION_STREAM_QUERIES)
+STREAM_ORACLES.update(CURATION_STREAM_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

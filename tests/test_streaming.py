@@ -26,3 +26,16 @@ def test_stream_sessions_matches_batch_oracle(spark, duck, sf_dir):
 def test_stream_user_stats_matches_batch_oracle(spark, duck, sf_dir):
     df = STREAM_QUERIES["stream_user_stats"](spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_user_stats"])
+
+
+def test_stream_c4_gate_matches_batch_keep_set(spark, duck, sf_dir):
+    """Stream/batch parity for the ingest-time C4 gate: the drained
+    stream's kept set equals the batch conjunction (stateless filter —
+    parity holds by construction, the oracle proves it)."""
+    from etl_pipeline_example_spark.streaming.curation import (
+        STREAM_C4_GATE_SQL,
+        stream_c4_gate,
+    )
+    from tests.oracle_util import assert_matches_oracle
+
+    assert_matches_oracle(stream_c4_gate(spark, sf_dir), duck, STREAM_C4_GATE_SQL)
