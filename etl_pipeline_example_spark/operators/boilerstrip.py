@@ -31,7 +31,6 @@ from etl_pipeline_example_spark.operators.simcore import (
     release_similarity_caches,
     tracked_persist,
 )
-from etl_pipeline_example_spark.sources.readers import read_table
 
 
 def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
