@@ -38,6 +38,8 @@ from etl_pipeline_example_spark.operators import (
     CHARLM_QUERIES,
     CLUSTER_ORACLES,
     CLUSTER_QUERIES,
+    CLUSTERTOPICS_ORACLES,
+    CLUSTERTOPICS_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
     DECONTAM_FUZZY_ORACLES,
@@ -123,7 +125,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
 # `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
 # round 6), plus `embed_normalize`, `ann_rp_rerank`, and
-# `stream_c4_gate`, register BEYOND the window:
+# `stream_c4_gate`, and `cluster_topics`, register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -216,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CONTAINMENT_QUERIES)
     out.update(EMBEDNORM_QUERIES)
     out.update(RPRERANK_QUERIES)
+    out.update(CLUSTERTOPICS_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
@@ -255,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CONTAINMENT_ORACLES)
     out.update(EMBEDNORM_ORACLES)
     out.update(RPRERANK_ORACLES)
+    out.update(CLUSTERTOPICS_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)

@@ -494,3 +494,27 @@ def test_containment_catches_the_subset_dup_jaccard_misses(spark, tmp_path):
     assert (r["doc_a"], r["doc_b"]) == (0, 1)
     assert r["cont_ba"] == 1.0  # B (the half) fully inside A
     assert r["cont_ab"] < 0.8  # the full doc is NOT inside the half
+
+
+def test_cluster_topics_members_and_terms_are_consistent(spark):
+    """Structural contract on real sf0.001 data: exactly KMEANS_K
+    clusters appear, each with TOPIC_TOP_TERMS ranked terms in
+    non-increasing count order, and every (cluster, term) count is
+    positive."""
+    from etl_pipeline_example_spark.operators.clustertopics import (
+        TOPIC_TOP_TERMS,
+        cluster_topics,
+    )
+    from etl_pipeline_example_spark.operators.kmeans import KMEANS_K
+
+    rows = cluster_topics(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) == KMEANS_K
+    for cid, rs in by_cluster.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, TOPIC_TOP_TERMS + 1))
+        ns = [r["n"] for r in rs]
+        assert all(ns[i] >= ns[i + 1] for i in range(len(ns) - 1)), (cid, ns)
+        assert all(n > 0 for n in ns)
