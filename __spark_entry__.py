@@ -42,6 +42,8 @@ from etl_pipeline_example_spark.operators import (
     CLUSTERTOPICS_QUERIES,
     CORPUS_ORACLES,
     CORPUS_QUERIES,
+    CORPUSSTATS_ORACLES,
+    CORPUSSTATS_QUERIES,
     DECONTAM_FUZZY_ORACLES,
     DECONTAM_FUZZY_QUERIES,
     DOMAIN_ORACLES,
@@ -125,7 +127,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
 # `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
 # round 6), plus `embed_normalize`, `ann_rp_rerank`, and
-# `stream_c4_gate`, and `cluster_topics`, register BEYOND the window:
+# `stream_c4_gate`, `cluster_topics`, `corpus_stats`, and
+# `dup_rate_by_source`, register BEYOND the window:
 # no driver row this round by construction — its evidence is the pytest
 # oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
 # leads the round-7 window.
@@ -219,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EMBEDNORM_QUERIES)
     out.update(RPRERANK_QUERIES)
     out.update(CLUSTERTOPICS_QUERIES)
+    out.update(CORPUSSTATS_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
@@ -259,6 +263,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(EMBEDNORM_ORACLES)
     out.update(RPRERANK_ORACLES)
     out.update(CLUSTERTOPICS_ORACLES)
+    out.update(CORPUSSTATS_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)

@@ -22,6 +22,10 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.corpusstats import (
+    CORPUSSTATS_QUERIES,
+    CORPUSSTATS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -108,4 +112,6 @@ __all__ = [
     "RPRERANK_ORACLES",
     "CLUSTERTOPICS_QUERIES",
     "CLUSTERTOPICS_ORACLES",
+    "CORPUSSTATS_QUERIES",
+    "CORPUSSTATS_ORACLES",
 ]

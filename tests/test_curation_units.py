@@ -518,3 +518,29 @@ def test_cluster_topics_members_and_terms_are_consistent(spark):
         ns = [r["n"] for r in rs]
         assert all(ns[i] >= ns[i + 1] for i in range(len(ns) - 1)), (cid, ns)
         assert all(n > 0 for n in ns)
+
+
+def test_corpus_stats_and_dup_rate_count_planted_duplicates(spark, tmp_path):
+    """Three docs where two are exact duplicates (one in each of two
+    sources): n_exact_dups = 1 corpus-wide, and only the duplicating
+    source shows a nonzero rate."""
+    from etl_pipeline_example_spark.operators.corpusstats import (
+        corpus_stats,
+        dup_rate_by_source,
+    )
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "alpha beta gamma", "en", "clean"),
+            (1, "same text here", "en", "dupy"),
+            (2, "same text here", "en", "dupy"),
+        ],
+    )
+    row = corpus_stats(spark, sf).collect()[0]
+    assert (row["n_docs"], row["n_exact_dups"]) == (3, 1)
+    assert row["n_tokens"] == 9 and row["vocab"] == 6
+    rates = {r["source"]: r for r in dup_rate_by_source(spark, sf).collect()}
+    assert rates["dupy"]["n_dups"] == 1 and rates["clean"]["n_dups"] == 0
+    assert rates["dupy"]["dup_rate"] == 0.5

@@ -17,6 +17,8 @@ from etl_pipeline_example_spark.operators import (
     DOMAIN_QUERIES,
     CLUSTERTOPICS_ORACLES,
     CLUSTERTOPICS_QUERIES,
+    CORPUSSTATS_ORACLES,
+    CORPUSSTATS_QUERIES,
     CONTAINMENT_ORACLES,
     CONTAINMENT_QUERIES,
     EMBEDNORM_ORACLES,
@@ -55,7 +57,7 @@ ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
     **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES,
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
-    **CLUSTERTOPICS_QUERIES,
+    **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -63,7 +65,7 @@ ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
     **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES,
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
-    **CLUSTERTOPICS_ORACLES,
+    **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
