@@ -128,10 +128,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
 # round 6), plus `embed_normalize`, `ann_rp_rerank`, and
 # `stream_c4_gate`, `cluster_topics`, `corpus_stats`, and
-# `dup_rate_by_source`, register BEYOND the window:
-# no driver row this round by construction — its evidence is the pytest
-# oracle run + tools/drivercheck (both green at sf0.001/sf0.01); it
-# leads the round-7 window.
+# `dup_rate_by_source`, register BEYOND the window: no driver row this
+# round by construction — their evidence is the pytest oracle run +
+# tools/drivercheck (ALL registry entries green at sf0.01 in the final
+# round-6 sweep), and every backing file is pinned in the freeze
+# manifest. 68 entries now sit beyond the 50-row budget, so the
+# round-7/8 rotation plan is: round 7 grades the ~50 never-driver-
+# graded entries (strict first-evidence priority), round 8 grades the
+# remainder plus whatever round 7's code changes invalidate; freeze-
+# backed union covers the rest each round.
 _REGISTER_FIRST = [
     # (a) similarity family changed this round — regrade all its entries
     "semdedup_prune_2l",
