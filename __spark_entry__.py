@@ -74,6 +74,8 @@ from etl_pipeline_example_spark.operators import (
 from etl_pipeline_example_spark.plans import (
     ANALYTIC_ORACLES,
     ANALYTIC_QUERIES,
+    BASKET_ORACLES,
+    BASKET_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
@@ -229,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CLUSTERTOPICS_QUERIES)
     out.update(CORPUSSTATS_QUERIES)
     out.update(PATTERN_QUERIES)
+    out.update(BASKET_QUERIES)
     out.update(DEDUP_QUERIES)
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
@@ -270,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CLUSTERTOPICS_ORACLES)
     out.update(CORPUSSTATS_ORACLES)
     out.update(PATTERN_ORACLES)
+    out.update(BASKET_ORACLES)
     out.update(DEDUP_ORACLES)
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)

@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.basket import (
+    BASKET_QUERIES,
+    BASKET_ORACLES,
+)
 from etl_pipeline_example_spark.plans.patterns import (
     PATTERN_QUERIES,
     PATTERN_ORACLES,
@@ -30,4 +34,6 @@ __all__ = [
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",
+    "BASKET_QUERIES",
+    "BASKET_ORACLES",
 ]

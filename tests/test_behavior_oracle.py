@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 
 from etl_pipeline_example_spark.plans import (
+    BASKET_ORACLES,
+    BASKET_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
@@ -15,10 +17,10 @@ from etl_pipeline_example_spark.plans import (
 from tests.oracle_util import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES}))
+@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
-    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES}
-    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES}
+    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES}
+    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
