@@ -30,6 +30,8 @@ from etl_pipeline_example_spark.operators import (
     DOMAINSHIFT_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    INCREMENTAL_ORACLES,
+    INCREMENTAL_QUERIES,
     EMBEDNORM_ORACLES,
     EMBEDNORM_QUERIES,
     FUNNEL_ORACLES,
@@ -86,6 +88,8 @@ from etl_pipeline_example_spark.plans import (
     RELATIONAL_QUERIES,
     SCALE_ORACLES,
     SCALE_QUERIES,
+    SCD2_ORACLES,
+    SCD2_QUERIES,
 )
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
 from etl_pipeline_example_spark.plans.tpch_extra import (
@@ -230,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RPRERANK_QUERIES)
     out.update(CLUSTERTOPICS_QUERIES)
     out.update(CORPUSSTATS_QUERIES)
+    out.update(INCREMENTAL_QUERIES)
+    out.update(SCD2_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(BASKET_QUERIES)
     out.update(DEDUP_QUERIES)
@@ -272,6 +278,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(RPRERANK_ORACLES)
     out.update(CLUSTERTOPICS_ORACLES)
     out.update(CORPUSSTATS_ORACLES)
+    out.update(INCREMENTAL_ORACLES)
+    out.update(SCD2_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(BASKET_ORACLES)
     out.update(DEDUP_ORACLES)

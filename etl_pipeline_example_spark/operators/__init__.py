@@ -22,6 +22,10 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.incremental import (
+    INCREMENTAL_QUERIES,
+    INCREMENTAL_ORACLES,
+)
 from etl_pipeline_example_spark.operators.corpusstats import (
     CORPUSSTATS_QUERIES,
     CORPUSSTATS_ORACLES,
@@ -114,4 +118,6 @@ __all__ = [
     "CLUSTERTOPICS_ORACLES",
     "CORPUSSTATS_QUERIES",
     "CORPUSSTATS_ORACLES",
+    "INCREMENTAL_QUERIES",
+    "INCREMENTAL_ORACLES",
 ]

@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.scd2 import (
+    SCD2_QUERIES,
+    SCD2_ORACLES,
+)
 from etl_pipeline_example_spark.plans.basket import (
     BASKET_QUERIES,
     BASKET_ORACLES,
@@ -36,4 +40,6 @@ __all__ = [
     "PATTERN_ORACLES",
     "BASKET_QUERIES",
     "BASKET_ORACLES",
+    "SCD2_QUERIES",
+    "SCD2_ORACLES",
 ]

@@ -8,6 +8,8 @@ import pytest
 from etl_pipeline_example_spark.plans import (
     BASKET_ORACLES,
     BASKET_QUERIES,
+    SCD2_ORACLES,
+    SCD2_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
@@ -17,10 +19,10 @@ from etl_pipeline_example_spark.plans import (
 from tests.oracle_util import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES}))
+@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
-    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES}
-    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES}
+    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES}
+    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
@@ -144,3 +146,23 @@ def test_domain_chi2_ranks_the_divergent_source_first(spark, tmp_path):
     got = domain_chi2(spark, str(tmp_path)).collect()
     assert got[0]["source"] == "odd", got
     assert got[0]["chi2"] > got[-1]["chi2"], got
+
+
+def test_scd2_merge_keeps_exactly_one_open_row_per_key(spark, sf_dir):
+    """SCD2 invariants on real data: every key has exactly one
+    is_current row with null valid_to; every closed row's valid_to
+    equals the change date and pairs with an open '_v2' row."""
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.plans.scd2 import scd2_merge
+
+    df = scd2_merge(spark, sf_dir)
+    per_key = df.groupBy("c_custkey").agg(
+        F.sum(F.expr("CASE WHEN is_current THEN 1 ELSE 0 END")).alias("n_open"),
+        F.sum(F.expr("CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END")).alias("n_null_to"),
+    )
+    assert per_key.filter("n_open != 1 OR n_null_to != 1").count() == 0
+    closed = df.filter("NOT is_current")
+    assert closed.filter("valid_to IS NULL").count() == 0
+    opened_v2 = df.filter("is_current AND segment LIKE '%_v2'").count()
+    assert closed.count() == opened_v2

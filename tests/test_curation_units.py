@@ -544,3 +544,29 @@ def test_corpus_stats_and_dup_rate_count_planted_duplicates(spark, tmp_path):
     rates = {r["source"]: r for r in dup_rate_by_source(spark, sf).collect()}
     assert rates["dupy"]["n_dups"] == 1 and rates["clean"]["n_dups"] == 0
     assert rates["dupy"]["dup_rate"] == 0.5
+
+
+def test_dedup_incremental_separates_history_and_batch_dups(spark, tmp_path):
+    """History: doc 0 'known text'. Batch (ids ≥ 250): 250 repeats the
+    history text (dup_of_history), 251 and 252 share fresh text (251
+    first → new, 252 → dup_in_batch), 253 is unique (new)."""
+    from etl_pipeline_example_spark.operators.incremental import dedup_incremental
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "known text already kept", "en", "s"),
+            (250, "known text already kept", "en", "s"),
+            (251, "fresh shared text", "en", "s"),
+            (252, "fresh shared text", "en", "s"),
+            (253, "wholly unique text", "en", "s"),
+        ],
+    )
+    got = {r["doc_id"]: r["status"] for r in dedup_incremental(spark, sf).collect()}
+    assert got == {
+        250: "dup_of_history",
+        251: "new",
+        252: "dup_in_batch",
+        253: "new",
+    }, got
