@@ -88,6 +88,8 @@ from etl_pipeline_example_spark.plans import (
     RELATIONAL_QUERIES,
     SCALE_ORACLES,
     SCALE_QUERIES,
+    RECON_ORACLES,
+    RECON_QUERIES,
     SCD2_ORACLES,
     SCD2_QUERIES,
 )
@@ -236,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CORPUSSTATS_QUERIES)
     out.update(INCREMENTAL_QUERIES)
     out.update(SCD2_QUERIES)
+    out.update(RECON_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(BASKET_QUERIES)
     out.update(DEDUP_QUERIES)
@@ -280,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CORPUSSTATS_ORACLES)
     out.update(INCREMENTAL_ORACLES)
     out.update(SCD2_ORACLES)
+    out.update(RECON_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(BASKET_ORACLES)
     out.update(DEDUP_ORACLES)

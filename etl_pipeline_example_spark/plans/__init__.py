@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.recon import (
+    RECON_QUERIES,
+    RECON_ORACLES,
+)
 from etl_pipeline_example_spark.plans.scd2 import (
     SCD2_QUERIES,
     SCD2_ORACLES,
@@ -42,4 +46,6 @@ __all__ = [
     "BASKET_ORACLES",
     "SCD2_QUERIES",
     "SCD2_ORACLES",
+    "RECON_QUERIES",
+    "RECON_ORACLES",
 ]

@@ -14,15 +14,20 @@ from etl_pipeline_example_spark.plans import (
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
     PATTERN_QUERIES,
+    RECON_ORACLES,
+    RECON_QUERIES,
 )
 
 from tests.oracle_util import assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES}))
+@pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
+    **RECON_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
-    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES}
-    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES}
+    qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
+    **RECON_QUERIES}
+    os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES,
+    **RECON_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
@@ -166,3 +171,40 @@ def test_scd2_merge_keeps_exactly_one_open_row_per_key(spark, sf_dir):
     assert closed.filter("valid_to IS NULL").count() == 0
     opened_v2 = df.filter("is_current AND segment LIKE '%_v2'").count()
     assert closed.count() == opened_v2
+
+
+def test_full_outer_recon_emits_all_three_statuses(spark, tmp_path):
+    """Planted overlap: one day with both orders and events ('both'),
+    one orders-only day, one events-only day."""
+    from etl_pipeline_example_spark.plans.recon import q_full_outer_recon
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, "1994-01-01", "1-URGENT", "c", 0, "x"),
+            (2, 11, "O", 50.0, "1994-01-02", "1-URGENT", "c", 0, "x"),
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "cast(o_orderdate as date) o_orderdate", "o_orderpriority",
+        "o_clerk", "o_shippriority", "o_comment",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, "1994-01-01 10:00:00", 7, "view", 1.0, "{}"),
+            (2, "1994-01-03 10:00:00", 7, "click", 1.0, "{}"),
+        ],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    events.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {str(r["day"]): r["status"] for r in q_full_outer_recon(spark, str(tmp_path)).collect()}
+    assert got == {
+        "1994-01-01": "both",
+        "1994-01-02": "orders_only",
+        "1994-01-03": "events_only",
+    }, got
