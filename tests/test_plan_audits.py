@@ -621,3 +621,42 @@ def test_shard_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
         assert "bucket" in b, b  # partition spec carries the bucket key
     plan = plan_str(df, mode="simple")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_recon_joins_day_grain_not_facts(spark, sf_dir):
+    """The full-outer recon must aggregate BOTH sides to day grain
+    before the join: two partial/final aggregate pairs feeding a join
+    whose inputs are day-keyed — no fact table rides the outer join."""
+    from etl_pipeline_example_spark.plans.recon import q_full_outer_recon
+
+    plan = plan_str(q_full_outer_recon(spark, sf_dir), mode="formatted")
+    blocks = _formatted_blocks(plan)
+    join_blocks = [b for b in blocks if "FullOuter" in b]
+    assert join_blocks, plan
+    for b in join_blocks:
+        assert "o_totalprice" not in b, b  # measures pre-aggregated away
+        assert "event_type" not in b, b
+
+
+def test_basket_self_join_carries_two_int_columns(spark, sf_dir):
+    """The lineitem self-join must be pruned to (orderkey, partkey)
+    before joining — the scan reads exactly those two columns."""
+    from etl_pipeline_example_spark.plans.basket import q_basket_pairs
+
+    plan = plan_str(q_basket_pairs(spark, sf_dir), mode="formatted")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    for ln in schema_lines:
+        assert "l_orderkey" in ln and "l_partkey" in ln, ln
+        assert "l_comment" not in ln and "l_extendedprice" not in ln, ln
+
+
+def test_scd2_needs_no_window_or_sort(spark, sf_dir):
+    """SCD2 is per-key alignment only: the plan must contain no Window
+    and no global Sort — a windowed implementation would serialize the
+    dimension through ordering it doesn't need."""
+    from etl_pipeline_example_spark.plans.scd2 import scd2_merge
+
+    plan = plan_str(scd2_merge(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
