@@ -92,6 +92,8 @@ from etl_pipeline_example_spark.plans import (
     RECON_QUERIES,
     SCD2_ORACLES,
     SCD2_QUERIES,
+    SEASONAL_ORACLES,
+    SEASONAL_QUERIES,
 )
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
 from etl_pipeline_example_spark.plans.tpch_extra import (
@@ -239,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(INCREMENTAL_QUERIES)
     out.update(SCD2_QUERIES)
     out.update(RECON_QUERIES)
+    out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(BASKET_QUERIES)
     out.update(DEDUP_QUERIES)
@@ -284,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(INCREMENTAL_ORACLES)
     out.update(SCD2_ORACLES)
     out.update(RECON_ORACLES)
+    out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(BASKET_ORACLES)
     out.update(DEDUP_ORACLES)

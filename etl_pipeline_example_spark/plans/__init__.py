@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.seasonal import (
+    SEASONAL_QUERIES,
+    SEASONAL_ORACLES,
+)
 from etl_pipeline_example_spark.plans.recon import (
     RECON_QUERIES,
     RECON_ORACLES,
@@ -48,4 +52,6 @@ __all__ = [
     "SCD2_ORACLES",
     "RECON_QUERIES",
     "RECON_ORACLES",
+    "SEASONAL_QUERIES",
+    "SEASONAL_ORACLES",
 ]

@@ -570,3 +570,24 @@ def test_dedup_incremental_separates_history_and_batch_dups(spark, tmp_path):
         252: "dup_in_batch",
         253: "new",
     }, got
+
+
+def test_lang_mismatch_flags_the_mislabeled_doc(spark, tmp_path):
+    """Two docs declared 'en': one genuinely English (agrees), one
+    French text (langid says fr → disagrees). The per-source rate
+    reflects exactly the one bad label."""
+    from etl_pipeline_example_spark.plans.seasonal import lang_mismatch
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "the cat and the dog are in the house with a bird", "en", "s"),
+            (1, "le chat et le chien sont dans la maison avec les oiseaux", "en", "s"),
+        ],
+    )
+    rows = lang_mismatch(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_docs"], r["n_predicted"], r["n_agree"]) == (2, 2, 1), r
+    assert r["agree_rate"] == 0.5
