@@ -60,6 +60,8 @@ from etl_pipeline_example_spark.operators import (
     MM_QUERIES,
     NORMALIZE_ORACLES,
     NORMALIZE_QUERIES,
+    NOVELTY_ORACLES,
+    NOVELTY_QUERIES,
     PCA_ORACLES,
     PCA_QUERIES,
     RP_ORACLES,
@@ -240,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CORPUSSTATS_QUERIES)
     out.update(INCREMENTAL_QUERIES)
     out.update(SCD2_QUERIES)
+    out.update(NOVELTY_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -286,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CORPUSSTATS_ORACLES)
     out.update(INCREMENTAL_ORACLES)
     out.update(SCD2_ORACLES)
+    out.update(NOVELTY_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

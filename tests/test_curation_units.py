@@ -591,3 +591,19 @@ def test_lang_mismatch_flags_the_mislabeled_doc(spark, tmp_path):
     r = rows[0]
     assert (r["n_docs"], r["n_predicted"], r["n_agree"]) == (2, 2, 1), r
     assert r["agree_rate"] == 0.5
+
+
+def test_ngram_novelty_zero_for_clones_one_for_fresh_text(spark, tmp_path):
+    """Two identical docs share every 5-gram (novelty 0 for both); a
+    third all-fresh doc scores 1.0."""
+    from etl_pipeline_example_spark.operators.novelty import ngram_novelty
+
+    clone = " ".join(f"c{i}" for i in range(10))
+    fresh = " ".join(f"f{i}" for i in range(10))
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, clone, "en", "s"), (1, clone, "en", "s"), (2, fresh, "en", "s")],
+    )
+    got = {r["doc_id"]: r["novelty"] for r in ngram_novelty(spark, sf).collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 1.0}, got

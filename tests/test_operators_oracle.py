@@ -33,6 +33,8 @@ from etl_pipeline_example_spark.operators import (
     DSIR_QUERIES,
     INCREMENTAL_ORACLES,
     INCREMENTAL_QUERIES,
+    NOVELTY_ORACLES,
+    NOVELTY_QUERIES,
     FUNNEL_ORACLES,
     FUNNEL_QUERIES,
     PMI_ORACLES,
@@ -59,7 +61,7 @@ ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
     **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES,
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
-    **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES,
+    **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -67,7 +69,7 @@ ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
     **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES,
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
-    **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES,
+    **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
