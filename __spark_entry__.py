@@ -80,6 +80,8 @@ from etl_pipeline_example_spark.plans import (
     ANALYTIC_QUERIES,
     BASKET_ORACLES,
     BASKET_QUERIES,
+    ENGAGEMENT_ORACLES,
+    ENGAGEMENT_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
@@ -243,6 +245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(INCREMENTAL_QUERIES)
     out.update(SCD2_QUERIES)
     out.update(NOVELTY_QUERIES)
+    out.update(ENGAGEMENT_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -290,6 +293,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(INCREMENTAL_ORACLES)
     out.update(SCD2_ORACLES)
     out.update(NOVELTY_ORACLES)
+    out.update(ENGAGEMENT_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

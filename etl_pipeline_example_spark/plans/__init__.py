@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.engagement import (
+    ENGAGEMENT_QUERIES,
+    ENGAGEMENT_ORACLES,
+)
 from etl_pipeline_example_spark.plans.seasonal import (
     SEASONAL_QUERIES,
     SEASONAL_ORACLES,
@@ -54,4 +58,6 @@ __all__ = [
     "RECON_ORACLES",
     "SEASONAL_QUERIES",
     "SEASONAL_ORACLES",
+    "ENGAGEMENT_QUERIES",
+    "ENGAGEMENT_ORACLES",
 ]

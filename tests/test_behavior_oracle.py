@@ -8,6 +8,8 @@ import pytest
 from etl_pipeline_example_spark.plans import (
     BASKET_ORACLES,
     BASKET_QUERIES,
+    ENGAGEMENT_ORACLES,
+    ENGAGEMENT_QUERIES,
     SCD2_ORACLES,
     SCD2_QUERIES,
     BEHAVIOR_ORACLES,
@@ -24,12 +26,12 @@ from tests.oracle_util import assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
-    **RECON_QUERIES, **SEASONAL_QUERIES}))
+    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
     qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
-    **RECON_QUERIES, **SEASONAL_QUERIES}
+    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES}
     os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES,
-    **RECON_ORACLES, **SEASONAL_ORACLES}
+    **RECON_ORACLES, **SEASONAL_ORACLES, **ENGAGEMENT_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
@@ -210,3 +212,34 @@ def test_full_outer_recon_emits_all_three_statuses(spark, tmp_path):
         "1994-01-02": "orders_only",
         "1994-01-03": "events_only",
     }, got
+
+
+def test_props_schema_discovers_planted_keys_with_coverage(spark, tmp_path):
+    """Three events: keys a (3/3), b (2/3), c (1/3) — discovery must
+    report exactly those coverages."""
+    from etl_pipeline_example_spark.plans.engagement import q_props_schema
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view", 1.0, '{"a": "1", "b": "2"}'),
+        (2, "2024-01-01 01:00:00", 1, "view", 1.0, '{"a": "1", "b": "2", "c": "3"}'),
+        (3, "2024-01-01 02:00:00", 1, "view", 1.0, '{"a": "1"}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["key"]: (r["n_present"], r["coverage"]) for r in q_props_schema(spark, str(tmp_path)).collect()}
+    assert got == {"a": (3, 1.0), "b": (2, 0.666667), "c": (1, 0.333333)}, got
+
+
+def test_active_users_stickiness_is_dau_over_mau(spark, sf_dir):
+    from etl_pipeline_example_spark.plans.engagement import q_active_users
+
+    rows = q_active_users(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["dau"] <= r["wau"] <= r["mau"]
+        assert abs(r["stickiness"] - round(r["dau"] / r["mau"], 6)) < 1e-9
