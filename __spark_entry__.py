@@ -82,6 +82,8 @@ from etl_pipeline_example_spark.plans import (
     BASKET_QUERIES,
     ENGAGEMENT_ORACLES,
     ENGAGEMENT_QUERIES,
+    LOGISTICS_ORACLES,
+    LOGISTICS_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
     PATTERN_ORACLES,
@@ -246,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SCD2_QUERIES)
     out.update(NOVELTY_QUERIES)
     out.update(ENGAGEMENT_QUERIES)
+    out.update(LOGISTICS_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -294,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SCD2_ORACLES)
     out.update(NOVELTY_ORACLES)
     out.update(ENGAGEMENT_ORACLES)
+    out.update(LOGISTICS_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.logistics import (
+    LOGISTICS_QUERIES,
+    LOGISTICS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.engagement import (
     ENGAGEMENT_QUERIES,
     ENGAGEMENT_ORACLES,
@@ -60,4 +64,6 @@ __all__ = [
     "SEASONAL_ORACLES",
     "ENGAGEMENT_QUERIES",
     "ENGAGEMENT_ORACLES",
+    "LOGISTICS_QUERIES",
+    "LOGISTICS_ORACLES",
 ]

@@ -10,6 +10,8 @@ from etl_pipeline_example_spark.plans import (
     BASKET_QUERIES,
     ENGAGEMENT_ORACLES,
     ENGAGEMENT_QUERIES,
+    LOGISTICS_ORACLES,
+    LOGISTICS_QUERIES,
     SCD2_ORACLES,
     SCD2_QUERIES,
     BEHAVIOR_ORACLES,
@@ -26,12 +28,15 @@ from tests.oracle_util import assert_matches_oracle
 
 
 @pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
-    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES}))
+    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES,
+    **LOGISTICS_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
     qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
-    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES}
+    **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES,
+    **LOGISTICS_QUERIES}
     os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES,
-    **RECON_ORACLES, **SEASONAL_ORACLES, **ENGAGEMENT_ORACLES}
+    **RECON_ORACLES, **SEASONAL_ORACLES, **ENGAGEMENT_ORACLES,
+    **LOGISTICS_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
