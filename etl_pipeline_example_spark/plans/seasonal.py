@@ -6,11 +6,14 @@
                   routed to re-identification). Composes the
                   ``text_langid`` heuristic: its full oracle SQL is
                   wrapped as a CTE so the chain is verified end-to-end.
-  q_seasonality   monthly revenue with year-over-year ratio: the lag-12
-                  window runs over the AGGREGATED month series (a few
-                  dozen rows — bounded by calendar, not data), which is
-                  the legitimate exception to the no-global-window
-                  rule: aggregate first, window the summary.
+  q_seasonality   monthly revenue with year-over-year ratio, computed
+                  as a CALENDAR self-join (month = add_months(month,
+                  −12)) on the aggregated month series rather than a
+                  row-lag — a lag(12) silently misaligns when a month
+                  is missing from the data (the hand-computed unit
+                  test pins exactly that case). The join input is
+                  calendar-bounded rows: aggregate first, join the
+                  summary.
 
 No reference counterpart (the reference is a 305-LoC ETL example);
 SURVEY.md §2 rows 28b and 20z8.
@@ -20,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.text import TEXT_ORACLES, text_langid
@@ -97,18 +100,20 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(o_totalprice as decimal(18,2))) as double)"
         ).alias("revenue")
     )
-    w = Window.orderBy(F.col("month").asc())
-    return monthly.select(
-        "month",
-        "revenue",
-        F.expr("lag(revenue, 12) over (order by month)").alias("prev_year"),
-    ).select(
-        "month",
-        "revenue",
-        F.expr(
-            "CASE WHEN prev_year IS NULL THEN cast(null as double)"
-            " ELSE round(revenue / prev_year, 6) END"
-        ).alias("yoy"),
+    prev = monthly.select(
+        F.expr("add_months(month, 12)").alias("month"),
+        F.col("revenue").alias("prev_year"),
+    )
+    return (
+        monthly.join(prev, "month", "left")
+        .select(
+            "month",
+            "revenue",
+            F.expr(
+                "CASE WHEN prev_year IS NULL THEN cast(null as double)"
+                " ELSE round(revenue / prev_year, 6) END"
+            ).alias("yoy"),
+        )
     )
 
 
@@ -117,16 +122,12 @@ WITH monthly AS (
   SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
          cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS revenue
   FROM orders GROUP BY 1
-),
-lagged AS (
-  SELECT month, revenue,
-         lag(revenue, 12) OVER (ORDER BY month) AS prev_year
-  FROM monthly
 )
-SELECT month, revenue,
-       CASE WHEN prev_year IS NULL THEN cast(NULL AS double)
-            ELSE round(revenue / prev_year, 6) END AS yoy
-FROM lagged
+SELECT m.month, m.revenue,
+       CASE WHEN p.revenue IS NULL THEN cast(NULL AS double)
+            ELSE round(m.revenue / p.revenue, 6) END AS yoy
+FROM monthly m
+LEFT JOIN monthly p ON m.month = cast(p.month + INTERVAL 12 MONTH AS date)
 """
 
 

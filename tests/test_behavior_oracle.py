@@ -248,3 +248,66 @@ def test_active_users_stickiness_is_dau_over_mau(spark, sf_dir):
     for r in rows:
         assert r["dau"] <= r["wau"] <= r["mau"]
         assert abs(r["stickiness"] - round(r["dau"] / r["mau"], 6)) < 1e-9
+
+
+def test_basket_pairs_counts_co_orders_by_hand(spark, tmp_path):
+    """Orders: {1: parts A,B,C}, {2: parts A,B}, {3: part A} →
+    (A,B)=2, (A,C)=1, (B,C)=1; duplicate lines of one part in the same
+    order count once."""
+    from etl_pipeline_example_spark.plans.basket import q_basket_pairs
+
+    rows = [
+        # (orderkey, partkey) with one duplicated (1, A) line
+        (1, 100), (1, 100), (1, 200), (1, 300),
+        (2, 100), (2, 200),
+        (3, 100),
+    ]
+    df = spark.createDataFrame(
+        [(ok, pk, 1, i, 1.0, 10.0, 0.0, 0.0, "N", "O", "1995-01-01")
+         for i, (ok, pk) in enumerate(rows)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus",
+                 "cast(l_shipdate as timestamp) l_shipdate")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = {(r["part_a"], r["part_b"]): r["n_orders"]
+           for r in q_basket_pairs(spark, str(tmp_path)).collect()}
+    assert got == {(100, 200): 2, (100, 300): 1, (200, 300): 1}, got
+
+
+def test_rfm_quintiles_are_deterministic_and_complete(spark, sf_dir):
+    """Structural contract: every band value in 1..5, rfm code
+    consistent with its components, output capped at RFM_TOP."""
+    from etl_pipeline_example_spark.plans.recon import RFM_TOP, q_rfm
+
+    rows = q_rfm(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RFM_TOP
+    for r in rows:
+        assert 1 <= r["r"] <= 5 and 1 <= r["f"] <= 5 and 1 <= r["m"] <= 5
+        assert r["rfm"] == r["r"] * 100 + r["f"] * 10 + r["m"]
+
+
+def test_seasonality_yoy_matches_hand_ratio(spark, tmp_path):
+    """Two Januaries a year apart with revenues 100 and 150 → the later
+    month's yoy is exactly 1.5 and the earlier's is null."""
+    from etl_pipeline_example_spark.plans.seasonal import q_seasonality
+
+    rows = [
+        (1, 1, "O", 100.0, "1994-01-10"),
+        (2, 1, "O", 150.0, "1995-01-20"),
+    ]
+    df = spark.createDataFrame(
+        [(ok, ck, st, tp, od, "p", "c", 0, "x") for ok, ck, st, tp, od in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "cast(o_orderdate as date) o_orderdate", "o_orderpriority",
+                 "o_clerk", "o_shippriority", "o_comment")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {str(r["month"]): r["yoy"] for r in q_seasonality(spark, str(tmp_path)).collect()}
+    assert got == {"1994-01-01": None, "1995-01-01": 1.5}, got
