@@ -311,3 +311,69 @@ def test_seasonality_yoy_matches_hand_ratio(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     got = {str(r["month"]): r["yoy"] for r in q_seasonality(spark, str(tmp_path)).collect()}
     assert got == {"1994-01-01": None, "1995-01-01": 1.5}, got
+
+
+def _write_li_orders(spark, tmp_path, li_rows, order_rows):
+    li = spark.createDataFrame(
+        [(ok, pk, sk, i, 1.0, ep, dc, 0.0, rf, ls, sd)
+         for i, (ok, pk, sk, ep, dc, rf, ls, sd) in enumerate(li_rows)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).selectExpr("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus",
+                 "cast(l_shipdate as timestamp) l_shipdate")
+    li.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    od = spark.createDataFrame(
+        [(ok, 1, "O", 0.0, d, "p", "c", 0, "x") for ok, d in order_rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "cast(o_orderdate as date) o_orderdate", "o_orderpriority",
+                 "o_clerk", "o_shippriority", "o_comment")
+    od.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+
+def test_shipping_lag_by_hand(spark, tmp_path):
+    """Two 'O' lines shipping 10 and 100 days after their orders: the
+    100-day line is the only slow one (rate 0.5) and the median lag is
+    the interpolated 55."""
+    from etl_pipeline_example_spark.plans.logistics import li_shipping_lag
+
+    _write_li_orders(
+        spark, tmp_path,
+        [(1, 10, 1, 100.0, 0.0, "N", "O", "1994-01-11"),
+         (2, 11, 1, 100.0, 0.0, "N", "O", "1994-04-11")],
+        [(1, "1994-01-01"), (2, "1994-01-01")],
+    )
+    rows = li_shipping_lag(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_lines"], r["slow_rate"], r["p50_lag_days"]) == (2, 0.5, 55.0), r
+
+
+def test_supplier_scorecard_by_hand(spark, tmp_path):
+    """One supplier, two lines (100 @ 10% off and 50 flat, one
+    returned): revenue 140, return rate 0.5, mean ship days (10+20)/2."""
+    from etl_pipeline_example_spark.plans.logistics import supplier_scorecard
+
+    _write_li_orders(
+        spark, tmp_path,
+        [(1, 10, 7, 100.0, 0.1, "R", "F", "1994-01-11"),
+         (2, 11, 7, 50.0, 0.0, "N", "O", "1994-01-21")],
+        [(1, "1994-01-01"), (2, "1994-01-01")],
+    )
+    sup = spark.createDataFrame(
+        [(7, "Supplier#7", "addr", 1, "phone", 0.0, "c")],
+        "s_suppkey bigint, s_name string, s_address string, s_nationkey bigint,"
+        " s_phone string, s_acctbal double, s_comment string",
+    )
+    sup.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/supplier.parquet")
+    rows = supplier_scorecard(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["revenue"] == 140.0 and r["return_rate"] == 0.5
+    assert r["mean_ship_days"] == 15.0, r
