@@ -86,6 +86,8 @@ from etl_pipeline_example_spark.plans import (
     LOGISTICS_QUERIES,
     BEHAVIOR_ORACLES,
     BEHAVIOR_QUERIES,
+    CONCENTRATION_ORACLES,
+    CONCENTRATION_QUERIES,
     PATTERN_ORACLES,
     PATTERN_QUERIES,
     PROFILE_ORACLES,
@@ -249,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(NOVELTY_QUERIES)
     out.update(ENGAGEMENT_QUERIES)
     out.update(LOGISTICS_QUERIES)
+    out.update(CONCENTRATION_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -298,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(NOVELTY_ORACLES)
     out.update(ENGAGEMENT_ORACLES)
     out.update(LOGISTICS_ORACLES)
+    out.update(CONCENTRATION_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -1,5 +1,9 @@
 from etl_pipeline_example_spark.plans.queries import ANALYTIC_QUERIES, ANALYTIC_ORACLES
 from etl_pipeline_example_spark.plans.scale import SCALE_ORACLES, SCALE_QUERIES
+from etl_pipeline_example_spark.plans.concentration import (
+    CONCENTRATION_QUERIES,
+    CONCENTRATION_ORACLES,
+)
 from etl_pipeline_example_spark.plans.logistics import (
     LOGISTICS_QUERIES,
     LOGISTICS_ORACLES,
@@ -66,4 +70,6 @@ __all__ = [
     "ENGAGEMENT_ORACLES",
     "LOGISTICS_QUERIES",
     "LOGISTICS_ORACLES",
+    "CONCENTRATION_QUERIES",
+    "CONCENTRATION_ORACLES",
 ]

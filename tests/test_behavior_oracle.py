@@ -8,6 +8,8 @@ import pytest
 from etl_pipeline_example_spark.plans import (
     BASKET_ORACLES,
     BASKET_QUERIES,
+    CONCENTRATION_ORACLES,
+    CONCENTRATION_QUERIES,
     ENGAGEMENT_ORACLES,
     ENGAGEMENT_QUERIES,
     LOGISTICS_ORACLES,
@@ -29,14 +31,14 @@ from tests.oracle_util import assert_matches_oracle
 
 @pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
     **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES,
-    **LOGISTICS_QUERIES}))
+    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
     qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
     **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES,
-    **LOGISTICS_QUERIES}
+    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES}
     os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES,
     **RECON_ORACLES, **SEASONAL_ORACLES, **ENGAGEMENT_ORACLES,
-    **LOGISTICS_ORACLES}
+    **LOGISTICS_ORACLES, **CONCENTRATION_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 
