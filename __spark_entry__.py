@@ -48,6 +48,8 @@ from etl_pipeline_example_spark.operators import (
     CORPUSSTATS_QUERIES,
     DECONTAM_FUZZY_ORACLES,
     DECONTAM_FUZZY_QUERIES,
+    DIAGNOSTICS_ORACLES,
+    DIAGNOSTICS_QUERIES,
     DOMAIN_ORACLES,
     DOMAIN_QUERIES,
     DECONTAM_ORACLES,
@@ -252,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ENGAGEMENT_QUERIES)
     out.update(LOGISTICS_QUERIES)
     out.update(CONCENTRATION_QUERIES)
+    out.update(DIAGNOSTICS_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -302,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ENGAGEMENT_ORACLES)
     out.update(LOGISTICS_ORACLES)
     out.update(CONCENTRATION_ORACLES)
+    out.update(DIAGNOSTICS_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

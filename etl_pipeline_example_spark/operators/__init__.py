@@ -22,6 +22,10 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.diagnostics import (
+    DIAGNOSTICS_QUERIES,
+    DIAGNOSTICS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.novelty import (
     NOVELTY_QUERIES,
     NOVELTY_ORACLES,
@@ -126,4 +130,6 @@ __all__ = [
     "INCREMENTAL_ORACLES",
     "NOVELTY_QUERIES",
     "NOVELTY_ORACLES",
+    "DIAGNOSTICS_QUERIES",
+    "DIAGNOSTICS_ORACLES",
 ]

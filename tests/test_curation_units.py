@@ -607,3 +607,17 @@ def test_ngram_novelty_zero_for_clones_one_for_fresh_text(spark, tmp_path):
     )
     got = {r["doc_id"]: r["novelty"] for r in ngram_novelty(spark, sf).collect()}
     assert got == {0: 0.0, 1: 0.0, 2: 1.0}, got
+
+
+def test_embed_dim_stats_by_hand(spark, tmp_path):
+    """Vectors [1,0] and [3,0]: dim 1 mean 2, variance 1 (population);
+    dim 2 both zero."""
+    from etl_pipeline_example_spark.operators.diagnostics import embed_dim_stats
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [3.0, 0.0], 0)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r["dim"]: (r["mean"], r["variance"]) for r in embed_dim_stats(spark, str(tmp_path)).collect()}
+    assert got == {1: (2.0, 1.0), 2: (0.0, 0.0)}, got

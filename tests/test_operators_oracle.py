@@ -21,6 +21,8 @@ from etl_pipeline_example_spark.operators import (
     CORPUSSTATS_QUERIES,
     CONTAINMENT_ORACLES,
     CONTAINMENT_QUERIES,
+    DIAGNOSTICS_ORACLES,
+    DIAGNOSTICS_QUERIES,
     EMBEDNORM_ORACLES,
     EMBEDNORM_QUERIES,
     RPRERANK_ORACLES,
@@ -62,6 +64,7 @@ ALL_Q = {
     **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES,
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
+    **DIAGNOSTICS_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -70,6 +73,7 @@ ALL_O = {
     **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES,
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
+    **DIAGNOSTICS_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
