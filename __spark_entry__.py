@@ -22,6 +22,8 @@ from etl_pipeline_example_spark.operators import (
     BPE_QUERIES,
     C4_ORACLES,
     C4_QUERIES,
+    CALIBRATION_ORACLES,
+    CALIBRATION_QUERIES,
     CONTAINMENT_ORACLES,
     CONTAINMENT_QUERIES,
     PMI_ORACLES,
@@ -255,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(LOGISTICS_QUERIES)
     out.update(CONCENTRATION_QUERIES)
     out.update(DIAGNOSTICS_QUERIES)
+    out.update(CALIBRATION_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -306,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(LOGISTICS_ORACLES)
     out.update(CONCENTRATION_ORACLES)
     out.update(DIAGNOSTICS_ORACLES)
+    out.update(CALIBRATION_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

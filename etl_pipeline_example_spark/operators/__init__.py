@@ -22,6 +22,10 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.calibration import (
+    CALIBRATION_QUERIES,
+    CALIBRATION_ORACLES,
+)
 from etl_pipeline_example_spark.operators.diagnostics import (
     DIAGNOSTICS_QUERIES,
     DIAGNOSTICS_ORACLES,
@@ -132,4 +136,6 @@ __all__ = [
     "NOVELTY_ORACLES",
     "DIAGNOSTICS_QUERIES",
     "DIAGNOSTICS_ORACLES",
+    "CALIBRATION_QUERIES",
+    "CALIBRATION_ORACLES",
 ]

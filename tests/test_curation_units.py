@@ -621,3 +621,18 @@ def test_embed_dim_stats_by_hand(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
     got = {r["dim"]: (r["mean"], r["variance"]) for r in embed_dim_stats(spark, str(tmp_path)).collect()}
     assert got == {1: (2.0, 1.0), 2: (0.0, 0.0)}, got
+
+
+def test_minhash_calibration_error_sits_inside_one_sigma(spark):
+    """On the real sf0.001 verified pairs: mean |estimate − jaccard|
+    must sit inside one binomial σ = √(J(1−J)/16) at the observed mean
+    J — the statistical contract that justifies the 16-hash signature."""
+    import math
+
+    from etl_pipeline_example_spark.operators.calibration import minhash_calibration
+
+    r = minhash_calibration(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_pairs"] > 0
+    j = r["mean_jaccard"]
+    sigma = math.sqrt(max(j * (1 - j), 1e-9) / 16)
+    assert r["mean_abs_err"] <= sigma, (r["mean_abs_err"], sigma)
