@@ -78,6 +78,8 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
+    ZIPF_ORACLES,
+    ZIPF_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     ANALYTIC_ORACLES,
@@ -258,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CONCENTRATION_QUERIES)
     out.update(DIAGNOSTICS_QUERIES)
     out.update(CALIBRATION_QUERIES)
+    out.update(ZIPF_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -310,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CONCENTRATION_ORACLES)
     out.update(DIAGNOSTICS_ORACLES)
     out.update(CALIBRATION_ORACLES)
+    out.update(ZIPF_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -22,6 +22,7 @@ from etl_pipeline_example_spark.operators.rp import RP_QUERIES, RP_ORACLES
 from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
+from etl_pipeline_example_spark.operators.zipf import ZIPF_QUERIES, ZIPF_ORACLES
 from etl_pipeline_example_spark.operators.calibration import (
     CALIBRATION_QUERIES,
     CALIBRATION_ORACLES,
@@ -138,4 +139,6 @@ __all__ = [
     "DIAGNOSTICS_ORACLES",
     "CALIBRATION_QUERIES",
     "CALIBRATION_ORACLES",
+    "ZIPF_QUERIES",
+    "ZIPF_ORACLES",
 ]

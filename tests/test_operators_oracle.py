@@ -57,6 +57,8 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
+    ZIPF_ORACLES,
+    ZIPF_QUERIES,
 )
 
 from tests.oracle_util import assert_matches_oracle
@@ -66,7 +68,7 @@ ALL_Q = {
     **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES,
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
-    **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES,
+    **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -75,7 +77,7 @@ ALL_O = {
     **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES,
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
-    **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES,
+    **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
