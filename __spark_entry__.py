@@ -70,6 +70,8 @@ from etl_pipeline_example_spark.operators import (
     PCA_QUERIES,
     RP_ORACLES,
     RP_QUERIES,
+    SAVINGS_ORACLES,
+    SAVINGS_QUERIES,
     RPRERANK_ORACLES,
     RPRERANK_QUERIES,
     SHARD_ORACLES,
@@ -261,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DIAGNOSTICS_QUERIES)
     out.update(CALIBRATION_QUERIES)
     out.update(ZIPF_QUERIES)
+    out.update(SAVINGS_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -314,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DIAGNOSTICS_ORACLES)
     out.update(CALIBRATION_ORACLES)
     out.update(ZIPF_ORACLES)
+    out.update(SAVINGS_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

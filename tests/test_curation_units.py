@@ -636,3 +636,23 @@ def test_minhash_calibration_error_sits_inside_one_sigma(spark):
     j = r["mean_jaccard"]
     sigma = math.sqrt(max(j * (1 - j), 1e-9) / 16)
     assert r["mean_abs_err"] <= sigma, (r["mean_abs_err"], sigma)
+
+
+def test_dedup_savings_attributes_tokens_to_each_method(spark, tmp_path):
+    """Three docs of 10 tokens: doc 1 is an exact clone of doc 0 (exact
+    dedup reclaims its 10 tokens); doc 2 is distinct. Savings: exact
+    10/30, exact+minhash at least that."""
+    from etl_pipeline_example_spark.operators.savings import dedup_savings
+
+    a = " ".join(f"a{i}" for i in range(10))
+    c = " ".join(f"c{i}" for i in range(10))
+    sf = _write_docs(
+        spark, tmp_path,
+        [(0, a, "en", "s"), (1, a, "en", "s"), (2, c, "en", "s")],
+    )
+    got = {r["method"]: r for r in dedup_savings(spark, sf).collect()}
+    e = got["1_exact"]
+    assert (e["tokens_before"], e["tokens_after"]) == (30, 20)
+    assert e["savings_rate"] == 0.333333
+    b = got["2_exact_plus_minhash"]
+    assert b["tokens_after"] <= e["tokens_after"]

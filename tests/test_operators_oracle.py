@@ -27,6 +27,8 @@ from etl_pipeline_example_spark.operators import (
     EMBEDNORM_QUERIES,
     RPRERANK_ORACLES,
     RPRERANK_QUERIES,
+    SAVINGS_ORACLES,
+    SAVINGS_QUERIES,
     DOMAINSHIFT_ORACLES,
     DOMAINSHIFT_QUERIES,
     C4_ORACLES,
@@ -69,6 +71,7 @@ ALL_Q = {
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
+    **SAVINGS_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -78,6 +81,7 @@ ALL_O = {
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
+    **SAVINGS_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
