@@ -32,6 +32,8 @@ from etl_pipeline_example_spark.operators import (
     DOMAINSHIFT_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    EVALUATION_ORACLES,
+    EVALUATION_QUERIES,
     INCREMENTAL_ORACLES,
     INCREMENTAL_QUERIES,
     EMBEDNORM_ORACLES,
@@ -264,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CALIBRATION_QUERIES)
     out.update(ZIPF_QUERIES)
     out.update(SAVINGS_QUERIES)
+    out.update(EVALUATION_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -318,6 +321,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CALIBRATION_ORACLES)
     out.update(ZIPF_ORACLES)
     out.update(SAVINGS_ORACLES)
+    out.update(EVALUATION_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

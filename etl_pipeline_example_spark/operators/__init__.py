@@ -23,6 +23,10 @@ from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
 from etl_pipeline_example_spark.operators.zipf import ZIPF_QUERIES, ZIPF_ORACLES
+from etl_pipeline_example_spark.operators.evaluation import (
+    EVALUATION_QUERIES,
+    EVALUATION_ORACLES,
+)
 from etl_pipeline_example_spark.operators.savings import (
     SAVINGS_QUERIES,
     SAVINGS_ORACLES,
@@ -147,4 +151,6 @@ __all__ = [
     "ZIPF_ORACLES",
     "SAVINGS_QUERIES",
     "SAVINGS_ORACLES",
+    "EVALUATION_QUERIES",
+    "EVALUATION_ORACLES",
 ]

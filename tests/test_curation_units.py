@@ -656,3 +656,35 @@ def test_dedup_savings_attributes_tokens_to_each_method(spark, tmp_path):
     assert e["savings_rate"] == 0.333333
     b = got["2_exact_plus_minhash"]
     assert b["tokens_after"] <= e["tokens_after"]
+
+
+def test_sample_split_is_stable_and_covers_every_doc(spark, sf_dir):
+    """The split is a pure function of doc_id: two invocations agree
+    row-for-row; every doc gets exactly one split; train dominates."""
+    from etl_pipeline_example_spark.operators.evaluation import sample_split
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    a = {r["doc_id"]: r["split"] for r in sample_split(spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in sample_split(spark, sf_dir).collect()}
+    assert a == b
+    assert len(a) == read_table(spark, sf_dir, "documents").count()
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > c["val"] + c["test"]
+
+
+def test_cluster_purity_is_perfect_on_separable_labels(spark, tmp_path):
+    """Two tight blobs on opposite axes with distinct labels: every
+    populated cell must be pure (purity 1.0) — the sanity anchor for
+    the metric."""
+    from etl_pipeline_example_spark.operators.evaluation import cluster_purity
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [10.0 + i * 0.01] + [0.0] * 7, 1))
+        rows.append((100 + i, [0.0] * 7 + [10.0 + i * 0.01], 2))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    for r in cluster_purity(spark, str(tmp_path)).collect():
+        assert r["purity"] == 1.0, r

@@ -37,6 +37,8 @@ from etl_pipeline_example_spark.operators import (
     CALIBRATION_QUERIES,
     DSIR_ORACLES,
     DSIR_QUERIES,
+    EVALUATION_ORACLES,
+    EVALUATION_QUERIES,
     INCREMENTAL_ORACLES,
     INCREMENTAL_QUERIES,
     NOVELTY_ORACLES,
@@ -71,7 +73,7 @@ ALL_Q = {
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
-    **SAVINGS_QUERIES,
+    **SAVINGS_QUERIES, **EVALUATION_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -81,7 +83,7 @@ ALL_O = {
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
-    **SAVINGS_ORACLES,
+    **SAVINGS_ORACLES, **EVALUATION_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
