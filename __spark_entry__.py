@@ -82,6 +82,8 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
+    TUNING_ORACLES,
+    TUNING_QUERIES,
     ZIPF_ORACLES,
     ZIPF_QUERIES,
 )
@@ -267,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ZIPF_QUERIES)
     out.update(SAVINGS_QUERIES)
     out.update(EVALUATION_QUERIES)
+    out.update(TUNING_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -322,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ZIPF_ORACLES)
     out.update(SAVINGS_ORACLES)
     out.update(EVALUATION_ORACLES)
+    out.update(TUNING_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -23,6 +23,7 @@ from etl_pipeline_example_spark.operators.pca import PCA_QUERIES, PCA_ORACLES
 from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_ORACLES
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
 from etl_pipeline_example_spark.operators.zipf import ZIPF_QUERIES, ZIPF_ORACLES
+from etl_pipeline_example_spark.operators.tuning import TUNING_QUERIES, TUNING_ORACLES
 from etl_pipeline_example_spark.operators.evaluation import (
     EVALUATION_QUERIES,
     EVALUATION_ORACLES,
@@ -153,4 +154,6 @@ __all__ = [
     "SAVINGS_ORACLES",
     "EVALUATION_QUERIES",
     "EVALUATION_ORACLES",
+    "TUNING_QUERIES",
+    "TUNING_ORACLES",
 ]

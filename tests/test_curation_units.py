@@ -688,3 +688,26 @@ def test_cluster_purity_is_perfect_on_separable_labels(spark, tmp_path):
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
     for r in cluster_purity(spark, str(tmp_path)).collect():
         assert r["purity"] == 1.0, r
+
+
+def test_minhash_tune_curve_is_monotone_and_calibrated(spark, sf_dir):
+    """The S-curve must be strictly increasing, ≈0 at s=0.05, ≈1 at
+    s=0.95, and agree with an independent Python evaluation of
+    1 − (1 − s^r)^b at every grid point."""
+    from etl_pipeline_example_spark.operators.dedup import MH_BANDS, MH_ROWS
+    from etl_pipeline_example_spark.operators.tuning import minhash_tune
+
+    rows = sorted(minhash_tune(spark, sf_dir).collect(), key=lambda r: r["s"])
+    ps = [r["p_candidate"] for r in rows]
+    assert all(ps[i] < ps[i + 1] for i in range(len(ps) - 1))
+    assert ps[0] < 0.1 and ps[-1] > 0.99
+    for r in rows:
+        s = r["s"]
+        sr = 1.0
+        for _ in range(MH_ROWS):
+            sr = sr * s
+        q = 1.0 - sr
+        acc = 1.0
+        for _ in range(MH_BANDS):
+            acc = acc * q
+        assert r["p_candidate"] == 1.0 - acc, (s, r["p_candidate"])

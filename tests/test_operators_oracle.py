@@ -61,6 +61,8 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
+    TUNING_ORACLES,
+    TUNING_QUERIES,
     ZIPF_ORACLES,
     ZIPF_QUERIES,
 )
@@ -73,7 +75,7 @@ ALL_Q = {
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
-    **SAVINGS_QUERIES, **EVALUATION_QUERIES,
+    **SAVINGS_QUERIES, **EVALUATION_QUERIES, **TUNING_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -83,7 +85,7 @@ ALL_O = {
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
-    **SAVINGS_ORACLES, **EVALUATION_ORACLES,
+    **SAVINGS_ORACLES, **EVALUATION_ORACLES, **TUNING_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
