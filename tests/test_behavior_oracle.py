@@ -379,3 +379,48 @@ def test_supplier_scorecard_by_hand(spark, tmp_path):
     r = rows[0]
     assert r["revenue"] == 140.0 and r["return_rate"] == 0.5
     assert r["mean_ship_days"] == 15.0, r
+
+
+def test_event_path_counts_transitions_by_hand(spark, tmp_path):
+    """User stream v→c→v→c plus a second user c→p: transitions
+    (v,c)=2, (c,v)=1, (c,p)=1."""
+    from etl_pipeline_example_spark.plans.behavior import q_event_path
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 01:00:00", 1, "click"),
+        (3, "2024-01-01 02:00:00", 1, "view"),
+        (4, "2024-01-01 03:00:00", 1, "click"),
+        (5, "2024-01-02 00:00:00", 2, "click"),
+        (6, "2024-01-02 01:00:00", 2, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {(r["prev_type"], r["next_type"]): r["n"] for r in q_event_path(spark, str(tmp_path)).collect()}
+    assert got == {("view", "click"): 2, ("click", "view"): 1, ("click", "purchase"): 1}, got
+
+
+def test_funnel_lag_medians_by_hand(spark, tmp_path):
+    """One user: view at 00:00, click at 01:00 (3600 s), purchase at
+    03:00 (7200 s after click) — the leg medians are exactly those."""
+    from etl_pipeline_example_spark.plans.basket import q_funnel_lag
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 01:00:00", 1, "click"),
+        (3, "2024-01-01 03:00:00", 1, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r["leg"]: r["p50_seconds"] for r in q_funnel_lag(spark, str(tmp_path)).collect()}
+    assert got == {"1_view_to_click": 3600.0, "2_click_to_purchase": 7200.0}, got

@@ -711,3 +711,25 @@ def test_minhash_tune_curve_is_monotone_and_calibrated(spark, sf_dir):
         for _ in range(MH_BANDS):
             acc = acc * q
         assert r["p_candidate"] == 1.0 - acc, (s, r["p_candidate"])
+
+
+def test_embed_outliers_respects_the_per_cell_p95_budget(spark):
+    """Structural contract on real sf0.001 data: every flagged member
+    exceeds its own cell's p95 (dist > p95 by construction) and each
+    cell flags at most ~5% of its members (the percentile budget).
+    Note: a lone far point that SEEDS its own cell is dist-0 by
+    definition — within-cell outliers are the metric's semantics."""
+    from etl_pipeline_example_spark.operators.kmeans import kmeans_assign
+    from etl_pipeline_example_spark.operators.novelty import embed_outliers
+
+    sf = "/root/testdata/sf0.001"
+    sizes = {}
+    for r in kmeans_assign(spark, sf).collect():
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    flagged = {}
+    for r in embed_outliers(spark, sf).collect():
+        assert r["dist"] > r["p95"]
+        flagged[r["cluster_id"]] = flagged.get(r["cluster_id"], 0) + 1
+    assert flagged, "no cell flagged anything"
+    for cid, k in flagged.items():
+        assert k <= max(1, int(0.05 * sizes[cid]) + 1), (cid, k, sizes[cid])
