@@ -80,6 +80,8 @@ from etl_pipeline_example_spark.operators import (
     SHARD_QUERIES,
     SIM_ORACLES,
     SIM_QUERIES,
+    SOURCEQUALITY_ORACLES,
+    SOURCEQUALITY_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -270,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SAVINGS_QUERIES)
     out.update(EVALUATION_QUERIES)
     out.update(TUNING_QUERIES)
+    out.update(SOURCEQUALITY_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -326,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SAVINGS_ORACLES)
     out.update(EVALUATION_ORACLES)
     out.update(TUNING_ORACLES)
+    out.update(SOURCEQUALITY_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -24,6 +24,10 @@ from etl_pipeline_example_spark.operators.funnel import FUNNEL_QUERIES, FUNNEL_O
 from etl_pipeline_example_spark.operators.shard import SHARD_QUERIES, SHARD_ORACLES
 from etl_pipeline_example_spark.operators.zipf import ZIPF_QUERIES, ZIPF_ORACLES
 from etl_pipeline_example_spark.operators.tuning import TUNING_QUERIES, TUNING_ORACLES
+from etl_pipeline_example_spark.operators.sourcequality import (
+    SOURCEQUALITY_QUERIES,
+    SOURCEQUALITY_ORACLES,
+)
 from etl_pipeline_example_spark.operators.evaluation import (
     EVALUATION_QUERIES,
     EVALUATION_ORACLES,
@@ -156,4 +160,6 @@ __all__ = [
     "EVALUATION_ORACLES",
     "TUNING_QUERIES",
     "TUNING_ORACLES",
+    "SOURCEQUALITY_QUERIES",
+    "SOURCEQUALITY_ORACLES",
 ]

@@ -59,6 +59,8 @@ from etl_pipeline_example_spark.operators import (
     SHARD_QUERIES,
     SIM_ORACLES,
     SIM_QUERIES,
+    SOURCEQUALITY_ORACLES,
+    SOURCEQUALITY_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -76,6 +78,7 @@ ALL_Q = {
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
     **SAVINGS_QUERIES, **EVALUATION_QUERIES, **TUNING_QUERIES,
+    **SOURCEQUALITY_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -86,6 +89,7 @@ ALL_O = {
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
     **SAVINGS_ORACLES, **EVALUATION_ORACLES, **TUNING_ORACLES,
+    **SOURCEQUALITY_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }
