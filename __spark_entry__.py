@@ -132,97 +132,99 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. Round 6: (a) every entry backed
-# by the similarity family, which changed this round (the module split
-# into simcore/kmeans/semdedup/pq, TRAINED per-subspace PQ codebooks,
-# cache-release discipline, the kmeans_fit plateau fix — byte-level
-# changes regrade all 11 surviving entries; `dedup_embedding` and
-# `semdedup_prune` are RETIRED to pytest-only baselines, registry 90→88);
-# changed entries lead because their prior evidence is now invalid, while
-# (b)'s entries keep freeze-backed r4 evidence if the budget runs short.
-# (b) NEW round-6 operators (`quality_charlm`, `domain_cap`) — no prior
-# evidence exists, so they must grade now; they displace the two bonus
-# extras `q12_priority`/`q20_excess_suppliers`, which stay on
-# freeze-backed r4 evidence (plans/tpch_extra.py is manifest-frozen).
-# (c) the entries whose latest green row is round 4 (TPC-H suite, text
-# dedup, multimodal, corpus extras) — 2 rounds stale otherwise. Deferred
-# to round 7 on freeze-backed r4 evidence: `q_cube` (plans/scale.py
-# frozen), the two displaced extras, `q_wordcount` (relational.py
-# frozen; its explode/word-frequency shape is also exercised by the
-# in-window tfidf/token entries), and `q13_custdist` (relational.py
-# frozen; outer-join + count-of-counts, shape-adjacent to the in-window
-# q4/q22 join suite) — the 50-row budget holds 11 + 4 + 35 exactly.
-# `quality_buckets`, `dsir_weights`, `quality_c4`, `pmi_bigrams`,
-# `boilerplate_strip`, `bpe_encode`, `dq_profile_approx`, `embed_rp`,
-# `embed_pca`, `curation_funnel`, and the behavior suite
-# (`q_window_funnel`/`q_retention`/`q_event_path`), `text_normalize`, and
-# `shard_by_tokens`, `multimodal_header`, `q_sequence_match`,
-# `anomaly_mad`, `domain_chi2`, and `dedup_containment` (built late in
-# round 6), plus `embed_normalize`, `ann_rp_rerank`, and
-# `stream_c4_gate`, `cluster_topics`, `corpus_stats`, and
-# `dup_rate_by_source`, register BEYOND the window: no driver row this
-# round by construction — their evidence is the pytest oracle run +
-# tools/drivercheck (ALL registry entries green at sf0.01 in the final
-# round-6 sweep), and every backing file is pinned in the freeze
-# manifest. 68 entries now sit beyond the 50-row budget, so the
-# round-7/8 rotation plan is: round 7 grades the ~50 never-driver-
-# graded entries (strict first-evidence priority), round 8 grades the
-# remainder plus whatever round 7's code changes invalidate; freeze-
-# backed union covers the rest each round.
+# entries that most need fresh evidence. Round 7 executes the rotation
+# plan the round-6 verdict ratified: the window is (a) the 49 full-oracle
+# entries that have NEVER had a driver row (they registered beyond the
+# round-6 window by construction; their only evidence is the pytest
+# oracle sweep + tools/drivercheck at sf0.01) in strict first-evidence
+# priority, plus (b) `bpe_train`, pulled back in because operators/bpe.py
+# changed this round (tracked_persist cache discipline — the round-6
+# ADVICE medium), which invalidates its r6 freeze evidence. The two
+# pytest-contract entries `dq_profile_approx` / `embed_pca` (no
+# oracle_sql by documented design — sketches and eigenvectors are
+# engine-specific, so a driver row is rows-only) sit at positions 51–52:
+# if the budget is exactly 50 they fall out and round 8 catches them;
+# their real evidence is the pytest contract either way.
+#
+# Everything else rides the freeze manifest: the 50 r6-green entries and
+# the 42 r4/r5-green entries keep prior-round evidence because their
+# backing modules are byte-identical (tools/frozen_hashes.json, checked
+# by tests/test_freeze.py). Round-7 code churn was confined to in-window
+# modules (bpe/patterns/c4/funnel/streaming-curation/shard/behavior/
+# savings — every entry those files back is in THIS window).
+#
+# ROUND-8 PLAN (commit now, execute next round): _REGISTER_FIRST :=
+# the 42 entries whose latest green row is r4/r5 —
+#   contamination_ngram, dedup_exact, doc_chunk, doc_fingerprint,
+#   doc_pack, dq_profile, meta_align, mix_weights, q12_priority,
+#   q13_custdist, q20_excess_suppliers, q_asof_join, q_cube,
+#   q_events_tumbling, q_gapfill, q_grouping_sets, q_histogram,
+#   q_json_extract, q_lead_lag, q_moving_avg, q_pivot_events,
+#   q_range_join, q_session_window, q_sessionize, q_set_ops,
+#   q_skew_join, q_stats, q_wordcount, sample_hash, sample_stratified,
+#   stream_dedup, stream_enrich, stream_events, stream_join,
+#   stream_sessions, stream_user_stats, text_langid, text_quality,
+#   tfidf_top, token_count, unpack_nested, version_stamp
+# — plus dq_profile_approx/embed_pca if they miss round 7's cap, plus
+# any entry round-8 churn pulls out of the freeze, with new round-7
+# operators filling the remaining slots (first-evidence priority over
+# stale-refresh when the budget binds).
 _REGISTER_FIRST = [
-    # (a) similarity family changed this round — regrade all its entries
-    "semdedup_prune_2l",
-    "semdedup_canonical",
-    "ann_pq_adc",
-    "ann_ivfpq",
-    "ann_int8_rerank",
-    "kmeans_assign",
-    "dedup_embedding_lsh",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "embed_quantize",
-    # (b) new round-6 operators — first-time evidence
-    "quality_charlm",
-    "domain_cap",
-    "contamination_minhash",
+    # (a) never-driver-graded, full DuckDB oracle — first evidence
+    "scd2_merge",
+    "q_window_funnel",
+    "q_retention",
+    "q_event_path",
+    "q_sequence_match",
+    "anomaly_mad",
+    "q_basket_pairs",
+    "q_funnel_lag",
+    "q_full_outer_recon",
+    "q_rfm",
+    "q_seasonality",
+    "lang_mismatch",
+    "q_active_users",
+    "q_props_schema",
+    "li_shipping_lag",
+    "supplier_scorecard",
+    "q_revenue_concentration",
+    "q_events_heatmap",
+    "corpus_stats",
+    "dup_rate_by_source",
+    "dedup_incremental",
+    "dedup_savings",
+    "dedup_containment",
+    "minhash_calibration",
+    "minhash_tune",
+    "ngram_novelty",
+    "embed_normalize",
+    "embed_rp",
+    "ann_rp_rerank",
+    "embed_outliers",
+    "embed_dim_stats",
+    "cluster_topics",
+    "cluster_purity",
+    "sample_split",
+    "quality_c4",
+    "quality_buckets",
+    "source_quality_matrix",
+    "curation_funnel",
+    "stream_c4_gate",
+    "dsir_weights",
+    "boilerplate_strip",
+    "pmi_bigrams",
+    "text_normalize",
+    "token_len_hist",
+    "vocab_zipf",
+    "bpe_encode",
+    "shard_by_tokens",
+    "domain_chi2",
+    "multimodal_header",
+    # (b) regrade: operators/bpe.py changed this round
     "bpe_train",
-    # (c) round-4-only evidence: regrade for a fresh r5 ∪ r6 union
-    "q_calculated",
-    "q1_pricing",
-    "q3_shipping",
-    "q5_local_supplier",
-    "q_topn_window",
-    "q_running_sum",
-    "q_rollup",
-    "q6_forecast",
-    "q4_late_orders",
-    "q_cust_no_orders",
-    "q14_promo",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q22_idle_rich",
-    "q_distinct_agg",
-    "q_percentiles",
-    "q2_argmin",
-    "q7_volume",
-    "q8_mktshare",
-    "q9_profit",
-    "q10_returns",
-    "q11_part_value",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q19_disjunctive",
-    "q21_sole_fault",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "quality_repetition",
-    "multimodal_meta",
-    "multimodal_framesample",
-    "pii_scrub",
-    "boilerplate_chunks",
-    "dedup_cluster",
+    # (c) weak rows-only checks (no oracle by design) — last, may fall out
+    "dq_profile_approx",
+    "embed_pca",
 ]
 
 

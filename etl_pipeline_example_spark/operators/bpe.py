@@ -39,6 +39,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.hashing import duck_tokens, spark_tokens
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 BPE_ROUNDS = 3
@@ -55,16 +59,18 @@ def _train(
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
     """Run the ``BPE_ROUNDS`` merge loop; return (merges, the persisted
     base vocabulary, and the final vocabulary with all merges applied).
-    The caller owns the persist (bpe_train releases it; bpe_encode keeps
-    it live through its vocabulary join)."""
+    The vocabulary persist is TRACKED (simcore discipline): bpe_train
+    releases it eagerly once the merges are collected, and bpe_encode —
+    whose lazy result still reads it — leaves release to the next
+    cache-creating operator's ``release_similarity_caches()`` call, so
+    the frame never stays pinned for the rest of a long driver run."""
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
-    words = (
+    words = tracked_persist(
         docs.select(F.explode(F.expr(toks)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .withColumn("sym", F.expr(r"rtrim(regexp_replace(word, '(.)', '_$1_ '))"))
-        .persist()
     )
     merges: list[tuple[int, str, str, int]] = []
     cur = words
@@ -89,6 +95,7 @@ def _train(
 def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(round, merge_pair, merged, pair_cnt): the first ``BPE_ROUNDS``
     BPE merges learned from the corpus, in merge order."""
+    release_similarity_caches()
     merges, words, _ = _train(spark, sf_dir)
     words.unpersist()
     return spark.createDataFrame(
@@ -108,6 +115,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Heaps' law) and carries two narrow columns, the per-doc aggregate
     is map-side combined, and no merge ever touches a corpus-sized row.
     """
+    release_similarity_caches()
     _, words, final = _train(spark, sf_dir)
     vocab = final.select(
         "word", F.expr("size(split(sym, ' '))").alias("n_sym")

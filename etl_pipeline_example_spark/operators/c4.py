@@ -41,6 +41,71 @@ C4_MEAN_LEN_LO = 3  # chars — C4's mean-word-length band
 C4_MEAN_LEN_HI = 10
 C4_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
 
+_SW_SPARK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+
+
+def spark_c4_rules(
+    tk: str = "tk",
+    text: str = "text",
+    word_cnt: str | None = None,
+    tok_chars: str | None = None,
+) -> dict[str, str]:
+    """The four C4 rule expressions (Spark SQL), keyed by flag name.
+
+    ``curation_funnel`` and ``stream_c4_gate`` consume the SAME builder,
+    so the gate can never silently diverge from its compositions —
+    pass ``word_cnt`` / ``tok_chars`` to reuse precomputed columns."""
+    wc = word_cnt or f"size({tk})"
+    tc = tok_chars or f"aggregate({tk}, 0L, (acc, t) -> acc + length(t))"
+    return {
+        "len_ok": f"{wc} >= {C4_MIN_WORDS} AND {wc} <= {C4_MAX_WORDS}",
+        "mean_len_ok": (
+            f"{tc} >= {C4_MEAN_LEN_LO} * {wc} AND {tc} <= {C4_MEAN_LEN_HI} * {wc}"
+        ),
+        "has_stopword": f"arrays_overlap({tk}, array({_SW_SPARK}))",
+        "clean_markup": (
+            f"NOT (instr(lower({text}), '{{') > 0"
+            f" OR instr(lower({text}), 'lorem ipsum') > 0)"
+        ),
+    }
+
+
+def spark_c4_keep(tk: str = "tk", text: str = "text") -> str:
+    """The keep conjunction (Spark SQL) — the whole gate as one predicate."""
+    return " AND ".join(f"({e})" for e in spark_c4_rules(tk, text).values())
+
+
+def duck_c4_rules(
+    tk: str = "tk",
+    text: str = "text",
+    word_cnt: str | None = None,
+    tok_chars: str | None = None,
+) -> dict[str, str]:
+    """The four C4 rule expressions (DuckDB SQL), mirroring
+    ``spark_c4_rules`` term by term."""
+    wc = word_cnt or f"len({tk})"
+    tc = tok_chars or (
+        f"cast(coalesce(list_sum(list_transform({tk}, t -> length(t))), 0)"
+        " AS bigint)"
+    )
+    return {
+        "len_ok": f"{wc} >= {C4_MIN_WORDS} AND {wc} <= {C4_MAX_WORDS}",
+        "mean_len_ok": (
+            f"{tc} >= {C4_MEAN_LEN_LO} * {wc} AND {tc} <= {C4_MEAN_LEN_HI} * {wc}"
+        ),
+        "has_stopword": f"len(list_intersect({tk}, [{_SW_DUCK}])) > 0",
+        "clean_markup": (
+            f"NOT (position('{{' IN lower({text})) > 0"
+            f" OR position('lorem ipsum' IN lower({text})) > 0)"
+        ),
+    }
+
+
+def duck_c4_keep(tk: str = "tk", text: str = "text") -> str:
+    """The keep conjunction (DuckDB SQL)."""
+    return " AND ".join(f"({e})" for e in duck_c4_rules(tk, text).values())
+
 
 def quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc C4 rule flags + keep conjunction: (doc_id, word_cnt,
@@ -53,7 +118,8 @@ def quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     I/O speed, which is the entire point of rule-based gates: they are
     the first, cheapest pass of the cleaning funnel.
     """
-    sw = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+    rules = spark_c4_rules()
+    on_counts = spark_c4_rules(word_cnt="word_cnt", tok_chars="tok_chars")
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     return (
         docs.select(
@@ -67,23 +133,15 @@ def quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "aggregate(tk, 0L, (acc, t) -> acc + length(t))"
             ).alias("tok_chars"),
-            F.expr(f"arrays_overlap(tk, array({sw}))").alias("has_stopword"),
-            F.expr(
-                "NOT (instr(lower(text), '{') > 0"
-                " OR instr(lower(text), 'lorem ipsum') > 0)"
-            ).alias("clean_markup"),
+            F.expr(rules["has_stopword"]).alias("has_stopword"),
+            F.expr(rules["clean_markup"]).alias("clean_markup"),
         )
         .select(
             "doc_id",
             "word_cnt",
             "tok_chars",
-            F.expr(
-                f"word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS}"
-            ).alias("len_ok"),
-            F.expr(
-                f"tok_chars >= {C4_MEAN_LEN_LO} * word_cnt"
-                f" AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt"
-            ).alias("mean_len_ok"),
+            F.expr(on_counts["len_ok"]).alias("len_ok"),
+            F.expr(on_counts["mean_len_ok"]).alias("mean_len_ok"),
             "has_stopword",
             "clean_markup",
         )
@@ -94,7 +152,8 @@ def quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+_DR = duck_c4_rules()
+_DR_COUNTS = duck_c4_rules(word_cnt="word_cnt", tok_chars="tok_chars")
 
 QUALITY_C4_SQL = f"""
 WITH flags AS (
@@ -102,19 +161,16 @@ WITH flags AS (
          len(tk) AS word_cnt,
          cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0)
               AS bigint) AS tok_chars,
-         len(list_intersect(tk, [{_SW_DUCK}])) > 0 AS has_stopword,
-         NOT (position('{{' IN lower(text)) > 0
-              OR position('lorem ipsum' IN lower(text)) > 0) AS clean_markup
+         {_DR["has_stopword"]} AS has_stopword,
+         {_DR["clean_markup"]} AS clean_markup
   FROM (SELECT doc_id, text, {duck_tokens("text")} AS tk FROM documents)
 )
 SELECT doc_id, word_cnt, tok_chars,
-       word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS} AS len_ok,
-       tok_chars >= {C4_MEAN_LEN_LO} * word_cnt
-         AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt AS mean_len_ok,
+       {_DR_COUNTS["len_ok"]} AS len_ok,
+       {_DR_COUNTS["mean_len_ok"]} AS mean_len_ok,
        has_stopword, clean_markup,
-       (word_cnt >= {C4_MIN_WORDS} AND word_cnt <= {C4_MAX_WORDS})
-         AND (tok_chars >= {C4_MEAN_LEN_LO} * word_cnt
-              AND tok_chars <= {C4_MEAN_LEN_HI} * word_cnt)
+       ({_DR_COUNTS["len_ok"]})
+         AND ({_DR_COUNTS["mean_len_ok"]})
          AND has_stopword AND clean_markup AS keep
 FROM flags
 """

@@ -38,13 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_pipeline_example_spark.operators.c4 import (
-    C4_MAX_WORDS,
-    C4_MEAN_LEN_HI,
-    C4_MEAN_LEN_LO,
-    C4_MIN_WORDS,
-    C4_STOPWORDS,
-)
+from etl_pipeline_example_spark.operators.c4 import duck_c4_keep, spark_c4_keep
 from etl_pipeline_example_spark.operators.decontam import EVAL_SOURCE, NGRAM_N
 from etl_pipeline_example_spark.operators.domain import DOMAIN_CAP
 from etl_pipeline_example_spark.operators.simcore import (
@@ -66,11 +60,10 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Four-stage attrition report: (stage, n_in, n_kept), one row per
     stage in pipeline order."""
     release_similarity_caches()
-    sw = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     train = docs.filter(F.col("source") != EVAL_SOURCE)
 
-    # --- stage 1: C4 rule gate (same flags as quality_c4) --------------
+    # --- stage 1: C4 rule gate (quality_c4's shared keep builder) ------
     base = train.select(
         "doc_id",
         "source",
@@ -78,18 +71,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(spark_tokens("text")).alias("tk"),
     )
     s1 = (
-        base.filter(
-            F.expr(
-                f"size(tk) >= {C4_MIN_WORDS} AND size(tk) <= {C4_MAX_WORDS}"
-                f" AND aggregate(tk, 0L, (acc, t) -> acc + length(t))"
-                f"     >= {C4_MEAN_LEN_LO} * size(tk)"
-                f" AND aggregate(tk, 0L, (acc, t) -> acc + length(t))"
-                f"     <= {C4_MEAN_LEN_HI} * size(tk)"
-                f" AND arrays_overlap(tk, array({sw}))"
-                " AND NOT (instr(lower(text), '{') > 0"
-                "          OR instr(lower(text), 'lorem ipsum') > 0)"
-            )
-        )
+        base.filter(F.expr(spark_c4_keep()))
         .select(
             "doc_id",
             "source",
@@ -146,8 +128,6 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(counts, "stage string, n_in bigint, n_kept bigint")
 
 
-_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
-
 CURATION_FUNNEL_SQL = f"""
 WITH train AS (
   SELECT doc_id, source, text, {duck_tokens("text")} AS tk
@@ -157,14 +137,7 @@ s1 AS (
   SELECT doc_id, source, tk,
          md5({duck_norm_text("text")}) AS content_hash
   FROM train
-  WHERE len(tk) >= {C4_MIN_WORDS} AND len(tk) <= {C4_MAX_WORDS}
-    AND cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS bigint)
-        >= {C4_MEAN_LEN_LO} * len(tk)
-    AND cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS bigint)
-        <= {C4_MEAN_LEN_HI} * len(tk)
-    AND len(list_intersect(tk, [{_SW_DUCK}])) > 0
-    AND NOT (position('{{' IN lower(text)) > 0
-             OR position('lorem ipsum' IN lower(text)) > 0)
+  WHERE {duck_c4_keep()}
 ),
 s2 AS (
   SELECT s1.* FROM s1

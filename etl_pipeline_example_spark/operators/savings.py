@@ -42,30 +42,43 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget impact of exact and exact+minhash dedup.
 
     Scale shape: one scan computes (doc_id, n_tokens, content_hash);
-    the exact keep-set is a min-aggregate semi join, the near-dup drop
-    set is the (candidate-bounded) verified pair list's doc_b column —
-    every subsequent aggregate runs over the narrow token spine.
+    the exact keep-set is the min-per-hash join, the near-dup drop set
+    is the (candidate-bounded) verified pair list's doc_b column, and
+    all three token totals come out of ONE multi-column aggregate over
+    the flagged spine — one Spark job, one 1-row collect (the three
+    sequential scalar collects this replaces re-ran the minhash chain).
     """
     docs = read_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id",
         F.expr(f"size({spark_tokens('text')})").alias("n_tokens"),
         F.expr(f"md5({spark_norm_text('text')})").alias("h"),
     )
-    keep_exact = docs.join(
-        docs.groupBy("h").agg(F.min("doc_id").alias("doc_id")),
-        ["h", "doc_id"],
-        "left_semi",
+    keeper = docs.groupBy("h").agg(F.min("doc_id").alias("keeper_id"))
+    near_drops = (
+        dedup_minhash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
     )
-    near_drops = dedup_minhash(spark, sf_dir).select(
-        F.col("doc_b").alias("doc_id")
-    ).distinct()
-    keep_both = keep_exact.join(near_drops, "doc_id", "left_anti")
-    total = docs.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
-    after_exact = keep_exact.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
-    after_both = keep_both.agg(F.sum("n_tokens").alias("t")).collect()[0]["t"]
+    flagged = (
+        docs.join(keeper, "h")
+        .withColumn("is_exact", F.expr("doc_id = keeper_id"))
+        .join(near_drops, "doc_id", "left")
+    )
+    r = flagged.agg(
+        F.sum("n_tokens").alias("total"),
+        F.sum(F.expr("CASE WHEN is_exact THEN n_tokens ELSE 0 END")).alias(
+            "after_exact"
+        ),
+        F.sum(
+            F.expr(
+                "CASE WHEN is_exact AND is_near IS NULL THEN n_tokens ELSE 0 END"
+            )
+        ).alias("after_both"),
+    ).collect()[0]
     rows = [
-        ("1_exact", total, after_exact),
-        ("2_exact_plus_minhash", total, after_both),
+        ("1_exact", r["total"], r["after_exact"]),
+        ("2_exact_plus_minhash", r["total"], r["after_both"]),
     ]
     out = spark.createDataFrame(
         rows, "method string, tokens_before bigint, tokens_after bigint"

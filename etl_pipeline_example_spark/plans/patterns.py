@@ -108,9 +108,13 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "med")
         .agg(F.expr("round(percentile(abs(value - med), 0.5), 6)").alias("mad"))
     )
+    # mad > 0 guards degenerate types (≥50% of values at the median):
+    # without it dev_mads divides by zero — Infinity in Spark, engine-
+    # option-dependent in DuckDB — so the guard is stated identically
+    # in both plans.
     return (
         ev.join(F.broadcast(mad), "event_type")
-        .filter(F.expr(f"abs(value - med) > {MAD_K} * mad"))
+        .filter(F.expr(f"mad > 0 AND abs(value - med) > {MAD_K} * mad"))
         .select(
             "event_id",
             "event_type",
@@ -138,7 +142,7 @@ SELECT e.event_id, e.event_type,
        cast(round(e.value, 6) AS double) AS value,
        cast(round(abs(e.value - s.med) / s.mad, 2) AS double) AS dev_mads
 FROM events e JOIN mad s USING (event_type)
-WHERE abs(e.value - s.med) > {MAD_K} * s.mad
+WHERE s.mad > 0 AND abs(e.value - s.med) > {MAD_K} * s.mad
 """
 
 

@@ -26,20 +26,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_example_spark.operators.c4 import (
-    C4_MAX_WORDS,
-    C4_MEAN_LEN_HI,
-    C4_MEAN_LEN_LO,
-    C4_MIN_WORDS,
-    C4_STOPWORDS,
-)
+from etl_pipeline_example_spark.operators.c4 import duck_c4_keep, spark_c4_keep
 from etl_pipeline_example_spark.operators.hashing import duck_tokens, spark_tokens
 
 
 def stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the documents source through the C4 keep conjunction;
     return the kept (doc_id, word_cnt) after an AvailableNow drain."""
-    sw = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
     docs = (
         spark.readStream.schema(
             "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -49,18 +42,7 @@ def stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = (
         docs.select("doc_id", "text", F.expr(spark_tokens("text")).alias("tk"))
-        .filter(
-            F.expr(
-                f"size(tk) >= {C4_MIN_WORDS} AND size(tk) <= {C4_MAX_WORDS}"
-                f" AND aggregate(tk, 0L, (acc, t) -> acc + length(t))"
-                f"     >= {C4_MEAN_LEN_LO} * size(tk)"
-                f" AND aggregate(tk, 0L, (acc, t) -> acc + length(t))"
-                f"     <= {C4_MEAN_LEN_HI} * size(tk)"
-                f" AND arrays_overlap(tk, array({sw}))"
-                " AND NOT (instr(lower(text), '{') > 0"
-                "          OR instr(lower(text), 'lorem ipsum') > 0)"
-            )
-        )
+        .filter(F.expr(spark_c4_keep()))
         .select("doc_id", F.expr("size(tk)").alias("word_cnt"))
     )
     sink = f"stream_c4_{uuid.uuid4().hex[:8]}"
@@ -76,20 +58,11 @@ def stream_c4_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
-
 STREAM_C4_GATE_SQL = f"""
 SELECT doc_id, len(tk) AS word_cnt FROM (
   SELECT doc_id, text, {duck_tokens("text")} AS tk FROM documents
 )
-WHERE len(tk) >= {C4_MIN_WORDS} AND len(tk) <= {C4_MAX_WORDS}
-  AND cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS bigint)
-      >= {C4_MEAN_LEN_LO} * len(tk)
-  AND cast(coalesce(list_sum(list_transform(tk, t -> length(t))), 0) AS bigint)
-      <= {C4_MEAN_LEN_HI} * len(tk)
-  AND len(list_intersect(tk, [{_SW_DUCK}])) > 0
-  AND NOT (position('{{' IN lower(text)) > 0
-           OR position('lorem ipsum' IN lower(text)) > 0)
+WHERE {duck_c4_keep()}
 """
 
 

