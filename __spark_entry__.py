@@ -82,6 +82,16 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     SOURCEQUALITY_ORACLES,
     SOURCEQUALITY_QUERIES,
+    SPANDUP_ORACLES,
+    SPANDUP_QUERIES,
+    QLINEAR_ORACLES,
+    QLINEAR_QUERIES,
+    ALLOCATION_ORACLES,
+    ALLOCATION_QUERIES,
+    CHARSTATS_ORACLES,
+    CHARSTATS_QUERIES,
+    RETRIEVAL_ORACLES,
+    RETRIEVAL_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -275,6 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EVALUATION_QUERIES)
     out.update(TUNING_QUERIES)
     out.update(SOURCEQUALITY_QUERIES)
+    out.update(SPANDUP_QUERIES)
+    out.update(QLINEAR_QUERIES)
+    out.update(ALLOCATION_QUERIES)
+    out.update(CHARSTATS_QUERIES)
+    out.update(RETRIEVAL_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -332,6 +347,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(EVALUATION_ORACLES)
     out.update(TUNING_ORACLES)
     out.update(SOURCEQUALITY_ORACLES)
+    out.update(SPANDUP_ORACLES)
+    out.update(QLINEAR_ORACLES)
+    out.update(ALLOCATION_ORACLES)
+    out.update(CHARSTATS_ORACLES)
+    out.update(RETRIEVAL_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

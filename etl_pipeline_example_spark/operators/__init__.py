@@ -56,6 +56,26 @@ from etl_pipeline_example_spark.operators.corpusstats import (
     CORPUSSTATS_QUERIES,
     CORPUSSTATS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.spandup import (
+    SPANDUP_QUERIES,
+    SPANDUP_ORACLES,
+)
+from etl_pipeline_example_spark.operators.qlinear import (
+    QLINEAR_QUERIES,
+    QLINEAR_ORACLES,
+)
+from etl_pipeline_example_spark.operators.allocation import (
+    ALLOCATION_QUERIES,
+    ALLOCATION_ORACLES,
+)
+from etl_pipeline_example_spark.operators.charstats import (
+    CHARSTATS_QUERIES,
+    CHARSTATS_ORACLES,
+)
+from etl_pipeline_example_spark.operators.retrieval import (
+    RETRIEVAL_QUERIES,
+    RETRIEVAL_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -162,4 +182,14 @@ __all__ = [
     "TUNING_ORACLES",
     "SOURCEQUALITY_QUERIES",
     "SOURCEQUALITY_ORACLES",
+    "SPANDUP_QUERIES",
+    "SPANDUP_ORACLES",
+    "QLINEAR_QUERIES",
+    "QLINEAR_ORACLES",
+    "ALLOCATION_QUERIES",
+    "ALLOCATION_ORACLES",
+    "CHARSTATS_QUERIES",
+    "CHARSTATS_ORACLES",
+    "RETRIEVAL_QUERIES",
+    "RETRIEVAL_ORACLES",
 ]

@@ -61,6 +61,16 @@ from etl_pipeline_example_spark.operators import (
     SIM_QUERIES,
     SOURCEQUALITY_ORACLES,
     SOURCEQUALITY_QUERIES,
+    SPANDUP_ORACLES,
+    SPANDUP_QUERIES,
+    QLINEAR_ORACLES,
+    QLINEAR_QUERIES,
+    ALLOCATION_ORACLES,
+    ALLOCATION_QUERIES,
+    CHARSTATS_ORACLES,
+    CHARSTATS_QUERIES,
+    RETRIEVAL_ORACLES,
+    RETRIEVAL_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -79,6 +89,8 @@ ALL_Q = {
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
     **SAVINGS_QUERIES, **EVALUATION_QUERIES, **TUNING_QUERIES,
     **SOURCEQUALITY_QUERIES,
+    **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
+    **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -90,6 +102,8 @@ ALL_O = {
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,
     **SAVINGS_ORACLES, **EVALUATION_ORACLES, **TUNING_ORACLES,
     **SOURCEQUALITY_ORACLES,
+    **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
+    **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

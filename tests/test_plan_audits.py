@@ -682,3 +682,54 @@ def test_window_funnel_counts_read_cached_steps(spark, sf_dir):
         assert "InMemoryTableScan" in t2_plan, t2_plan
     finally:
         simcore.release_similarity_caches()
+
+
+def test_spandup_scan_is_pruned_and_text_never_shuffles(spark, sf_dir):
+    """The shingle profile reads exactly (doc_id, text) — lang/source/
+    n_chars must be pruned — and every exchange carries only the narrow
+    (doc_id, h) pair, never the document text."""
+    from etl_pipeline_example_spark.operators.spandup import dedup_substring
+
+    fmt = plan_str(dedup_substring(spark, sf_dir), mode="formatted")
+    schema_lines = [ln for ln in fmt.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    for ln in schema_lines:
+        assert "doc_id" in ln and "text" in ln, ln
+        assert "source" not in ln and "lang" not in ln, ln
+    # text may ride the read-parallelism round-robin (pre-tokenize scan
+    # distribution) but never a KEYED shuffle
+    for b in _formatted_blocks(fmt):
+        if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
+            assert "text#" not in b, b
+
+
+def test_retrieve_overlap_reuses_the_posting_spine(spark, sf_dir):
+    """The inverted-index spine has three consumers (query side,
+    candidate side, df filter): all must read the persisted frame —
+    ≥ 3 InMemoryTableScans — instead of re-running tokenize+shingle."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.operators.retrieval import retrieve_overlap
+
+    try:
+        df = retrieve_overlap(spark, sf_dir)
+        df.collect()
+        plan = plan_str(df, mode="simple")
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        simcore.release_similarity_caches()
+
+
+def test_quality_linear_is_one_scan_with_partial_aggregate(spark, sf_dir):
+    """The classifier is scan → explode → hash-aggregate: the score sum
+    must partial-aggregate map-side (shuffle carries per-doc partials,
+    not token rows), and the scan reads only (doc_id, text)."""
+    from etl_pipeline_example_spark.operators.qlinear import quality_linear
+
+    fmt = plan_str(quality_linear(spark, sf_dir), mode="formatted")
+    schema_lines = [ln for ln in fmt.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    for ln in schema_lines:
+        assert "source" not in ln and "lang" not in ln, ln
+    simple = plan_str(quality_linear(spark, sf_dir), mode="simple")
+    assert "partial_count" in simple or "partial" in simple.lower(), simple
+    assert "Generate explode" in simple or "Explode" in simple or "generate" in simple.lower(), simple

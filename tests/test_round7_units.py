@@ -1,0 +1,167 @@
+"""Hand-verifiable unit tests for the round-7 operators.
+
+The oracle tests prove Spark and DuckDB agree; these prove the shared
+semantics are the INTENDED ones, on corpora small enough to compute the
+expected output by hand.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source). Writes the documents
+    table layout the operators read."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dedup_substring_finds_the_one_cross_doc_span(spark, tmp_path):
+    """doc0/doc1 share their first 8 tokens and diverge on the 9th;
+    doc2 is shorter than K. Exactly ONE shingle ('a1..a8') crosses
+    docs: n_docs=2, n_occ=2. The diverging shingles are singletons and
+    must not appear."""
+    from etl_pipeline_example_spark.operators.spandup import dedup_substring
+
+    base = "a1 a2 a3 a4 a5 a6 a7 a8"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, base + " x1", "en", "s"),
+            (1, base + " y1", "en", "s"),
+            (2, "z1 z2 z3", "en", "s"),
+        ],
+    )
+    rows = dedup_substring(spark, sf).collect()
+    assert len(rows) == 1, rows
+    expect = hashlib.md5(f"span:{base}".encode()).hexdigest()
+    assert rows[0]["gram_hash"] == expect
+    assert rows[0]["n_docs"] == 2 and rows[0]["n_occ"] == 2
+
+
+def test_substring_dup_rate_per_doc_counts(spark, tmp_path):
+    """Same corpus: doc0/doc1 each have 2 shingles of which 1 is
+    duplicated → rate 0.5; doc2 has none → (0, 0, 0.0)."""
+    from etl_pipeline_example_spark.operators.spandup import substring_dup_rate
+
+    base = "a1 a2 a3 a4 a5 a6 a7 a8"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, base + " x1", "en", "s"),
+            (1, base + " y1", "en", "s"),
+            (2, "z1 z2 z3", "en", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_rate"])
+        for r in substring_dup_rate(spark, sf).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (0, 0, 0.0)}, got
+
+
+def _ql_weight(term: str) -> int:
+    """The operator's hash weight, recomputed independently."""
+    h = int(hashlib.md5(f"qw:{term}".encode()).hexdigest()[:15], 16)
+    return h % 1001 - 500
+
+
+def test_quality_linear_scores_match_recomputed_weights(spark, tmp_path):
+    """Scores recomputed in pure Python from the same md5-derived
+    weight table; the punctuation-only doc has zero tokens and must
+    surface as (0, 0, keep=false)."""
+    from etl_pipeline_example_spark.operators.qlinear import quality_linear
+
+    texts = {0: "good clean prose here", 1: "spam spam spam", 2: "!!!"}
+    sf = _write_docs(
+        spark, tmp_path, [(i, t, "en", "s") for i, t in texts.items()]
+    )
+    got = {
+        r["doc_id"]: (r["n_terms"], r["score"], r["keep"])
+        for r in quality_linear(spark, sf).collect()
+    }
+    for i, text in texts.items():
+        toks = [t for t in text.lower().split() if t.isalnum()]
+        score = sum(_ql_weight(t) for t in toks)
+        assert got[i] == (len(toks), score, score > 0), (i, got[i], score)
+
+
+def test_sample_allocation_largest_remainder_by_hand(spark, tmp_path):
+    """Three equal sources, budget 100: base 33 each (99 seats), every
+    remainder ties at 1/3 → the alphabetic tie-break hands the single
+    leftover seat to source 'a'. Σ alloc must be exactly the budget."""
+    from etl_pipeline_example_spark.operators.allocation import (
+        SAMPLE_BUDGET,
+        sample_allocation,
+    )
+
+    assert SAMPLE_BUDGET == 100
+    rows = []
+    i = 0
+    for src in ("a", "b", "c"):
+        rows.append((i, f"doc {i}", "en", src))
+        i += 1
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {r["source"]: r["alloc"] for r in sample_allocation(spark, sf).collect()}
+    assert got == {"a": 34, "b": 33, "c": 33}, got
+    assert sum(got.values()) == SAMPLE_BUDGET
+
+
+def test_sample_allocation_sums_to_budget_on_real_corpus(spark, sf_dir):
+    from etl_pipeline_example_spark.operators.allocation import (
+        SAMPLE_BUDGET,
+        sample_allocation,
+    )
+
+    rows = sample_allocation(spark, sf_dir).collect()
+    assert sum(r["alloc"] for r in rows) == SAMPLE_BUDGET
+    assert all(r["alloc"] >= 0 for r in rows)
+
+
+def test_text_charstats_counts_each_class(spark, tmp_path):
+    """'Ab 9!' = 1 upper + 1 lower + 1 space + 1 digit + 1 other."""
+    from etl_pipeline_example_spark.operators.charstats import text_charstats
+
+    sf = _write_docs(spark, tmp_path, [(0, "Ab 9!", "en", "s")])
+    r = text_charstats(spark, sf).collect()[0]
+    assert (
+        r["n_docs"],
+        r["n_chars"],
+        r["n_lower"],
+        r["n_upper"],
+        r["n_digit"],
+        r["n_space"],
+        r["n_other"],
+    ) == (1, 5, 1, 1, 1, 1, 1), r
+
+
+def test_retrieve_overlap_ranks_by_shared_shingles(spark, tmp_path):
+    """Query 'a b c d e f' (eval source) has shingles {abcde, bcdef}.
+    Candidate 20 contains both, candidate 10 only the first → 20 ranks
+    1 with n_shared=2, 10 ranks 2 with n_shared=1. The unrelated
+    candidate never appears."""
+    from etl_pipeline_example_spark.operators.decontam import EVAL_SOURCE
+    from etl_pipeline_example_spark.operators.retrieval import retrieve_overlap
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f", "en", EVAL_SOURCE),
+            (10, "a b c d e x1", "en", "train"),
+            (20, "z a b c d e f", "en", "train"),
+            (30, "p q r s t u v", "en", "train"),
+        ],
+    )
+    rows = sorted(
+        retrieve_overlap(spark, sf).collect(), key=lambda r: r["rank"]
+    )
+    got = [(r["query_id"], r["doc_id"], r["n_shared"], r["rank"]) for r in rows]
+    assert got == [(1, 20, 2, 1), (1, 10, 1, 2)], got
