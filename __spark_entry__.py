@@ -178,7 +178,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # — plus dq_profile_approx/embed_pca if they miss round 7's cap, plus
 # any entry round-8 churn pulls out of the freeze, with new round-7
 # operators filling the remaining slots (first-evidence priority over
-# stale-refresh when the budget binds).
+# stale-refresh when the budget binds). The six round-7 operators
+# (dedup_substring, substring_dup_rate, quality_linear,
+# sample_allocation, text_charstats, retrieve_overlap) land the window
+# at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
+# full-oracle registry entries beyond them.
 _REGISTER_FIRST = [
     # (a) never-driver-graded, full DuckDB oracle — first evidence
     "scd2_merge",

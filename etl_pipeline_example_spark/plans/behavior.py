@@ -55,8 +55,15 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_similarity_caches()
     s1, s2, s3 = FUNNEL_STEPS
-    ev = read_table(spark, sf_dir, "events", parallel=True).select(
-        "user_id", "event_type", "ts"
+    # one explicit user_id-keyed repartition at core count: every step's
+    # aggregation and join reuses the partitioning, and the shuffle width
+    # stays bounded under a vanilla wide-partition session (the
+    # dedup_containment lesson)
+    par = spark.sparkContext.defaultParallelism
+    ev = (
+        read_table(spark, sf_dir, "events", parallel=True)
+        .select("user_id", "event_type", "ts")
+        .repartition(par, "user_id")
     )
     t1 = tracked_persist(
         ev.filter(F.col("event_type") == s1)
