@@ -733,3 +733,19 @@ def test_quality_linear_is_one_scan_with_partial_aggregate(spark, sf_dir):
     simple = plan_str(quality_linear(spark, sf_dir), mode="simple")
     assert "partial_count" in simple or "partial" in simple.lower(), simple
     assert "Generate explode" in simple or "Explode" in simple or "generate" in simple.lower(), simple
+
+
+def test_substring_dup_rate_reuses_the_shingle_spine(spark, sf_dir):
+    """The spine feeds the dup-hash aggregate AND the per-doc join: both
+    must read the persisted frame (≥ 2 InMemoryTableScans), not re-run
+    tokenize+shingle."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.operators.spandup import substring_dup_rate
+
+    try:
+        df = substring_dup_rate(spark, sf_dir)
+        df.collect()
+        plan = plan_str(df, mode="simple")
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        simcore.release_similarity_caches()
