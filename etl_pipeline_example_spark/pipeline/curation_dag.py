@@ -1,0 +1,94 @@
+"""The training-data curation run, composed as a dependency-ordered DAG.
+
+The reference's DAG is extract → test → transform → deploy over one
+table (reference: dags/example_etl_dag.py:108-110). The LLM-curation
+counterpart a corpus owner actually schedules is profile → gate →
+dedup → report → shard — and this module wires the repo's standalone
+operators into that run through the same ``Pipeline`` runner, proving
+the operators compose as REAL tasks, not just as driver-graded queries:
+
+  profile   text_charstats — the encoding-health panel, first look
+  gate      quality_c4 keep conjunction filters the corpus; survivors
+            are WRITTEN as a curated corpus dir (documents.parquet),
+            zones-style: each stage's output is the next stage's input
+            dataset, so any stage can be re-run or inspected alone
+  dedup     exact-dedup survivor list (operators/dedup.dedup_exact) on
+            the GATED corpus; survivors written as the final corpus
+  report    sample_allocation over the final corpus — the integer
+            per-source sampling plan (Σ = budget by construction)
+  shard     sinks/shards.write_training_shards on the final corpus —
+            token-budgeted shard_id=N/*.json.gz, ready for a loader
+
+Scale shape: every stage is one of the already-audited operators; the
+only additions are two curated-corpus writes, both straight
+column-pruned parquet writes. Nothing here collects rows — the DAG
+returns counts and paths.
+
+Side-effecting (writes corpora + shards) → pytest-verified, not
+driver-graded; SURVEY.md §2 (curation DAG row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.allocation import sample_allocation
+from etl_pipeline_example_spark.operators.c4 import spark_c4_keep
+from etl_pipeline_example_spark.operators.charstats import text_charstats
+from etl_pipeline_example_spark.operators.dedup import dedup_exact
+from etl_pipeline_example_spark.operators.hashing import spark_tokens
+from etl_pipeline_example_spark.pipeline.dag import Pipeline
+from etl_pipeline_example_spark.sinks.shards import write_training_shards
+from etl_pipeline_example_spark.sources.readers import read_table
+
+
+def _write_corpus(df, out_dir: str) -> str:
+    """Write a documents frame as a corpus dir the operators can read."""
+    df.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    return out_dir
+
+
+def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Run profile → gate → dedup → report → shard over ``sf_dir``;
+    returns each task's result (counts, rows, paths) by task id."""
+    gated_dir = os.path.join(out_dir, "gated")
+    final_dir = os.path.join(out_dir, "final")
+    shards_dir = os.path.join(out_dir, "shards")
+
+    def profile():
+        return text_charstats(spark, sf_dir).collect()
+
+    def gate():
+        docs = read_table(spark, sf_dir, "documents", parallel=True)
+        kept = docs.withColumn(
+            "tk", F.expr(spark_tokens("text"))
+        ).filter(F.expr(spark_c4_keep())).drop("tk")
+        _write_corpus(kept, gated_dir)
+        return kept.count()
+
+    def dedup():
+        survivors = dedup_exact(spark, gated_dir).select(
+            F.col("keep_doc_id").alias("doc_id")
+        )
+        docs = read_table(spark, gated_dir, "documents")
+        final = docs.join(survivors, "doc_id", "left_semi")
+        _write_corpus(final, final_dir)
+        return final.count()
+
+    def report():
+        return sample_allocation(spark, final_dir).collect()
+
+    def shard():
+        n = write_training_shards(spark, final_dir, shards_dir)
+        return {"n_shards": n, "path": shards_dir}
+
+    p = Pipeline("curation")
+    p.task("profile", profile)
+    p.task("gate", gate, after=["profile"])
+    p.task("dedup", dedup, after=["gate"])
+    p.task("report", report, after=["dedup"])
+    p.task("shard", shard, after=["dedup"])
+    return p.run()

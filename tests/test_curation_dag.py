@@ -1,0 +1,64 @@
+"""End-to-end curation DAG: the LLM operators composing as real tasks.
+
+Verifies the profile → gate → dedup → report → shard run against the
+testdata corpus: monotone attrition, exact-dedup semantics on the gated
+corpus, the Σ=budget allocation invariant downstream of dedup, and
+loader-ready shard output.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_curation_dag_end_to_end(spark, sf_dir, tmp_path):
+    from etl_pipeline_example_spark.operators.allocation import SAMPLE_BUDGET
+    from etl_pipeline_example_spark.pipeline.curation_dag import curation_dag
+
+    results = curation_dag(spark, sf_dir, str(tmp_path))
+
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_gated = results["gate"]
+    n_final = results["dedup"]
+    # monotone attrition, and the gate actually fires on this corpus
+    assert 0 < n_gated <= n_total
+    assert 0 < n_final <= n_gated
+
+    # the final corpus is exactly-deduped: one doc per normalized content
+    final = spark.read.parquet(f"{tmp_path}/final/documents.parquet")
+    n_distinct = (
+        final.select(
+            F.expr(
+                "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')))"
+            ).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_distinct == n_final
+
+    # allocation ran on the FINAL corpus and sums to the budget
+    alloc = results["report"]
+    assert sum(r["alloc"] for r in alloc) == SAMPLE_BUDGET
+    assert {r["source"] for r in alloc} == {
+        r["source"] for r in final.select("source").distinct().collect()
+    }
+
+    # shards are loader-ready: partition dirs exist and cover every doc
+    shard = results["shard"]
+    parts = glob.glob(os.path.join(shard["path"], "shard_id=*"))
+    assert len(parts) == shard["n_shards"] > 0
+    reread = spark.read.json(shard["path"])
+    assert reread.count() == n_final
+
+    # profile ran first and covered every source in the RAW corpus
+    assert {r["source"] for r in results["profile"]} == {
+        r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .collect()
+    }
