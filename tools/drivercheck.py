@@ -157,10 +157,20 @@ def normalize(rows, columns):
     return sorted(out, key=lambda t: tuple(_sort_key(x) for x in t))
 
 
+# DRIVERCHECK_STRICT=1 switches the float compare to bit-exact equality,
+# matching the driver's value-hash gate: the default 1e-9 relative
+# tolerance exists to triage, but a sub-tolerance cross-engine drift
+# would pass here and still FAIL the driver, so the pre-round sweep runs
+# strict.
+STRICT = os.environ.get("DRIVERCHECK_STRICT", "") == "1"
+
+
 def values_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if STRICT:
+            return a == b
         return abs(a - b) <= 1e-9 * max(1.0, abs(b))
     return a == b
 
