@@ -182,7 +182,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dedup_substring, substring_dup_rate, quality_linear,
 # sample_allocation, text_charstats, retrieve_overlap) land the window
 # at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
-# full-oracle registry entries beyond them.
+# full-oracle registry entries into EITHER window. The one late round-7
+# addition, `stream_shard_feed`, registers beyond both windows by
+# design: its first driver slot is round 9; until then its evidence is
+# the full-oracle pytest + the strict drivercheck sweep.
 _REGISTER_FIRST = [
     # (a) never-driver-graded, full DuckDB oracle — first evidence
     "scd2_merge",

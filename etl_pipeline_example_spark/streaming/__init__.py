@@ -12,11 +12,17 @@ from etl_pipeline_example_spark.streaming.curation import (
     CURATION_STREAM_ORACLES,
     CURATION_STREAM_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.shardfeed import (
+    SHARDFEED_ORACLES,
+    SHARDFEED_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
 STREAM_QUERIES.update(CURATION_STREAM_QUERIES)
 STREAM_ORACLES.update(CURATION_STREAM_ORACLES)
+STREAM_QUERIES.update(SHARDFEED_QUERIES)
+STREAM_ORACLES.update(SHARDFEED_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

@@ -165,3 +165,36 @@ def test_retrieve_overlap_ranks_by_shared_shingles(spark, tmp_path):
     )
     got = [(r["query_id"], r["doc_id"], r["n_shared"], r["rank"]) for r in rows]
     assert got == [(1, 20, 2, 1), (1, 10, 1, 2)], got
+
+
+def test_stream_shard_feed_budget_boundaries_per_source(spark, tmp_path):
+    """Four 800-token docs in one source against the 2000-token budget:
+    running totals 0/800/1600/2400 put exactly one doc (the one whose
+    total STARTS past the budget) in shard 1, whatever the hash order.
+    A second 1-doc source must keep its own independent counter."""
+    from etl_pipeline_example_spark.operators.shard import SHARD_TOKENS
+    from etl_pipeline_example_spark.streaming.shardfeed import stream_shard_feed
+
+    assert SHARD_TOKENS == 2000
+    text = " ".join(["w"] * 800)
+    rows = [(i, text, "en", "a") for i in range(4)]
+    rows.append((100, " ".join(["w"] * 10), "en", "b"))
+    # the stream source matches LEAF files named documents.parquet (the
+    # testdata layout), so lay the corpus out as a single file
+    import glob as _glob
+    import shutil
+
+    staging = tmp_path / "staging"
+    _write_docs(spark, staging, rows)
+    part = _glob.glob(f"{staging}/documents.parquet/part-*.parquet")[0]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(part, corpus / "documents.parquet")
+    sf = str(corpus)
+    out = stream_shard_feed(spark, sf).collect()
+    got = {}
+    for r in out:
+        assert r["n_tokens"] in (800, 10)
+        got.setdefault(r["source"], []).append(r["shard_seq"])
+    assert sorted(got["a"]) == [0, 0, 0, 1], got
+    assert got["b"] == [0], got

@@ -39,3 +39,13 @@ def test_stream_c4_gate_matches_batch_keep_set(spark, duck, sf_dir):
     from tests.oracle_util import assert_matches_oracle
 
     assert_matches_oracle(stream_c4_gate(spark, sf_dir), duck, STREAM_C4_GATE_SQL)
+
+
+def test_stream_shard_feed_matches_batch_prefix_sum(spark, duck, sf_dir):
+    """Stream/batch parity for the stateful shard writer: the drained
+    per-source assignment equals the per-source exclusive prefix-sum
+    window over the same hash order."""
+    from etl_pipeline_example_spark.streaming.shardfeed import stream_shard_feed
+
+    df = stream_shard_feed(spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_shard_feed"])
