@@ -92,6 +92,10 @@ from etl_pipeline_example_spark.operators import (
     CHARSTATS_QUERIES,
     RETRIEVAL_ORACLES,
     RETRIEVAL_QUERIES,
+    PIIREPORT_ORACLES,
+    PIIREPORT_QUERIES,
+    NEARINCREMENTAL_ORACLES,
+    NEARINCREMENTAL_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -182,10 +186,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dedup_substring, substring_dup_rate, quality_linear,
 # sample_allocation, text_charstats, retrieve_overlap) land the window
 # at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
-# full-oracle registry entries into EITHER window. The one late round-7
-# addition, `stream_shard_feed`, registers beyond both windows by
-# design: its first driver slot is round 9; until then its evidence is
-# the full-oracle pytest + the strict drivercheck sweep.
+# full-oracle registry entries into EITHER window. The three late
+# round-7 additions — `stream_shard_feed`, `pii_by_source`,
+# `neardup_incremental` — register beyond both windows by design: their
+# first driver slots are round 9; until then their evidence is the
+# full-oracle pytest + the strict (bit-exact) drivercheck sweep.
 _REGISTER_FIRST = [
     # (a) never-driver-graded, full DuckDB oracle — first evidence
     "scd2_merge",
@@ -297,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ALLOCATION_QUERIES)
     out.update(CHARSTATS_QUERIES)
     out.update(RETRIEVAL_QUERIES)
+    out.update(PIIREPORT_QUERIES)
+    out.update(NEARINCREMENTAL_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -359,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(ALLOCATION_ORACLES)
     out.update(CHARSTATS_ORACLES)
     out.update(RETRIEVAL_ORACLES)
+    out.update(PIIREPORT_ORACLES)
+    out.update(NEARINCREMENTAL_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

@@ -76,6 +76,14 @@ from etl_pipeline_example_spark.operators.retrieval import (
     RETRIEVAL_QUERIES,
     RETRIEVAL_ORACLES,
 )
+from etl_pipeline_example_spark.operators.piireport import (
+    PIIREPORT_QUERIES,
+    PIIREPORT_ORACLES,
+)
+from etl_pipeline_example_spark.operators.nearincremental import (
+    NEARINCREMENTAL_QUERIES,
+    NEARINCREMENTAL_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -192,4 +200,8 @@ __all__ = [
     "CHARSTATS_ORACLES",
     "RETRIEVAL_QUERIES",
     "RETRIEVAL_ORACLES",
+    "PIIREPORT_QUERIES",
+    "PIIREPORT_ORACLES",
+    "NEARINCREMENTAL_QUERIES",
+    "NEARINCREMENTAL_ORACLES",
 ]

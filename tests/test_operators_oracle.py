@@ -71,6 +71,10 @@ from etl_pipeline_example_spark.operators import (
     CHARSTATS_QUERIES,
     RETRIEVAL_ORACLES,
     RETRIEVAL_QUERIES,
+    PIIREPORT_ORACLES,
+    PIIREPORT_QUERIES,
+    NEARINCREMENTAL_ORACLES,
+    NEARINCREMENTAL_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -91,6 +95,7 @@ ALL_Q = {
     **SOURCEQUALITY_QUERIES,
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
+    **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -104,6 +109,7 @@ ALL_O = {
     **SOURCEQUALITY_ORACLES,
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
+    **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

@@ -749,3 +749,26 @@ def test_substring_dup_rate_reuses_the_shingle_spine(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         simcore.release_similarity_caches()
+
+
+def test_neardup_incremental_reuses_signatures_and_keeps_text_out_of_shuffles(spark, sf_dir):
+    """The persisted signature frame has five consumers (bands + both
+    sides of both verify joins): the executed plan must read it from
+    cache (≥ 3 InMemoryTableScans), and no keyed exchange may carry the
+    document text — only signatures, bands, and ids shuffle."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.operators.nearincremental import (
+        neardup_incremental,
+    )
+
+    try:
+        df = neardup_incremental(spark, sf_dir)
+        df.collect()
+        plan = plan_str(df, mode="simple")
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        fmt = plan_str(df, mode="formatted")
+        for b in _formatted_blocks(fmt):
+            if ") Exchange" in b.split("\n")[0] and "hashpartitioning" in b:
+                assert "text#" not in b, b
+    finally:
+        simcore.release_similarity_caches()

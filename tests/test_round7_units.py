@@ -198,3 +198,66 @@ def test_stream_shard_feed_budget_boundaries_per_source(spark, tmp_path):
         got.setdefault(r["source"], []).append(r["shard_seq"])
     assert sorted(got["a"]) == [0, 0, 0, 1], got
     assert got["b"] == [0], got
+
+
+def test_pii_by_source_ranks_planted_pii_domains(spark, tmp_path):
+    """Source 'a': one of two docs carries an email and a phone → rate
+    0.5; source 'b' is clean → 0.0 and sorts after."""
+    from etl_pipeline_example_spark.operators.piireport import pii_by_source
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "write to bob@example.org or call 555-123-4567 now", "en", "a"),
+            (1, "nothing sensitive here", "en", "a"),
+            (2, "clean text", "en", "b"),
+        ],
+    )
+    rows = pii_by_source(spark, sf).collect()
+    got = [
+        (
+            r["source"],
+            r["n_docs"],
+            r["n_emails"],
+            r["n_phones"],
+            r["n_docs_with_pii"],
+            r["pii_doc_rate"],
+        )
+        for r in rows
+    ]
+    assert got == [("a", 2, 1, 1, 1, 0.5), ("b", 1, 0, 0, 0, 0.0)], got
+
+
+def test_neardup_incremental_statuses_by_hand(spark, tmp_path):
+    """History doc 10 and batch doc 300 share identical text (identical
+    signatures → 16/16 agreement): 300 is a near-dup of history. Batch
+    docs 301/302 are identical to each other but unlike anything in
+    history: the lower id stays 'new' (the keeper rule), the higher is
+    a within-batch near-dup. Doc 303 is too short to shingle → 'new'."""
+    from etl_pipeline_example_spark.operators.nearincremental import (
+        neardup_incremental,
+    )
+
+    t_hist = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_new = "one two three four five six seven eight nine ten"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (10, t_hist, "en", "s"),
+            (300, t_hist, "en", "s"),
+            (301, t_new, "en", "s"),
+            (302, t_new, "en", "s"),
+            (303, "a b", "en", "s"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in neardup_incremental(spark, sf).collect()
+    }
+    assert got == {
+        300: "neardup_of_history",
+        301: "new",
+        302: "neardup_in_batch",
+        303: "new",
+    }, got
