@@ -96,6 +96,10 @@ from etl_pipeline_example_spark.operators import (
     PIIREPORT_QUERIES,
     NEARINCREMENTAL_ORACLES,
     NEARINCREMENTAL_QUERIES,
+    TRUNCTUNE_ORACLES,
+    TRUNCTUNE_QUERIES,
+    COMPRESSQ_ORACLES,
+    COMPRESSQ_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -186,11 +190,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (dedup_substring, substring_dup_rate, quality_linear,
 # sample_allocation, text_charstats, retrieve_overlap) land the window
 # at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
-# full-oracle registry entries into EITHER window. The three late
-# round-7 additions — `stream_shard_feed`, `pii_by_source`,
-# `neardup_incremental` — register beyond both windows by design: their
-# first driver slots are round 9; until then their evidence is the
-# full-oracle pytest + the strict (bit-exact) drivercheck sweep.
+# full-oracle registry entries into EITHER window. The late round-7
+# additions — `stream_shard_feed`, `pii_by_source`,
+# `neardup_incremental`, `embed_trunc_tune` (all full-oracle) and
+# `quality_compress` (the third documented pytest-contract op — zlib
+# has no DuckDB twin, so its driver row is rows-only by construction) —
+# register beyond both windows by design: their first driver slots are
+# round 9; until then their evidence is the full-oracle pytest + the
+# strict (bit-exact) drivercheck sweep (contract pytest for
+# quality_compress).
 _REGISTER_FIRST = [
     # (a) never-driver-graded, full DuckDB oracle — first evidence
     "scd2_merge",
@@ -304,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RETRIEVAL_QUERIES)
     out.update(PIIREPORT_QUERIES)
     out.update(NEARINCREMENTAL_QUERIES)
+    out.update(TRUNCTUNE_QUERIES)
+    out.update(COMPRESSQ_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -368,6 +378,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(RETRIEVAL_ORACLES)
     out.update(PIIREPORT_ORACLES)
     out.update(NEARINCREMENTAL_ORACLES)
+    out.update(TRUNCTUNE_ORACLES)
+    out.update(COMPRESSQ_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

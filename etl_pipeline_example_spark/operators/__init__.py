@@ -84,6 +84,14 @@ from etl_pipeline_example_spark.operators.nearincremental import (
     NEARINCREMENTAL_QUERIES,
     NEARINCREMENTAL_ORACLES,
 )
+from etl_pipeline_example_spark.operators.trunctune import (
+    TRUNCTUNE_QUERIES,
+    TRUNCTUNE_ORACLES,
+)
+from etl_pipeline_example_spark.operators.compressq import (
+    COMPRESSQ_QUERIES,
+    COMPRESSQ_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -204,4 +212,8 @@ __all__ = [
     "PIIREPORT_ORACLES",
     "NEARINCREMENTAL_QUERIES",
     "NEARINCREMENTAL_ORACLES",
+    "TRUNCTUNE_QUERIES",
+    "TRUNCTUNE_ORACLES",
+    "COMPRESSQ_QUERIES",
+    "COMPRESSQ_ORACLES",
 ]

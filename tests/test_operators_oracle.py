@@ -75,6 +75,8 @@ from etl_pipeline_example_spark.operators import (
     PIIREPORT_QUERIES,
     NEARINCREMENTAL_ORACLES,
     NEARINCREMENTAL_QUERIES,
+    TRUNCTUNE_ORACLES,
+    TRUNCTUNE_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -96,6 +98,7 @@ ALL_Q = {
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
+    **TRUNCTUNE_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -110,6 +113,7 @@ ALL_O = {
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
+    **TRUNCTUNE_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

@@ -261,3 +261,74 @@ def test_neardup_incremental_statuses_by_hand(spark, tmp_path):
         302: "neardup_in_batch",
         303: "new",
     }, got
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    """rows: list of (vec_id, list[float], label)."""
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    return str(tmp_path)
+
+
+def test_embed_trunc_tune_monotone_with_full_dim_anchor(spark, sf_dir):
+    """Recall@K can only grow as the truncation widens, and the
+    full-width row is 1.0 by construction."""
+    from etl_pipeline_example_spark.operators.trunctune import (
+        TRUNC_DIMS,
+        embed_trunc_tune,
+    )
+
+    rows = sorted(embed_trunc_tune(spark, sf_dir).collect(), key=lambda r: r["dim"])
+    assert [r["dim"] for r in rows] == list(TRUNC_DIMS)
+    recalls = [r["recall_at_k"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0
+    assert all(r["n_possible"] == 50 for r in rows)
+
+
+def test_embed_trunc_tune_finds_prefix_informative_structure(spark, tmp_path):
+    """Vectors whose FIRST dims carry ALL the angular signal (the
+    Matryoshka premise): distinct angles on the unit circle in dims
+    0-1, a constant shared tail elsewhere (equal norms and equal dot
+    contribution for every vector, so the full-dim ranking provably
+    equals the prefix ranking). Truncation to 4 dims must already rank
+    perfectly — recall 1.0 at every tabulated dim."""
+    import math
+
+    from etl_pipeline_example_spark.operators.trunctune import embed_trunc_tune
+
+    rows = []
+    for i in range(40):
+        theta = 0.07 * i
+        vec = [math.cos(theta), math.sin(theta), 0.0, 0.0] + [0.05] * 60
+        rows.append((i, [float(x) for x in vec], 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["dim"]: r["recall_at_k"] for r in embed_trunc_tune(spark, sf).collect()}
+    assert all(v == 1.0 for v in out.values()), out
+
+
+def test_quality_compress_contract(spark, sf_dir, tmp_path):
+    """The no-oracle contract (zlib has no DuckDB twin): deterministic
+    across runs, ratios in sane bounds, and a planted highly-repetitive
+    doc compresses strictly better than diverse prose."""
+    from etl_pipeline_example_spark.operators.compressq import quality_compress
+
+    a = {r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio"])
+         for r in quality_compress(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio"])
+         for r in quality_compress(spark, sf_dir).collect()}
+    assert a == b  # bit-deterministic
+    assert all(0 < v[2] <= 1.2 for v in a.values())
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "spam " * 400, "en", "s"),
+            (1, " ".join(f"w{i}x{i * 7 % 113}" for i in range(400)), "en", "s"),
+        ],
+    )
+    got = {r["doc_id"]: r["ratio"] for r in quality_compress(spark, sf).collect()}
+    assert got[0] < got[1] / 3, got  # repetition compresses far better
