@@ -100,6 +100,10 @@ from etl_pipeline_example_spark.operators import (
     TRUNCTUNE_QUERIES,
     COMPRESSQ_ORACLES,
     COMPRESSQ_QUERIES,
+    SLIDING_ORACLES,
+    SLIDING_QUERIES,
+    SHARDMANIFEST_ORACLES,
+    SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -192,13 +196,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
 # full-oracle registry entries into EITHER window. The late round-7
 # additions — `stream_shard_feed`, `pii_by_source`,
-# `neardup_incremental`, `embed_trunc_tune` (all full-oracle) and
-# `quality_compress` (the third documented pytest-contract op — zlib
-# has no DuckDB twin, so its driver row is rows-only by construction) —
-# register beyond both windows by design: their first driver slots are
-# round 9; until then their evidence is the full-oracle pytest + the
-# strict (bit-exact) drivercheck sweep (contract pytest for
-# quality_compress).
+# `neardup_incremental`, `embed_trunc_tune`, `doc_chunk_sliding`,
+# `shard_manifest` (all full-oracle) and `quality_compress` (the third
+# documented pytest-contract op — zlib has no DuckDB twin, so its
+# driver row is rows-only by construction) — register beyond both
+# windows by design: their first driver slots are round 9; until then
+# their evidence is the full-oracle pytest + the strict (bit-exact)
+# drivercheck sweep (contract pytest for quality_compress).
 _REGISTER_FIRST = [
     # (a) never-driver-graded, full DuckDB oracle — first evidence
     "scd2_merge",
@@ -314,6 +318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(NEARINCREMENTAL_QUERIES)
     out.update(TRUNCTUNE_QUERIES)
     out.update(COMPRESSQ_QUERIES)
+    out.update(SLIDING_QUERIES)
+    out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
     out.update(PATTERN_QUERIES)
@@ -380,6 +386,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(NEARINCREMENTAL_ORACLES)
     out.update(TRUNCTUNE_ORACLES)
     out.update(COMPRESSQ_ORACLES)
+    out.update(SLIDING_ORACLES)
+    out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
     out.update(PATTERN_ORACLES)

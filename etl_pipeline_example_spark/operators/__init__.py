@@ -92,6 +92,14 @@ from etl_pipeline_example_spark.operators.compressq import (
     COMPRESSQ_QUERIES,
     COMPRESSQ_ORACLES,
 )
+from etl_pipeline_example_spark.operators.sliding import (
+    SLIDING_QUERIES,
+    SLIDING_ORACLES,
+)
+from etl_pipeline_example_spark.operators.shardmanifest import (
+    SHARDMANIFEST_QUERIES,
+    SHARDMANIFEST_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -216,4 +224,8 @@ __all__ = [
     "TRUNCTUNE_ORACLES",
     "COMPRESSQ_QUERIES",
     "COMPRESSQ_ORACLES",
+    "SLIDING_QUERIES",
+    "SLIDING_ORACLES",
+    "SHARDMANIFEST_QUERIES",
+    "SHARDMANIFEST_ORACLES",
 ]

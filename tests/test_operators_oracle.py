@@ -77,6 +77,10 @@ from etl_pipeline_example_spark.operators import (
     NEARINCREMENTAL_QUERIES,
     TRUNCTUNE_ORACLES,
     TRUNCTUNE_QUERIES,
+    SLIDING_ORACLES,
+    SLIDING_QUERIES,
+    SHARDMANIFEST_ORACLES,
+    SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
     TEXT_QUERIES,
     TUNING_ORACLES,
@@ -98,7 +102,7 @@ ALL_Q = {
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
-    **TRUNCTUNE_QUERIES,
+    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -113,7 +117,7 @@ ALL_O = {
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
-    **TRUNCTUNE_ORACLES,
+    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

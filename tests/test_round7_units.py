@@ -332,3 +332,41 @@ def test_quality_compress_contract(spark, sf_dir, tmp_path):
     )
     got = {r["doc_id"]: r["ratio"] for r in quality_compress(spark, sf).collect()}
     assert got[0] < got[1] / 3, got  # repetition compresses far better
+
+
+def test_doc_chunk_sliding_windows_by_hand(spark, tmp_path):
+    """40 tokens, window 32, stride 16 → starts 0/16/32 with lengths
+    32/24/8; hashes recomputed independently in Python."""
+    from etl_pipeline_example_spark.operators.sliding import (
+        SLIDE_STRIDE,
+        SLIDE_WINDOW,
+        doc_chunk_sliding,
+    )
+
+    assert (SLIDE_WINDOW, SLIDE_STRIDE) == (32, 16)
+    toks = [f"t{i}" for i in range(1, 41)]
+    sf = _write_docs(spark, tmp_path, [(0, " ".join(toks), "en", "s")])
+    rows = sorted(doc_chunk_sliding(spark, sf).collect(), key=lambda r: r["chunk_id"])
+    got = [(r["chunk_id"], r["start_tok"], r["n_tokens"], r["chunk_hash"]) for r in rows]
+    expect = []
+    for i, start in enumerate([0, 16, 32]):
+        window = toks[start : start + 32]
+        expect.append(
+            (i, start, len(window), hashlib.md5(" ".join(window).encode()).hexdigest())
+        )
+    assert got == expect, got
+
+
+def test_shard_manifest_totals_match_assignment(spark, sf_dir):
+    """The manifest is a lossless rollup: doc and token totals equal the
+    assignment's, exactly one shard is flagged last, ids are dense."""
+    from etl_pipeline_example_spark.operators.shard import shard_by_tokens
+    from etl_pipeline_example_spark.operators.shardmanifest import shard_manifest
+
+    assign = shard_by_tokens(spark, sf_dir).collect()
+    man = sorted(shard_manifest(spark, sf_dir).collect(), key=lambda r: r["shard_id"])
+    assert sum(r["n_docs"] for r in man) == len(assign)
+    assert sum(r["n_tokens"] for r in man) == sum(r["n_tokens"] for r in assign)
+    assert [r["shard_id"] for r in man] == list(range(len(man)))
+    assert [r["is_last"] for r in man].count(True) == 1
+    assert man[-1]["is_last"]
