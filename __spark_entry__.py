@@ -197,7 +197,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # full-oracle registry entries into EITHER window. The late round-7
 # additions — `stream_shard_feed`, `pii_by_source`,
 # `neardup_incremental`, `embed_trunc_tune`, `doc_chunk_sliding`,
-# `shard_manifest` (all full-oracle) and `quality_compress` (the third
+# `shard_manifest`, `stream_neardup_gate` (all full-oracle) and `quality_compress` (the third
 # documented pytest-contract op — zlib has no DuckDB twin, so its
 # driver row is rows-only by construction) — register beyond both
 # windows by design: their first driver slots are round 9; until then

@@ -16,6 +16,10 @@ from etl_pipeline_example_spark.streaming.shardfeed import (
     SHARDFEED_ORACLES,
     SHARDFEED_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.neargate import (
+    NEARGATE_ORACLES,
+    NEARGATE_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -23,6 +27,8 @@ STREAM_QUERIES.update(CURATION_STREAM_QUERIES)
 STREAM_ORACLES.update(CURATION_STREAM_ORACLES)
 STREAM_QUERIES.update(SHARDFEED_QUERIES)
 STREAM_ORACLES.update(SHARDFEED_ORACLES)
+STREAM_QUERIES.update(NEARGATE_QUERIES)
+STREAM_ORACLES.update(NEARGATE_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

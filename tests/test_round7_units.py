@@ -370,3 +370,37 @@ def test_shard_manifest_totals_match_assignment(spark, sf_dir):
     assert [r["shard_id"] for r in man] == list(range(len(man)))
     assert [r["is_last"] for r in man].count(True) == 1
     assert man[-1]["is_last"]
+
+
+def test_stream_neardup_gate_flags_only_the_history_clone(spark, tmp_path):
+    """Same corpus as the batch hand test: only doc 300 (the history
+    clone) is flagged; the within-batch pair and the short doc are not
+    the gate's business."""
+    from etl_pipeline_example_spark.streaming.neargate import stream_neardup_gate
+
+    import glob as _glob
+    import shutil
+
+    t_hist = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_new = "one two three four five six seven eight nine ten"
+    staging = tmp_path / "staging"
+    _write_docs(
+        spark,
+        staging,
+        [
+            (10, t_hist, "en", "s"),
+            (300, t_hist, "en", "s"),
+            (301, t_new, "en", "s"),
+            (302, t_new, "en", "s"),
+            (303, "a b", "en", "s"),
+        ],
+    )
+    part = _glob.glob(f"{staging}/documents.parquet/part-*.parquet")[0]
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    shutil.copy(part, corpus / "documents.parquet")
+    got = {
+        r["doc_id"]: r["near_hist"]
+        for r in stream_neardup_gate(spark, str(corpus)).collect()
+    }
+    assert got == {300: True, 301: False, 302: False, 303: False}, got

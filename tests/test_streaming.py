@@ -49,3 +49,13 @@ def test_stream_shard_feed_matches_batch_prefix_sum(spark, duck, sf_dir):
 
     df = stream_shard_feed(spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_shard_feed"])
+
+
+def test_stream_neardup_gate_matches_batch_history_half(spark, duck, sf_dir):
+    """The ingest-time near-dup gate's flag set equals the batch
+    operator's neardup_of_history half — per-row scalar signatures are
+    bit-identical to the groupBy/min construction."""
+    from etl_pipeline_example_spark.streaming.neargate import stream_neardup_gate
+
+    df = stream_neardup_gate(spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_neardup_gate"])
