@@ -41,8 +41,10 @@ C4_MEAN_LEN_LO = 3  # chars — C4's mean-word-length band
 C4_MEAN_LEN_HI = 10
 C4_STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for"]
 
-_SW_SPARK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
-_SW_DUCK = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
+# ONE quoted list serves both engines (the SQL quoting coincides) — two
+# constants would invite exactly the silent divergence the shared rule
+# builders exist to prevent
+_SW_LIST = ", ".join(f"'{w}'" for w in C4_STOPWORDS)
 
 
 def spark_c4_rules(
@@ -63,7 +65,7 @@ def spark_c4_rules(
         "mean_len_ok": (
             f"{tc} >= {C4_MEAN_LEN_LO} * {wc} AND {tc} <= {C4_MEAN_LEN_HI} * {wc}"
         ),
-        "has_stopword": f"arrays_overlap({tk}, array({_SW_SPARK}))",
+        "has_stopword": f"arrays_overlap({tk}, array({_SW_LIST}))",
         "clean_markup": (
             f"NOT (instr(lower({text}), '{{') > 0"
             f" OR instr(lower({text}), 'lorem ipsum') > 0)"
@@ -94,7 +96,7 @@ def duck_c4_rules(
         "mean_len_ok": (
             f"{tc} >= {C4_MEAN_LEN_LO} * {wc} AND {tc} <= {C4_MEAN_LEN_HI} * {wc}"
         ),
-        "has_stopword": f"len(list_intersect({tk}, [{_SW_DUCK}])) > 0",
+        "has_stopword": f"len(list_intersect({tk}, [{_SW_LIST}])) > 0",
         "clean_markup": (
             f"NOT (position('{{' IN lower({text})) > 0"
             f" OR position('lorem ipsum' IN lower({text})) > 0)"

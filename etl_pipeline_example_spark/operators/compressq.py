@@ -47,22 +47,24 @@ def _compress_batches(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_comp = raw.map(lambda b: len(zlib.compress(b, ZLIB_LEVEL))).astype(
             "int64"
         )
+        ratio = (n_comp / n_bytes.where(n_bytes > 0, 1)).round(6)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": n_bytes,
                 "n_compressed": n_comp,
-                "ratio": (
-                    n_comp / n_bytes.where(n_bytes > 0, 1)
-                ).round(6),
+                # an empty doc has no compressibility to measure: report
+                # 0.0 instead of header-bytes/1 (zlib's empty output is
+                # 8 bytes, which would blow past any sane ratio bound)
+                "ratio": ratio.where(n_bytes > 0, 0.0),
             }
         )
 
 
 def quality_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_bytes, n_compressed, ratio): zlib-level-6 size ratio
-    per document (lower = more repetitive; empty docs report ratio of
-    the 2-byte zlib header against a floor of 1 byte)."""
+    per document (lower = more repetitive; empty docs report ratio 0.0
+    — zlib's empty output is 8 bytes of pure framing, not signal)."""
     docs = read_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", "text"
     )

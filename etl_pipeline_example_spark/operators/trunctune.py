@@ -89,14 +89,19 @@ def embed_trunc_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    # left join from the dim grid: a width with ZERO overlap must report
+    # recall 0.0, not vanish from the design table
+    dims = spark.createDataFrame([(d,) for d in TRUNC_DIMS], "dim int")
     n_possible = ANN_K * ANN_NUM_QUERIES
     return (
-        hits.select(
+        dims.join(hits, "dim", "left")
+        .select(
             "dim",
-            "n_hits",
+            F.expr("coalesce(n_hits, 0L)").alias("n_hits"),
             F.lit(n_possible).cast("bigint").alias("n_possible"),
             F.expr(
-                f"round(cast(n_hits as double) / cast({n_possible} as double), 6)"
+                f"round(cast(coalesce(n_hits, 0L) as double)"
+                f" / cast({n_possible} as double), 6)"
             ).alias("recall_at_k"),
         )
         .orderBy("dim")
@@ -138,16 +143,21 @@ topk AS (
 ),
 truth AS (
   SELECT query_id, neighbor_id FROM topk WHERE dim = {TRUNC_DIMS[-1]}
+),
+hits AS (
+  SELECT t.dim, count(*) AS n_hits
+  FROM topk t
+  JOIN truth u ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
+  GROUP BY t.dim
 )
-SELECT t.dim,
-       count(*) AS n_hits,
+SELECT d.dim,
+       cast(coalesce(h.n_hits, 0) AS bigint) AS n_hits,
        cast({ANN_K * ANN_NUM_QUERIES} AS bigint) AS n_possible,
-       round(cast(count(*) AS double)
+       round(cast(coalesce(h.n_hits, 0) AS double)
              / cast({ANN_K * ANN_NUM_QUERIES} AS double), 6) AS recall_at_k
-FROM topk t
-JOIN truth u ON u.query_id = t.query_id AND u.neighbor_id = t.neighbor_id
-GROUP BY t.dim
-ORDER BY t.dim
+FROM (VALUES {", ".join(f"({d})" for d in TRUNC_DIMS)}) AS d(dim)
+LEFT JOIN hits h ON h.dim = d.dim
+ORDER BY d.dim
 """
 
 

@@ -67,7 +67,11 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             "tk", F.expr(spark_tokens("text"))
         ).filter(F.expr(spark_c4_keep())).drop("tk")
         _write_corpus(kept, gated_dir)
-        return kept.count()
+        # count the parquet just written (metadata-cheap) — re-counting
+        # the lineage would re-run tokenize + the rule conjunction
+        return spark.read.parquet(
+            os.path.join(gated_dir, "documents.parquet")
+        ).count()
 
     def dedup():
         survivors = dedup_exact(spark, gated_dir).select(
@@ -76,7 +80,9 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         docs = read_table(spark, gated_dir, "documents")
         final = docs.join(survivors, "doc_id", "left_semi")
         _write_corpus(final, final_dir)
-        return final.count()
+        return spark.read.parquet(
+            os.path.join(final_dir, "documents.parquet")
+        ).count()
 
     def report():
         return sample_allocation(spark, final_dir).collect()

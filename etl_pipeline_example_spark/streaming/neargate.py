@@ -61,12 +61,17 @@ from etl_pipeline_example_spark.operators.nearincremental import (
     _bands,
     _signatures,
 )
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 
 def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, near_hist): every incoming-batch doc, flagged true when
     a verified history near-dup exists. AvailableNow drain."""
+    release_similarity_caches()
     h1 = spark_h32("s", 1)
     h2 = spark_h32("s", 17)
     docs = (
@@ -123,8 +128,14 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.bucket").alias("bucket"),
     )
 
-    # static history artifacts — the persisted index a production gate reads
-    hist_sig = _signatures(spark, sf_dir).filter(F.col("doc_id") < INCR_SPLIT)
+    # static history artifacts — the persisted index a production gate
+    # reads. The signature frame has TWO stream-static consumers (band
+    # probe + verify pull), each re-evaluated per micro-batch, so it is
+    # cached (tracked, released by the next operator) — without it the
+    # full history tokenize+sign chain would run twice per batch.
+    hist_sig = tracked_persist(
+        _signatures(spark, sf_dir).filter(F.col("doc_id") < INCR_SPLIT)
+    )
     hist_bands = _bands(hist_sig).withColumnRenamed("doc_id", "other")
     hist_sig_b = hist_sig.select(
         F.col("doc_id").alias("other"),

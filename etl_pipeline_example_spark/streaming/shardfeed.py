@@ -8,8 +8,13 @@ operator state, and a document is assigned to the shard its running
 total starts in — shard N closes when the total passes N·budget. Feeds
 are keyed by source (one output stream per domain), so state groups
 parallelize across domains and no single writer serializes the corpus;
-within a feed the deterministic hash order (the ``shard_by_tokens``
-spine order) fixes the assignment independent of arrival order.
+within a MICRO-BATCH the deterministic hash order (the
+``shard_by_tokens`` spine order) fixes the assignment — the whole
+group is drained and sorted ONCE before the fold, never per Arrow
+chunk (chunk-local sorting would silently break parity past
+maxRecordsPerBatch docs per source). Across micro-batches the fold is
+arrival-ordered, as any streaming writer is; the AvailableNow drain is
+a single batch, which is what gives exact batch parity.
 
 Plan shape: tokenize/hash run JVM-side BEFORE the stateful fold (the
 pandas function only sorts its batch and folds integers — no text ever
@@ -51,17 +56,21 @@ def _fold_shard_feed(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (cum,) = state.get if state.exists else (0,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["h", "doc_id"])
-        seqs = []
-        for n in pdf["n_tokens"].astype("int64"):
-            seqs.append(cum // SHARD_TOKENS)  # the shard the total STARTS in
-            cum += int(n)
-        out = pdf[["doc_id", "n_tokens"]].copy()
-        out.insert(1, "source", key[0])
-        out["shard_seq"] = pd.Series(seqs, index=pdf.index, dtype="int64")
-        yield out
+    # Arrow delivers the group as MULTIPLE chunks (maxRecordsPerBatch);
+    # sorting per chunk would make the fold order chunk-local and break
+    # stream/batch parity past ~10k docs per source — so drain, concat,
+    # and sort the whole micro-batch group ONCE before folding.
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["h", "doc_id"], ignore_index=True)
+    seqs = []
+    for n in pdf["n_tokens"].astype("int64"):
+        seqs.append(cum // SHARD_TOKENS)  # the shard the total STARTS in
+        cum += int(n)
+    out = pdf[["doc_id", "n_tokens"]].copy()
+    out.insert(1, "source", key[0])
+    out["shard_seq"] = pd.Series(seqs, dtype="int64")
     state.update((int(cum),))
+    yield out
 
 
 def stream_shard_feed(spark: SparkSession, sf_dir: str) -> DataFrame:

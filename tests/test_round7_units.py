@@ -328,10 +328,12 @@ def test_quality_compress_contract(spark, sf_dir, tmp_path):
         [
             (0, "spam " * 400, "en", "s"),
             (1, " ".join(f"w{i}x{i * 7 % 113}" for i in range(400)), "en", "s"),
+            (2, "", "en", "s"),
         ],
     )
     got = {r["doc_id"]: r["ratio"] for r in quality_compress(spark, sf).collect()}
     assert got[0] < got[1] / 3, got  # repetition compresses far better
+    assert got[2] == 0.0  # empty doc: no compressibility to measure
 
 
 def test_doc_chunk_sliding_windows_by_hand(spark, tmp_path):
