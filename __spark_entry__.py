@@ -102,6 +102,8 @@ from etl_pipeline_example_spark.operators import (
     COMPRESSQ_QUERIES,
     SLIDING_ORACLES,
     SLIDING_QUERIES,
+    PACKSTATS_ORACLES,
+    PACKSTATS_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -138,6 +140,8 @@ from etl_pipeline_example_spark.plans import (
     SCD2_QUERIES,
     SEASONAL_ORACLES,
     SEASONAL_QUERIES,
+    DRIFT_ORACLES,
+    DRIFT_QUERIES,
 )
 from etl_pipeline_example_spark.plans.parity import PARITY_ORACLES, PARITY_QUERIES
 from etl_pipeline_example_spark.plans.tpch_extra import (
@@ -197,7 +201,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # full-oracle registry entries into EITHER window. The late round-7
 # additions — `stream_shard_feed`, `pii_by_source`,
 # `neardup_incremental`, `embed_trunc_tune`, `doc_chunk_sliding`,
-# `shard_manifest`, `stream_neardup_gate` (all full-oracle) and `quality_compress` (the third
+# `shard_manifest`, `stream_neardup_gate`, `pack_efficiency`,
+# `props_schema_drift`, `q_new_vs_returning` (all full-oracle) and `quality_compress` (the third
 # documented pytest-contract op — zlib has no DuckDB twin, so its
 # driver row is rows-only by construction) — register beyond both
 # windows by design: their first driver slots are round 9; until then
@@ -319,9 +324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TRUNCTUNE_QUERIES)
     out.update(COMPRESSQ_QUERIES)
     out.update(SLIDING_QUERIES)
+    out.update(PACKSTATS_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
+    out.update(DRIFT_QUERIES)
     out.update(PATTERN_QUERIES)
     out.update(BASKET_QUERIES)
     out.update(DEDUP_QUERIES)
@@ -387,9 +394,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(TRUNCTUNE_ORACLES)
     out.update(COMPRESSQ_ORACLES)
     out.update(SLIDING_ORACLES)
+    out.update(PACKSTATS_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)
+    out.update(DRIFT_ORACLES)
     out.update(PATTERN_ORACLES)
     out.update(BASKET_ORACLES)
     out.update(DEDUP_ORACLES)

@@ -100,6 +100,10 @@ from etl_pipeline_example_spark.operators.shardmanifest import (
     SHARDMANIFEST_QUERIES,
     SHARDMANIFEST_ORACLES,
 )
+from etl_pipeline_example_spark.operators.packstats import (
+    PACKSTATS_QUERIES,
+    PACKSTATS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -228,4 +232,6 @@ __all__ = [
     "SLIDING_ORACLES",
     "SHARDMANIFEST_QUERIES",
     "SHARDMANIFEST_ORACLES",
+    "PACKSTATS_QUERIES",
+    "PACKSTATS_ORACLES",
 ]

@@ -45,6 +45,11 @@ from etl_pipeline_example_spark.plans.relational import (
     RELATIONAL_ORACLES,
 )
 
+from etl_pipeline_example_spark.plans.drift import (
+    DRIFT_QUERIES,
+    DRIFT_ORACLES,
+)
+
 __all__ = [
     "ANALYTIC_QUERIES",
     "ANALYTIC_ORACLES",
@@ -72,4 +77,6 @@ __all__ = [
     "LOGISTICS_ORACLES",
     "CONCENTRATION_QUERIES",
     "CONCENTRATION_ORACLES",
+    "DRIFT_QUERIES",
+    "DRIFT_ORACLES",
 ]

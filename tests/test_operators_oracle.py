@@ -79,6 +79,8 @@ from etl_pipeline_example_spark.operators import (
     TRUNCTUNE_QUERIES,
     SLIDING_ORACLES,
     SLIDING_QUERIES,
+    PACKSTATS_ORACLES,
+    PACKSTATS_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -102,7 +104,7 @@ ALL_Q = {
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
-    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES,
+    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES, **PACKSTATS_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -117,7 +119,7 @@ ALL_O = {
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
-    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES,
+    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES, **PACKSTATS_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

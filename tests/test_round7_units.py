@@ -406,3 +406,90 @@ def test_stream_neardup_gate_flags_only_the_history_clone(spark, tmp_path):
         for r in stream_neardup_gate(spark, str(corpus)).collect()
     }
     assert got == {300: True, 301: False, 302: False, 303: False}, got
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: list of (event_id, ts_str, user_id, event_type, value, props)."""
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint,"
+        " event_type string, value double, props string",
+    ).withColumn("ts", __import__("pyspark").sql.functions.expr("cast(ts as timestamp)"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_pack_efficiency_by_hand(spark, tmp_path):
+    """One stream (en, shard 0): docs 8 and 16 with 200+100 tokens →
+    2 bins of 256, tail waste 212, and doc 16 (offset 200, 100 tokens)
+    straddles the first boundary."""
+    from etl_pipeline_example_spark.operators.corpus import PACK_BUDGET, PACK_SHARDS
+    from etl_pipeline_example_spark.operators.packstats import pack_efficiency
+
+    assert (PACK_BUDGET, PACK_SHARDS) == (256, 8)
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (8, " ".join(["w"] * 200), "en", "s"),
+            (16, " ".join(["w"] * 100), "en", "s"),
+        ],
+    )
+    rows = pack_efficiency(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (
+        r["lang"], r["shard"], r["n_docs"], r["n_tokens"],
+        r["n_bins"], r["tail_waste"], r["n_straddle"],
+    ) == ("en", 0, 2, 300, 2, 212, 1), r
+
+
+def test_new_vs_returning_by_hand(spark, tmp_path):
+    """u1 active in both weeks, u2 only week 2: week 1 = 1 new;
+    week 2 = 1 new (u2) + 1 returning (u1)."""
+    from etl_pipeline_example_spark.plans.drift import q_new_vs_returning
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2026-01-05 10:00:00", 1, "view", 1.0, "{}"),
+            (2, "2026-01-12 10:00:00", 1, "view", 1.0, "{}"),
+            (3, "2026-01-13 10:00:00", 2, "view", 1.0, "{}"),
+        ],
+    )
+    got = [
+        (str(r["week"]), r["n_active"], r["n_new"], r["n_returning"])
+        for r in q_new_vs_returning(spark, sf).collect()
+    ]
+    assert got == [
+        ("2026-01-05", 1, 1, 0),
+        ("2026-01-12", 2, 1, 1),
+    ], got
+
+
+def test_props_schema_drift_sees_the_weekly_key_change(spark, tmp_path):
+    """Key 'a' covers 100% of week 1 but only half of week 2 (the
+    producer change the weekly panel exists to expose); key 'b' appears
+    only in week 2."""
+    from etl_pipeline_example_spark.plans.drift import props_schema_drift
+
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, "2026-01-05 10:00:00", 1, "view", 1.0, '{"a": "1"}'),
+            (2, "2026-01-06 10:00:00", 2, "view", 1.0, '{"a": "2"}'),
+            (3, "2026-01-12 10:00:00", 1, "view", 1.0, '{"a": "3", "b": "x"}'),
+            (4, "2026-01-13 10:00:00", 2, "view", 1.0, '{"b": "y"}'),
+        ],
+    )
+    got = {
+        (str(r["week"]), r["key"]): (r["n_present"], r["coverage"])
+        for r in props_schema_drift(spark, sf).collect()
+    }
+    assert got == {
+        ("2026-01-05", "a"): (2, 1.0),
+        ("2026-01-12", "a"): (1, 0.5),
+        ("2026-01-12", "b"): (2, 1.0),
+    }, got
