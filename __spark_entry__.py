@@ -104,6 +104,8 @@ from etl_pipeline_example_spark.operators import (
     SLIDING_QUERIES,
     PACKSTATS_ORACLES,
     PACKSTATS_QUERIES,
+    MIXTEMP_ORACLES,
+    MIXTEMP_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -202,7 +204,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions — `stream_shard_feed`, `pii_by_source`,
 # `neardup_incremental`, `embed_trunc_tune`, `doc_chunk_sliding`,
 # `shard_manifest`, `stream_neardup_gate`, `pack_efficiency`,
-# `props_schema_drift`, `q_new_vs_returning` (all full-oracle) and `quality_compress` (the third
+# `props_schema_drift`, `q_new_vs_returning`, `mix_temperature`
+# (all full-oracle) and `quality_compress` (the third
 # documented pytest-contract op — zlib has no DuckDB twin, so its
 # driver row is rows-only by construction) — register beyond both
 # windows by design: their first driver slots are round 9; until then
@@ -325,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(COMPRESSQ_QUERIES)
     out.update(SLIDING_QUERIES)
     out.update(PACKSTATS_QUERIES)
+    out.update(MIXTEMP_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -395,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(COMPRESSQ_ORACLES)
     out.update(SLIDING_ORACLES)
     out.update(PACKSTATS_ORACLES)
+    out.update(MIXTEMP_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -104,6 +104,10 @@ from etl_pipeline_example_spark.operators.packstats import (
     PACKSTATS_QUERIES,
     PACKSTATS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.mixtemp import (
+    MIXTEMP_QUERIES,
+    MIXTEMP_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -234,4 +238,6 @@ __all__ = [
     "SHARDMANIFEST_ORACLES",
     "PACKSTATS_QUERIES",
     "PACKSTATS_ORACLES",
+    "MIXTEMP_QUERIES",
+    "MIXTEMP_ORACLES",
 ]

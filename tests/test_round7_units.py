@@ -493,3 +493,30 @@ def test_props_schema_drift_sees_the_weekly_key_change(spark, tmp_path):
         ("2026-01-12", "a"): (1, 0.5),
         ("2026-01-12", "b"): (2, 1.0),
     }, got
+
+
+def test_mix_temperature_flattens_and_sums_to_budget(spark, tmp_path):
+    """Source 'big' has 4x the tokens of 'small': under T=2 sampling it
+    gets ~2x the slots (sqrt flattening), never 4x, and the allocation
+    sums exactly to the budget. Weights recomputed independently."""
+    import math
+
+    from etl_pipeline_example_spark.operators.mixtemp import (
+        MIX_BUDGET,
+        MIX_SCALE,
+        mix_temperature,
+    )
+
+    rows = [(0, " ".join(["w"] * 400), "en", "big"),
+            (1, " ".join(["w"] * 100), "en", "small")]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: (r["n_tokens"], r["w_scaled"], r["alloc"])
+        for r in mix_temperature(spark, sf).collect()
+    }
+    assert got["big"][0] == 400 and got["small"][0] == 100
+    assert got["big"][1] == int(math.floor(math.sqrt(400.0) * MIX_SCALE))
+    assert got["small"][1] == int(math.floor(math.sqrt(100.0) * MIX_SCALE))
+    # sqrt flattening: 4x tokens -> exactly 2x weight -> 2:1 slot split
+    assert got["big"][2] + got["small"][2] == MIX_BUDGET
+    assert got["big"][2] in (666, 667) and got["small"][2] in (333, 334)
