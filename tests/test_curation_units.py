@@ -270,12 +270,14 @@ def test_embed_rp_projects_basis_vector_to_hashed_sign_row(spark, tmp_path):
         [(0, vec, 1)], "vec_id bigint, embedding array<float>, label int"
     )
     df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
-    row = embed_rp(spark, str(tmp_path)).collect()[0]
+    rows = embed_rp(spark, str(tmp_path)).collect()
+    assert sorted(r["dim"] for r in rows) == list(range(RP_K))
+    proj = [r["value"] for r in sorted(rows, key=lambda r: r["dim"])]
     expected = [
         0.25 * (1.0 if hashlib.md5(f"rp:{j}:{d}".encode()).hexdigest()[0] < "8" else -1.0)
         for j in range(RP_K)
     ]
-    assert row["proj"] == expected, (row["proj"], expected)
+    assert proj == expected, (proj, expected)
 
 
 def test_embed_rp_roughly_preserves_pairwise_distances(spark):
@@ -283,7 +285,7 @@ def test_embed_rp_roughly_preserves_pairwise_distances(spark):
     projected squared distance is within a loose [0.2, 5] factor of the
     original (k=16 gives weak concentration; this guards sign/scale
     bugs, not the lemma's tight bound)."""
-    from etl_pipeline_example_spark.operators.rp import embed_rp
+    from etl_pipeline_example_spark.operators.rp import rp_vectors
     from etl_pipeline_example_spark.sources.readers import read_table
 
     sf = "/root/testdata/sf0.001"
@@ -293,7 +295,7 @@ def test_embed_rp_roughly_preserves_pairwise_distances(spark):
     }
     proj = {
         r["vec_id"]: r["proj"]
-        for r in embed_rp(spark, sf).collect()
+        for r in rp_vectors(spark, sf).collect()
         if r["vec_id"] in orig
     }
 
@@ -324,17 +326,25 @@ def test_embed_pca_satisfies_the_spectral_contract(spark):
         PCA_COMPONENTS,
         _fit_pca,
         embed_pca,
+        pca_vectors,
     )
 
     sf = "/root/testdata/sf0.001"
     mu, V, w = _fit_pca(spark, sf)
     assert np.allclose(V.T @ V, np.eye(PCA_COMPONENTS), atol=1e-8)
     assert all(w[i] >= w[i + 1] - 1e-12 for i in range(len(w) - 1))
-    rows = embed_pca(spark, sf).collect()
+    rows = pca_vectors(spark, sf).collect()
     Y = np.array([r["pc"] for r in rows])
     assert Y.shape == (len(rows), PCA_COMPONENTS)
     assert np.allclose(Y.var(axis=0, ddof=1), w, rtol=1e-6)
     assert abs(Y.mean(axis=0)).max() < 1e-9  # centered projection
+    # registered (exploded) shape: scalar rows, dims 0..P-1 per vector,
+    # values matching the packed form exactly
+    flat = embed_pca(spark, sf).collect()
+    assert len(flat) == len(rows) * PCA_COMPONENTS
+    packed = {r["vec_id"]: r["pc"] for r in rows}
+    for fr in flat[:64]:
+        assert fr["value"] == packed[fr["vec_id"]][fr["dim"]]
 
 
 def test_embed_pca_recovers_a_planted_dominant_direction(spark, tmp_path):

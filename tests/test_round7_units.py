@@ -137,7 +137,7 @@ def test_text_charstats_counts_each_class(spark, tmp_path):
         r["n_lower"],
         r["n_upper"],
         r["n_digit"],
-        r["n_space"],
+        r["n_ascii_space"],
         r["n_other"],
     ) == (1, 5, 1, 1, 1, 1, 1), r
 

@@ -450,7 +450,13 @@ def test_embed_normalize_produces_unit_vectors(spark):
 
     from etl_pipeline_example_spark.operators.embednorm import embed_normalize
 
-    rows = embed_normalize(spark, "/root/testdata/sf0.001").take(20)
+    rows = embed_normalize(spark, "/root/testdata/sf0.001").collect()
+    by_vec: dict = {}
     for r in rows:
-        n = math.sqrt(sum(v * v for v in r["unit"]))
-        assert abs(n - 1.0) < 1e-9, (r["vec_id"], n)
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    assert len(by_vec) >= 20
+    for vec_id, comps in list(by_vec.items())[:20]:
+        # dims are a contiguous 1-based index and Σ value² == 1
+        assert sorted(c["dim"] for c in comps) == list(range(1, len(comps) + 1))
+        n = math.sqrt(sum(c["value"] * c["value"] for c in comps))
+        assert abs(n - 1.0) < 1e-9, (vec_id, n)
