@@ -150,6 +150,10 @@ from etl_pipeline_example_spark.plans.tpch_extra import (
     TPCH_EXTRA_ORACLES,
     TPCH_EXTRA_QUERIES,
 )
+from etl_pipeline_example_spark.operators import (
+    MEDIAPIXELS_ORACLES,
+    MEDIAPIXELS_QUERIES,
+)
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
 
@@ -328,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CLUSTER_QUERIES)
     out.update(SIM_QUERIES)
     out.update(MM_QUERIES)
+    out.update(MEDIAPIXELS_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -399,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CLUSTER_ORACLES)
     out.update(SIM_ORACLES)
     out.update(MM_ORACLES)
+    out.update(MEDIAPIXELS_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

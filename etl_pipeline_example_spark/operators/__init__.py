@@ -132,6 +132,10 @@ from etl_pipeline_example_spark.operators.mediahdr import (
     MEDIAHDR_QUERIES,
     MEDIAHDR_ORACLES,
 )
+from etl_pipeline_example_spark.operators.mediapixels import (
+    MEDIAPIXELS_QUERIES,
+    MEDIAPIXELS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.normalize import (
     NORMALIZE_QUERIES,
     NORMALIZE_ORACLES,
@@ -184,6 +188,8 @@ __all__ = [
     "SHARD_ORACLES",
     "MEDIAHDR_QUERIES",
     "MEDIAHDR_ORACLES",
+    "MEDIAPIXELS_QUERIES",
+    "MEDIAPIXELS_ORACLES",
     "DOMAINSHIFT_QUERIES",
     "DOMAINSHIFT_ORACLES",
     "CONTAINMENT_QUERIES",

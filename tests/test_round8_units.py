@@ -9,6 +9,17 @@ in-op-build gate.
 from __future__ import annotations
 
 
+def _write_docs(spark, tmp_path, rows):
+    """rows: list of (doc_id, text, lang, source). Writes the documents
+    table layout the operators read."""
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
 def test_neardup_index_probe_matches_in_op_build(spark, tmp_path):
     """build_neardup_index + stream_neardup_gate_indexed must emit
     exactly the rows stream_neardup_gate computes with its in-op
@@ -187,3 +198,57 @@ def test_shard_feed_drain_source_is_a_single_micro_batch(spark):
     assert len(data_batches) == 1, [
         (p["batchId"], p["numInputRows"]) for p in progress
     ]
+
+
+def test_png_and_wav_codecs_roundtrip_exactly():
+    """The real-decoder contract independent of Spark: a PNG encoded
+    with ALL FIVE scanline filters (y % 5) decodes back to the exact
+    pixel array; a corrupted chunk fails CRC; WAV PCM round-trips
+    bit-exactly with the declared rate."""
+    import numpy as np
+    import pytest
+
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)  # >=5 rows: all filters
+    payload = encode_png(img)
+    assert np.array_equal(decode_png(payload), img)
+
+    corrupt = bytearray(payload)
+    corrupt[40] ^= 0xFF  # inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+
+    smp = rng.integers(-2048, 2048, size=(333, 2)).astype(np.int16)
+    back, rate = decode_wav(encode_wav(smp, 16000))
+    assert rate == 16000 and np.array_equal(back, smp)
+
+
+def test_multimodal_decode_stats_match_planted_pattern(spark, tmp_path):
+    """One image doc + one audio doc with hand-computable stats: the
+    operator's n/sum/max columns equal the planted-pattern arithmetic
+    computed here in plain Python."""
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        multimodal_decode,
+        planted_pixels,
+        planted_samples,
+    )
+
+    sf = _write_docs(spark, tmp_path, [(0, "img doc", "en", "s"), (1, "wav doc", "en", "s")])
+    rows = {r["doc_id"]: r for r in multimodal_decode(spark, sf).collect()}
+    px = planted_pixels(0)
+    assert rows[0]["media_type"] == "image"
+    assert (rows[0]["n_px"], rows[0]["sum_px"], rows[0]["max_px"]) == (
+        px.size, int(px.sum()), int(px.max()),
+    )
+    smp = planted_samples(1)
+    assert rows[1]["media_type"] == "audio"
+    assert (rows[1]["n_samples"], rows[1]["sum_amp"], rows[1]["max_amp"]) == (
+        smp.size, int(smp.sum()), int(smp.max()),
+    )
