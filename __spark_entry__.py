@@ -151,8 +151,22 @@ from etl_pipeline_example_spark.plans.tpch_extra import (
     TPCH_EXTRA_QUERIES,
 )
 from etl_pipeline_example_spark.operators import (
+    BIGRAMCOV_ORACLES,
+    BIGRAMCOV_QUERIES,
+    CLUSTERSIZES_ORACLES,
+    CLUSTERSIZES_QUERIES,
+    HAMMINGHIST_ORACLES,
+    HAMMINGHIST_QUERIES,
+    LENGINI_ORACLES,
+    LENGINI_QUERIES,
     MEDIAPIXELS_ORACLES,
     MEDIAPIXELS_QUERIES,
+)
+from etl_pipeline_example_spark.plans import (
+    LATEST_ORACLES,
+    LATEST_QUERIES,
+    RANKFAMILY_ORACLES,
+    RANKFAMILY_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -333,6 +347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SIM_QUERIES)
     out.update(MM_QUERIES)
     out.update(MEDIAPIXELS_QUERIES)
+    out.update(CLUSTERSIZES_QUERIES)
+    out.update(BIGRAMCOV_QUERIES)
+    out.update(HAMMINGHIST_QUERIES)
+    out.update(LENGINI_QUERIES)
+    out.update(RANKFAMILY_QUERIES)
+    out.update(LATEST_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -405,6 +425,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(SIM_ORACLES)
     out.update(MM_ORACLES)
     out.update(MEDIAPIXELS_ORACLES)
+    out.update(CLUSTERSIZES_ORACLES)
+    out.update(BIGRAMCOV_ORACLES)
+    out.update(HAMMINGHIST_ORACLES)
+    out.update(LENGINI_ORACLES)
+    out.update(RANKFAMILY_ORACLES)
+    out.update(LATEST_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -136,6 +136,22 @@ from etl_pipeline_example_spark.operators.mediapixels import (
     MEDIAPIXELS_QUERIES,
     MEDIAPIXELS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.clustersizes import (
+    CLUSTERSIZES_QUERIES,
+    CLUSTERSIZES_ORACLES,
+)
+from etl_pipeline_example_spark.operators.bigramcov import (
+    BIGRAMCOV_QUERIES,
+    BIGRAMCOV_ORACLES,
+)
+from etl_pipeline_example_spark.operators.hamminghist import (
+    HAMMINGHIST_QUERIES,
+    HAMMINGHIST_ORACLES,
+)
+from etl_pipeline_example_spark.operators.lengini import (
+    LENGINI_QUERIES,
+    LENGINI_ORACLES,
+)
 from etl_pipeline_example_spark.operators.normalize import (
     NORMALIZE_QUERIES,
     NORMALIZE_ORACLES,
@@ -190,6 +206,14 @@ __all__ = [
     "MEDIAHDR_ORACLES",
     "MEDIAPIXELS_QUERIES",
     "MEDIAPIXELS_ORACLES",
+    "CLUSTERSIZES_QUERIES",
+    "CLUSTERSIZES_ORACLES",
+    "BIGRAMCOV_QUERIES",
+    "BIGRAMCOV_ORACLES",
+    "HAMMINGHIST_QUERIES",
+    "HAMMINGHIST_ORACLES",
+    "LENGINI_QUERIES",
+    "LENGINI_ORACLES",
     "DOMAINSHIFT_QUERIES",
     "DOMAINSHIFT_ORACLES",
     "CONTAINMENT_QUERIES",

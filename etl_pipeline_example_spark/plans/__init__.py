@@ -36,6 +36,14 @@ from etl_pipeline_example_spark.plans.behavior import (
     BEHAVIOR_QUERIES,
     BEHAVIOR_ORACLES,
 )
+from etl_pipeline_example_spark.plans.rankfamily import (
+    RANKFAMILY_QUERIES,
+    RANKFAMILY_ORACLES,
+)
+from etl_pipeline_example_spark.plans.latest import (
+    LATEST_QUERIES,
+    LATEST_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -60,6 +68,10 @@ __all__ = [
     "PROFILE_QUERIES",
     "PROFILE_ORACLES",
     "BEHAVIOR_QUERIES",
+    "RANKFAMILY_QUERIES",
+    "RANKFAMILY_ORACLES",
+    "LATEST_QUERIES",
+    "LATEST_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

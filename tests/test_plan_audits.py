@@ -772,3 +772,26 @@ def test_neardup_incremental_reuses_signatures_and_keeps_text_out_of_shuffles(sp
                 assert "text#" not in b, b
     finally:
         simcore.release_similarity_caches()
+
+
+def test_q_latest_event_plans_window_group_limit(spark, sf_dir):
+    """The QUALIFY rn=1 idiom must plan as WindowGroupLimit (per-
+    partition top-1 prune before the full sort materializes) over a
+    user_id hash exchange — never a global single-partition window."""
+    from etl_pipeline_example_spark.plans.latest import q_latest_event
+
+    plan = plan_str(q_latest_event(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_bigram_coverage_broadcasts_topk_and_persists_positions(spark, sf_dir):
+    """The docstring's scale claims, checkable: the top-K list joins
+    back as a BroadcastHashJoin (never a wide shuffle join), and the
+    two-consumer position stream is persisted (two InMemoryTableScans
+    in the plan)."""
+    from etl_pipeline_example_spark.operators.bigramcov import bigram_coverage
+
+    plan = plan_str(bigram_coverage(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan

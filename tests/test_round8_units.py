@@ -252,3 +252,124 @@ def test_multimodal_decode_stats_match_planted_pattern(spark, tmp_path):
     assert (rows[1]["n_samples"], rows[1]["sum_amp"], rows[1]["max_amp"]) == (
         smp.size, int(smp.sum()), int(smp.max()),
     )
+
+
+def test_dup_cluster_sizes_histograms_planted_clusters(spark, tmp_path):
+    """3 copies of A + 2 copies of B + 1 unique: histogram rows must be
+    exactly (1,1,1), (2,1,2), (3,1,3) and Σ n_docs re-derives 6."""
+    from etl_pipeline_example_spark.operators.clustersizes import dup_cluster_sizes
+
+    a, b = "alpha beta gamma", "delta epsilon"
+    sf = _write_docs(
+        spark, tmp_path,
+        [(0, a, "en", "s"), (1, a, "en", "s"), (2, a, "en", "s"),
+         (3, b, "en", "s"), (4, b, "en", "s"), (5, "zeta eta", "en", "s")],
+    )
+    rows = [
+        (r["cluster_size"], r["n_clusters"], r["n_docs"])
+        for r in dup_cluster_sizes(spark, sf).collect()
+    ]
+    assert rows == [(1, 1, 1), (2, 1, 2), (3, 1, 3)]
+    assert sum(n for _, _, n in rows) == 6
+
+
+def test_bigram_coverage_counts_top_list_positions(spark, tmp_path):
+    """Corpus with >BG_TOP distinct bigrams: doc B ('x1 x2' repeated)
+    owns the two head bigrams, so its coverage is 1.0; doc A's 149
+    singleton bigrams admit only the 98 lexicographically smallest
+    after the two head slots — coverage exactly 98/149."""
+    from etl_pipeline_example_spark.operators.bigramcov import (
+        BG_TOP,
+        bigram_coverage,
+    )
+
+    assert BG_TOP == 100  # the hand computation below assumes it
+    a_tokens = [f"a{i:03d}" for i in range(150)]  # 149 singleton bigrams
+    doc_a = " ".join(a_tokens)
+    doc_b = "x1 x2 " * 30  # bigrams: 'x1 x2'×30, 'x2 x1'×29
+    sf = _write_docs(spark, tmp_path, [(0, doc_a, "en", "s"), (1, doc_b, "en", "s")])
+    rows = {r["doc_id"]: r for r in bigram_coverage(spark, sf).collect()}
+    assert (rows[1]["n_bigrams"], rows[1]["n_top"], rows[1]["cover"]) == (59, 59, 1.0)
+    assert (rows[0]["n_bigrams"], rows[0]["n_top"]) == (149, 98)
+    assert rows[0]["cover"] == 98 / 149
+
+
+def test_simhash_hamming_hist_pins_the_identical_pair(spark, tmp_path):
+    """Two identical docs must contribute exactly one hamming=0 pair,
+    and no other blocked pair may sit inside the near-dup band
+    (hamming ≤ 3) for the disjoint third doc."""
+    from etl_pipeline_example_spark.operators.hamminghist import simhash_hamming_hist
+
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    sf = _write_docs(
+        spark, tmp_path,
+        [(0, t, "en", "s"), (1, t, "en", "s"),
+         (2, "completely different words about spark query planning", "en", "s")],
+    )
+    rows = {r["hamming"]: r["n_pairs"] for r in simhash_hamming_hist(spark, sf).collect()}
+    assert rows.get(0) == 1
+    assert sum(n for h, n in rows.items() if h <= 3) == 1
+
+
+def test_doc_len_gini_matches_hand_formula(spark, tmp_path):
+    """Uniform lengths → gini 0; lengths (0, 0, 10) → gini 2/3 by the
+    sorted-index identity."""
+    from etl_pipeline_example_spark.operators.lengini import doc_len_gini
+
+    sf = _write_docs(
+        spark, tmp_path,
+        [(0, "aaa", "en", "u"), (1, "bbb", "en", "u"), (2, "ccc", "en", "u"),
+         (3, "", "en", "v"), (4, "", "en", "v"), (5, "x" * 10, "en", "v")],
+    )
+    rows = {r["source"]: r for r in doc_len_gini(spark, sf).collect()}
+    assert rows["u"]["gini"] == 0.0 and rows["u"]["total_chars"] == 9
+    assert rows["v"]["gini"] == 2 / 3 and rows["v"]["n_docs"] == 3
+
+
+def test_q_rank_family_relative_ranks_are_exact(spark, tmp_path):
+    """Two segments, hand-sized spends: percent_rank = (rank-1)/(n-1),
+    cume_dist = i/n, quartiles split the two-customer segment 1/2."""
+    from etl_pipeline_example_spark.plans.rankfamily import q_rank_family
+
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "AUTO"), (2, "c2", 0, 0.0, "AUTO"),
+         (3, "c3", 0, 0.0, "STEEL")],
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 100.0), (11, 2, "O", 50.0), (12, 2, "O", 25.0),
+         (13, 3, "O", 10.0)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double",
+    ).withColumn("o_orderdate", __import__("pyspark").sql.functions.expr(
+        "cast('2024-01-01' as timestamp)"
+    )).withColumn("o_orderpriority", __import__("pyspark").sql.functions.lit("1-URGENT"))
+    cust.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    orders.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    rows = {r["c_custkey"]: r for r in q_rank_family(spark, str(tmp_path)).collect()}
+    assert rows[1]["spend"] == 100.0 and rows[1]["seg_rank"] == 1
+    assert rows[1]["seg_pct_rank"] == 0.0 and rows[1]["seg_cume_dist"] == 0.5
+    assert rows[2]["spend"] == 75.0 and rows[2]["seg_rank"] == 2
+    assert rows[2]["seg_pct_rank"] == 1.0 and rows[2]["seg_cume_dist"] == 1.0
+    assert rows[1]["seg_quartile"] == 1 and rows[2]["seg_quartile"] == 2
+    assert rows[3]["seg_pct_rank"] == 0.0 and rows[3]["seg_cume_dist"] == 1.0
+
+
+def test_q_latest_event_keeps_highest_event_id_on_ts_tie(spark, tmp_path):
+    """user 1: later ts wins; user 2: tied ts resolved by event_id."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.plans.latest import q_latest_event
+
+    t1, t2 = datetime(2024, 1, 1, 10), datetime(2024, 1, 1, 11)
+    ev = spark.createDataFrame(
+        [(1, t1, 1, "view", 1.0, "{}"), (2, t2, 1, "click", 2.0, "{}"),
+         (3, t2, 2, "view", 3.0, "{}"), (4, t2, 2, "buy", 4.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    rows = {r["user_id"]: r for r in q_latest_event(spark, str(tmp_path)).collect()}
+    assert rows[1]["event_id"] == 2 and rows[1]["event_type"] == "click"
+    assert rows[2]["event_id"] == 4 and rows[2]["event_type"] == "buy"
