@@ -103,16 +103,17 @@ def encode_png(img: np.ndarray) -> bytes:
         ftype = y % 5
         left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        li = line.astype(np.int16)
         if ftype == 0:
             enc = line
         elif ftype == 1:
-            enc = line - left
+            enc = (li - left).astype(np.uint8)
         elif ftype == 2:
-            enc = line - prev
+            enc = (li - prev).astype(np.uint8)
         elif ftype == 3:
-            enc = line - ((left.astype(np.uint16) + prev) // 2).astype(np.uint8)
+            enc = (li - (left.astype(np.int16) + prev) // 2).astype(np.uint8)
         else:
-            enc = line - _paeth(left, prev, upleft)
+            enc = (li - _paeth(left, prev, upleft)).astype(np.uint8)
         raw.append(ftype)
         raw.extend(enc.astype(np.uint8).tobytes())
         prev = line
@@ -170,19 +171,19 @@ def decode_png(payload: bytes) -> np.ndarray:
         ).copy()
         if ftype == 1:
             for i in range(bpp, stride):  # left-recursive: per-byte
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+                line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
         elif ftype == 2:
-            line = line + prev
+            line = (line.astype(np.int16) + prev).astype(np.uint8)
         elif ftype == 3:
             for i in range(stride):
                 left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((int(left) + int(prev[i])) >> 1)) & 0xFF
+                line[i] = (int(line[i]) + ((int(left) + int(prev[i])) >> 1)) & 0xFF
         elif ftype == 4:
             for i in range(stride):
                 a = line[i - bpp] if i >= bpp else 0
                 c = prev[i - bpp] if i >= bpp else 0
                 line[i] = (
-                    line[i] + _paeth(np.uint8(a), prev[i], np.uint8(c))
+                    int(line[i]) + int(_paeth(np.uint8(a), prev[i], np.uint8(c)))
                 ) & 0xFF
         elif ftype != 0:
             raise ValueError(f"bad filter {ftype}")

@@ -94,19 +94,36 @@ def rp_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, label, dim, value): ``rp_vectors`` exploded to one
-    scalar row per output component; ``dim`` is the 0-based output
-    index j (matching the sign-matrix row index).
+    """(vec_id, label, dim, value): the projection as one scalar row per
+    output component; ``dim`` is the 0-based output index j (matching
+    the sign-matrix row index), value_j identical bit-for-bit to
+    ``rp_vectors``'s proj[j].
 
     Scalar rows because the driver's grading hasher cannot hash
-    ``array<double>`` cells (round-7 finding); posexplode is a Generate
-    over the projection — still a pure scan, still bit-exact (no float
-    formatting, no rounding).
+    ``array<double>`` cells (round-7 finding). Shape note: this does
+    NOT posexplode the packed array — a Generate whose child projects
+    the full nested fold re-evaluated it outside codegen (measured 60×:
+    0.3 s → 18.5 s at sf0.1). Instead the Generate explodes a 16-int
+    ``sequence`` and the per-(row, dim) fold runs in a plain Project
+    ABOVE it — the same d·k multiply-adds in total as the packed form,
+    all inside whole-stage codegen.
     """
-    return rp_vectors(spark, sf_dir).select(
-        "vec_id",
-        "label",
-        F.posexplode("proj").alias("dim", "value"),
+    emb = read_table(spark, sf_dir, "embeddings", parallel=True)
+    big = _flat_pattern()
+    sign = _sign_expr(big).replace("j *", "dim *")
+    value = (
+        f"0.25 * aggregate(sequence(1, size(embedding)), cast(0 as double),"
+        f" (acc, i) -> acc + cast(element_at(embedding, i) as double)"
+        f" * ({sign}))"
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.posexplode(F.expr(f"sequence(0, {RP_K - 1})")).alias("pos", "dim"),
+        )
+        .select("vec_id", "label", F.col("dim"), F.expr(value).alias("value"))
     )
 
 
