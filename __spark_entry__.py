@@ -194,6 +194,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #       pair — `unpack_nested`, `version_stamp`, chosen as the lowest-risk
 #       refreshes (trivial frozen parity plans, byte-identical since r5) —
 #       move to the round-9 window.
+#   (b2) the round-7 ADVICE closures edited three graded plans mid-round-8,
+#       and the freeze rule pulls an edited op into the CURRENT window:
+#       `props_schema_drift` + `q_props_schema` (key extraction switched
+#       from the from_json map spelling to json_object_keys — value-
+#       identical on this data, verified strict, but the expression
+#       changed) and `stream_shard_feed` (single-batch drain assertion).
+#       Three more stale slots ceded — `sample_hash`, `text_langid`,
+#       `token_count` (trivial frozen plans, byte-identical since r5)
+#       move to round 9 with unpack_nested/version_stamp. The other two
+#       entries in those edited modules (`q_new_vs_returning`,
+#       `q_active_users`) have byte-untouched plan functions (the diff
+#       shows the edit is confined to sibling functions/docstrings), so
+#       they keep their scheduled slots: round-9 cohort and r7 evidence
+#       respectively.
 #   (c) positions 43-48: the six mid-round-7 full-oracle ops that were
 #       committed to this window (`dedup_substring`, `substring_dup_rate`,
 #       `quality_linear`, `sample_allocation`, `text_charstats`,
@@ -209,13 +223,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round evidence because their backing modules are byte-identical.
 #
 # ROUND-9 PLAN (commit now, execute next round): _REGISTER_FIRST :=
-#   1. the 12-op late-round-7 cohort, never driver-graded —
-#      stream_shard_feed, pii_by_source, neardup_incremental,
-#      embed_trunc_tune, doc_chunk_sliding, shard_manifest,
-#      stream_neardup_gate, pack_efficiency, props_schema_drift,
-#      q_new_vs_returning, mix_temperature + the rows-only
-#      quality_compress (zlib has no DuckDB twin — documented);
-#   2. the 2 displaced round-8 entries (unpack_nested, version_stamp);
+#   1. the late-round-7 cohort still never driver-graded —
+#      pii_by_source, neardup_incremental, embed_trunc_tune,
+#      doc_chunk_sliding, shard_manifest, stream_neardup_gate,
+#      pack_efficiency, q_new_vs_returning, mix_temperature + the
+#      rows-only quality_compress (zlib has no DuckDB twin —
+#      documented); stream_shard_feed and props_schema_drift left this
+#      cohort when round-8 ADVICE edits pulled them into the round-8
+#      window (see b2);
+#   2. the 5 displaced round-8 entries (unpack_nested, version_stamp,
+#      sample_hash, text_langid, token_count);
 #   3. any full-oracle operators ADDED in round 8 (first-evidence
 #      priority) and any entry round-9 churn pulls out of the freeze;
 #   4. remaining slots: r6-stale refresh, oldest evidence first.
@@ -252,7 +269,6 @@ _REGISTER_FIRST = [
     "q_skew_join",
     "q_stats",
     "q_wordcount",
-    "sample_hash",
     "sample_stratified",
     "stream_dedup",
     "stream_enrich",
@@ -260,10 +276,12 @@ _REGISTER_FIRST = [
     "stream_join",
     "stream_sessions",
     "stream_user_stats",
-    "text_langid",
     "text_quality",
     "tfidf_top",
-    "token_count",
+    # (b2) ADVICE-closure edits — freeze rule pulls them into this window
+    "props_schema_drift",
+    "q_props_schema",
+    "stream_shard_feed",
     # (c) round-7 additions committed to this window — first evidence
     "dedup_substring",
     "substring_dup_rate",

@@ -12,7 +12,12 @@ Two weekly panels an event-pipeline owner alerts on:
                        cohort view.
 
 Exactness: counts are BIGINTs; the one coverage double is a round of
-an integer quotient (the repo's per-panel convention).
+an integer quotient (the repo's per-panel convention). Key extraction
+is ``json_object_keys`` on Spark / ``json_keys`` on DuckDB — both are
+TOP-LEVEL key enumerations robust to nested/non-string values, so the
+panel does not depend on props being a flat string map (the earlier
+``from_json`` map spelling happened to agree on this Spark version but
+relied on its value-stringification behavior).
 
 Scale shape: schema drift is one explode + (week, key)-keyed combine
 with a week-keyed totals join; new-vs-returning is a user-keyed
@@ -20,8 +25,11 @@ first-week aggregate joined back on user_id (AQE reuses the exchange),
 then a week-bounded aggregate. Nothing wide shuffles.
 
 No reference counterpart (reference: glue_jobs/example_job/job.py);
-analytics surface, SURVEY.md §2. Registered beyond the round-7/8
-grading windows — first driver slot round 9.
+analytics surface, SURVEY.md §2. ``props_schema_drift`` was pulled
+into the round-8 grading window when its key-extraction spelling
+changed (freeze rule: an edited plan regrades in the current window);
+``q_new_vs_returning`` is untouched by that edit and keeps its
+round-9 first-evidence slot.
 """
 
 from __future__ import annotations
@@ -44,9 +52,7 @@ def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = (
         ev.select(
             "week",
-            F.explode(
-                F.expr("map_keys(from_json(props, 'map<string,string>'))")
-            ).alias("key"),
+            F.explode(F.expr("json_object_keys(props)")).alias("key"),
         )
         .groupBy("week", "key")
         .agg(F.count(F.lit(1)).alias("n_present"))

@@ -8,11 +8,12 @@
                    count-distinct) joined at day grain.
   q_props_schema   schema DISCOVERY over the JSON props column (the
                    step BEFORE q_json_extract's typed extraction):
-                   parse each event's props as a map, explode its
-                   keys, report per-key coverage — presence count and
-                   fraction of events carrying the key. Spark parses
-                   with from_json to map<string,string>; DuckDB with
-                   json_keys; both enumerate the same key sets.
+                   enumerate each event's TOP-LEVEL props keys, report
+                   per-key coverage — presence count and fraction of
+                   events carrying the key. Spark uses
+                   json_object_keys, DuckDB json_keys: both are
+                   top-level key enumerations robust to nested or
+                   non-string values, no flat-map assumption.
 
 No reference counterpart (the reference is a 305-LoC ETL example);
 general query-engine surface, SURVEY.md §2 rows 20z9 and 20m1.
@@ -83,9 +84,7 @@ def q_props_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = ev.agg(F.count(F.lit(1)).alias("n_total"))
     keys = (
         ev.select(
-            F.explode(
-                F.expr("map_keys(from_json(props, 'map<string,string>'))")
-            ).alias("key")
+            F.explode(F.expr("json_object_keys(props)")).alias("key")
         )
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_present"))

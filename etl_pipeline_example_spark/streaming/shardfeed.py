@@ -14,7 +14,10 @@ group is drained and sorted ONCE before the fold, never per Arrow
 chunk (chunk-local sorting would silently break parity past
 maxRecordsPerBatch docs per source). Across micro-batches the fold is
 arrival-ordered, as any streaming writer is; the AvailableNow drain is
-a single batch, which is what gives exact batch parity.
+a single batch, which is what gives exact batch parity — and the op
+ASSERTS that (one data-carrying micro-batch in the query progress)
+instead of assuming it, so a rate-limit option or multi-file source
+batching can never silently void the oracle contract.
 
 Plan shape: tokenize/hash run JVM-side BEFORE the stateful fold (the
 pandas function only sorts its batch and folds integers — no text ever
@@ -23,9 +26,9 @@ drain the emitted assignment equals the per-source exclusive-prefix-sum
 window, so the op carries a full SQL oracle.
 
 No reference counterpart (reference: glue_jobs/example_job/job.py);
-LLM-pipeline surface, SURVEY.md §2. Registered beyond the round-7/8
-grading windows (both are full) — first driver evidence lands in
-round 9; until then: full-oracle pytest + drivercheck.
+LLM-pipeline surface, SURVEY.md §2. Pulled into the round-8 grading
+window when the single-batch assertion landed (freeze rule: an edited
+op regrades in the current window).
 """
 
 from __future__ import annotations
@@ -73,16 +76,26 @@ def _fold_shard_feed(
     yield out
 
 
-def stream_shard_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_shard_feed(
+    spark: SparkSession,
+    sf_dir: str,
+    _reader_options: dict[str, str] | None = None,
+) -> DataFrame:
     """(doc_id, source, n_tokens, shard_seq): per-source streaming shard
-    assignment after an AvailableNow drain."""
+    assignment after an AvailableNow drain.
+
+    ``_reader_options`` exists so tests can force a SPLIT drain (e.g.
+    ``maxFilesPerTrigger=1`` over a multi-file source) and pin that the
+    single-batch assertion fires; production callers never pass it.
+    """
     h = spark_hexint("concat('shard:', cast(doc_id as string))")
+    reader = spark.readStream.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).option("pathGlobFilter", "documents.parquet")
+    for k, v in (_reader_options or {}).items():
+        reader = reader.option(k, v)
     docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+        reader.parquet(sf_dir)
         .select(
             "doc_id",
             "source",
@@ -113,6 +126,20 @@ def stream_shard_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+    # The batch-parity oracle (global per-source prefix sum) holds only
+    # if the drain folded every source's documents in ONE micro-batch:
+    # a split drain (e.g. maxFilesPerTrigger, multi-file source
+    # batching) makes the fold arrival-ordered ACROSS batches and the
+    # contract silently breaks. Assert it rather than assume it.
+    data_batches = sum(
+        1 for p in q.recentProgress if p and p["numInputRows"] > 0
+    )
+    if data_batches > 1:
+        raise RuntimeError(
+            f"stream_shard_feed drained in {data_batches} micro-batches; "
+            "the prefix-sum parity oracle requires a single-batch "
+            "AvailableNow drain (did a rate-limit option split it?)"
+        )
     return spark.table(sink)
 
 
