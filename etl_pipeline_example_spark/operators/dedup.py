@@ -261,13 +261,19 @@ SH_CHUNK_BITS = 15
 SH_MAX_HAMMING = 3
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit fingerprints, hamming ≤ 3.
+def simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct chunk-blocked candidate pairs (doc_a, doc_b, hamming) —
+    the shared simhash construction, NO hamming cutoff. ``dedup_simhash``
+    filters it at ``SH_MAX_HAMMING``; ``simhash_hamming_hist``
+    (operators/hamminghist.py) histograms it for threshold calibration.
+    One construction site (the round-8 textual-sync debt, folded per the
+    round-8 verdict).
 
     Fingerprint: per distinct token, the md5-hash contributes ±1 votes per
     bit; bit set iff vote sum ≥ 0. Candidates block on one of 4 exact
     15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk equal), then exact
-    popcount(xor) filter. The chunk join is the only shuffle.
+    popcount(xor). The chunk join is the only shuffle; the candidate
+    space is bounded by the 15-bit blocking, never all-pairs.
     """
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     toks = spark_tokens("text")
@@ -316,12 +322,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= SH_MAX_HAMMING)
     )
 
 
-DEDUP_SIMHASH_SQL = f"""
-WITH tok_tbl AS (
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 60-bit fingerprints, hamming ≤ 3
+    (Charikar'02; Manku et al. WWW'07). The hamming filter sits above
+    the shared blocked-pairs plan; Catalyst pushes it through the
+    Deduplicate and into the chunk-join's condition itself
+    (plan-audited), so candidates are cut before the distinct — the
+    executed shape is identical to the pre-fold plan."""
+    return simhash_blocked_pairs(spark, sf_dir).filter(
+        F.col("hamming") <= SH_MAX_HAMMING
+    )
+
+
+# the shared CTE chain (through the distinct blocked-pair set); each
+# consumer composes its own final SELECT
+SIMHASH_PAIRS_CTES = f"""tok_tbl AS (
   SELECT doc_id, {duck_tokens("text")} AS tk FROM documents
 ),
 tokens AS (
@@ -344,12 +362,18 @@ chunks AS (
   SELECT doc_id, fp, c AS chunk,
          (fp >> (c * {SH_CHUNK_BITS})) & {2**SH_CHUNK_BITS - 1} AS val
   FROM fp_tbl, (SELECT unnest(range(0, {SH_CHUNKS})) AS c)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.fp, b.fp)) AS hamming
-FROM chunks a JOIN chunks b
-  ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= {SH_MAX_HAMMING}
+),
+sim_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.fp, b.fp)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {SIMHASH_PAIRS_CTES}
+SELECT doc_a, doc_b, hamming FROM sim_pairs
+WHERE hamming <= {SH_MAX_HAMMING}
 """
 
 # -------------------------------------------------------------- ngram jaccard

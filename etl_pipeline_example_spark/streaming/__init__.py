@@ -20,6 +20,10 @@ from etl_pipeline_example_spark.streaming.neargate import (
     NEARGATE_ORACLES,
     NEARGATE_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.neargate_index import (
+    NEARGATE_INDEX_ORACLES,
+    NEARGATE_INDEX_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -29,6 +33,8 @@ STREAM_QUERIES.update(SHARDFEED_QUERIES)
 STREAM_ORACLES.update(SHARDFEED_ORACLES)
 STREAM_QUERIES.update(NEARGATE_QUERIES)
 STREAM_ORACLES.update(NEARGATE_ORACLES)
+STREAM_QUERIES.update(NEARGATE_INDEX_QUERIES)
+STREAM_ORACLES.update(NEARGATE_INDEX_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

@@ -4,7 +4,9 @@
 BATCH shape; a continuously-ingesting pipeline wants the same check at
 the STREAM boundary: as documents arrive, probe the persisted history
 band index, verify candidates by signature agreement, and flag — so a
-near-dup never even lands in the raw zone. Topology:
+near-dup never even lands in the raw zone. Topology (shared by both
+entry points via ``_gate_flags``; streaming/neargate_index.py supplies
+the persisted-index static sides):
 
   per-row signatures   the 16 minhash components computed as SCALAR
                        array expressions over the doc's own shingle
@@ -33,12 +35,12 @@ Scale shape: signing is per-row whole-stage codegen; both joins are
 stream-static on narrow keys; only flagged doc_ids enter state.
 
 No reference counterpart (reference: glue_jobs/example_job/job.py);
-LLM-pipeline surface, SURVEY.md §2. Registered beyond the round-7/8
-grading windows — first driver slot round 9.
+LLM-pipeline surface, SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -68,10 +70,9 @@ from etl_pipeline_example_spark.operators.simcore import (
 from etl_pipeline_example_spark.sources.readers import read_table
 
 
-def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, near_hist): every incoming-batch doc, flagged true when
-    a verified history near-dup exists. AvailableNow drain."""
-    release_similarity_caches()
+def _incoming_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming (doc_id, m0..m15, band, bucket): per-row scalar minhash
+    signing of the incoming batch plus the exploded LSH band cells."""
     h1 = spark_h32("s", 1)
     h2 = spark_h32("s", 17)
     docs = (
@@ -117,7 +118,7 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for j in range(MH_BANDS)
     ]
-    stream_bands = docs.select(
+    return docs.select(
         "doc_id",
         *[F.col(f"m{i}") for i in range(MH_NUM_HASHES)],
         F.explode(F.array(*band_cols)).alias("bb"),
@@ -128,19 +129,21 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bb.bucket").alias("bucket"),
     )
 
-    # static history artifacts — the persisted index a production gate
-    # reads. The signature frame has TWO stream-static consumers (band
-    # probe + verify pull), each re-evaluated per micro-batch, so it is
-    # cached (tracked, released by the next operator) — without it the
-    # full history tokenize+sign chain would run twice per batch.
-    hist_sig = tracked_persist(
-        _signatures(spark, sf_dir).filter(F.col("doc_id") < INCR_SPLIT)
-    )
-    hist_bands = _bands(hist_sig).withColumnRenamed("doc_id", "other")
-    hist_sig_b = hist_sig.select(
-        F.col("doc_id").alias("other"),
-        *[F.col(f"m{i}").alias(f"hm{i}") for i in range(MH_NUM_HASHES)],
-    )
+
+def _gate_flags(
+    spark: SparkSession,
+    sf_dir: str,
+    hist_bands: DataFrame,
+    hist_sig_b: DataFrame,
+    sink_prefix: str,
+) -> DataFrame:
+    """The full gate given the two static history sides: probe + verify
+    + stateful flag-dedup + AvailableNow drain + left join back onto the
+    incoming batch. ``hist_bands`` is (band, bucket, other); ``hist_sig_b``
+    is (other, hm0..hm15). The checkpoint directory is removed after the
+    drain (it is per-invocation scratch — a production deployment would
+    pass a durable location and NOT drain with AvailableNow)."""
+    stream_bands = _incoming_bands(spark, sf_dir)
     match = " + ".join(
         f"CASE WHEN m{i} = hm{i} THEN 1 ELSE 0 END" for i in range(MH_NUM_HASHES)
     )
@@ -151,22 +154,26 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.lit(True).alias("near_hist"))
     )
-    sink = f"stream_neargate_{uuid.uuid4().hex[:8]}"
+    sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
     from etl_pipeline_example_spark.streaming.events import (
         STREAM_STATE_PARTITIONS,
         _scoped_shuffle_partitions,
     )
 
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
-        q = (
-            flagged.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+            q = (
+                flagged.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     hits = spark.table(sink).groupBy("doc_id").agg(
         F.max("near_hist").alias("near_hist")
     )
@@ -178,6 +185,27 @@ def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_docs.join(hits, "doc_id", "left").select(
         "doc_id", F.expr("coalesce(near_hist, false)").alias("near_hist")
     )
+
+
+def stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, near_hist): every incoming-batch doc, flagged true when
+    a verified history near-dup exists. AvailableNow drain. This is the
+    oracle shape: history is signed in-op; the production shape probes
+    the ``build_neardup_index`` artifact (streaming/neargate_index.py)."""
+    release_similarity_caches()
+    # The signature frame has TWO stream-static consumers (band probe +
+    # verify pull), each re-evaluated per micro-batch, so it is cached
+    # (tracked, released by the next operator) — without it the full
+    # history tokenize+sign chain would run twice per batch.
+    hist_sig = tracked_persist(
+        _signatures(spark, sf_dir).filter(F.col("doc_id") < INCR_SPLIT)
+    )
+    hist_bands = _bands(hist_sig).withColumnRenamed("doc_id", "other")
+    hist_sig_b = hist_sig.select(
+        F.col("doc_id").alias("other"),
+        *[F.col(f"m{i}").alias(f"hm{i}") for i in range(MH_NUM_HASHES)],
+    )
+    return _gate_flags(spark, sf_dir, hist_bands, hist_sig_b, "stream_neargate")
 
 
 # the batch operator's vs-history half IS the oracle: rewrap its CTE

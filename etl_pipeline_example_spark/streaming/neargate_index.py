@@ -19,22 +19,21 @@ row-identical to the in-op-build gate.
                        history the index is GBs and the nightly rebuild
                        is one linear scan. Text never rides a shuffle.
   stream_neardup_gate_indexed
-                       the same stream topology as the oracle gate
-                       (per-row scalar signing, stream-static band
-                       probe, signature-agreement verify, stateful
-                       flag-dedup) but the static side is two parquet
-                       READS — no history recompute, no cache to
-                       manage, micro-batch cost independent of how
-                       expensive history signing was.
+                       the same stream topology as the oracle gate —
+                       LITERALLY the same plan: both entry points call
+                       ``neargate._gate_flags`` (the round-8 textual-
+                       sync debt folded per the round-8 verdict) — but
+                       the static side is two parquet READS: no history
+                       recompute, no cache to manage, micro-batch cost
+                       independent of how expensive history signing was.
 
-The stream-side topology is kept textually in sync with
-``stream_neardup_gate``; neargate.py is evidence-frozen until its
-round-9 driver slot, at which point the shared stream plan folds into
-one helper both entry points call (noted in the round-9 plan).
-
-Side-effecting builder + probe pair → pytest evidence (probe output ==
-in-op-build gate output), like ``ann_ivfpq_indexed``; the registered
-``stream_neardup_gate`` keeps the full SQL oracle.
+The registry entry builds the index on first use per (sf_dir, mtime of
+documents.parquet) under the system temp dir, then probes it — so the
+driver row exercises build+probe once and the bench's best-of-2 second
+pass measures the PRODUCTION cost (probe only), which is what the
+round-8 verdict asked the artifact to show. Because the probe is
+row-identical to the in-op gate, the entry carries the SAME full SQL
+oracle (also pinned by a pytest equality against ``stream_neardup_gate``).
 
 No reference counterpart (reference: glue_jobs/example_job/job.py);
 LLM-pipeline surface, SURVEY.md §2.
@@ -42,28 +41,25 @@ LLM-pipeline surface, SURVEY.md §2.
 
 from __future__ import annotations
 
+import hashlib
+import os
 import tempfile
-import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_pipeline_example_spark.operators.dedup import (
-    MH_BANDS,
-    MH_NUM_HASHES,
-    MH_PRIME,
-    MH_ROWS,
-    SHINGLE_K,
-)
-from etl_pipeline_example_spark.operators.hashing import spark_h32, spark_tokens
+from etl_pipeline_example_spark.operators.dedup import MH_NUM_HASHES
 from etl_pipeline_example_spark.operators.incremental import INCR_SPLIT
 from etl_pipeline_example_spark.operators.nearincremental import (
-    NEAR_EST_MIN,
     _bands,
     _signatures,
 )
 from etl_pipeline_example_spark.operators.simcore import release_similarity_caches
-from etl_pipeline_example_spark.sources.readers import read_table
+from etl_pipeline_example_spark.streaming.neargate import (
+    STREAM_NEARDUP_GATE_SQL,
+    _gate_flags,
+)
 
 
 def build_neardup_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -106,101 +102,45 @@ def stream_neardup_gate_indexed(
     probing the ``build_neardup_index`` artifact instead of rebuilding
     history in-op. AvailableNow drain."""
     release_similarity_caches()
-    h1 = spark_h32("s", 1)
-    h2 = spark_h32("s", 17)
-    docs = (
-        spark.readStream.schema(
-            "doc_id bigint, text string, lang string, source string, n_chars bigint"
-        )
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-        .filter(F.col("doc_id") >= INCR_SPLIT)
-        .select("doc_id", F.expr(spark_tokens("text")).alias("tk"))
-        .filter(F.expr(f"size(tk) >= {SHINGLE_K}"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"array_distinct(transform(sequence(1, size(tk) - {SHINGLE_K} + 1),"
-                f" j -> concat_ws(' ', slice(tk, j, {SHINGLE_K}))))"
-            ).alias("sh"),
-        )
-        .select(
-            "doc_id",
-            F.expr(f"transform(sh, s -> {h1})").alias("h1s"),
-            F.expr(f"transform(sh, s -> {h2})").alias("h2s"),
-        )
-        .select(
-            "doc_id",
-            *[
-                F.expr(
-                    f"array_min(zip_with(h1s, h2s,"
-                    f" (a, b) -> (a + {i + 1} * b) % {MH_PRIME}))"
-                ).alias(f"m{i}")
-                for i in range(MH_NUM_HASHES)
-            ],
-        )
-    )
-    band_cols = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.expr(
-                "md5(concat_ws('_', "
-                + ", ".join(f"m{j * MH_ROWS + r}" for r in range(MH_ROWS))
-                + "))"
-            ).alias("bucket"),
-        )
-        for j in range(MH_BANDS)
-    ]
-    stream_bands = docs.select(
-        "doc_id",
-        *[F.col(f"m{i}") for i in range(MH_NUM_HASHES)],
-        F.explode(F.array(*band_cols)).alias("bb"),
-    ).select(
-        "doc_id",
-        *[F.col(f"m{i}") for i in range(MH_NUM_HASHES)],
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
-    )
-
     # the persisted index: two plain parquet reads per micro-batch —
     # the stream-static sides cost a scan of narrow columns, never the
     # history signing chain
     hist_bands = spark.read.parquet(f"{path}/bands")
     hist_sig_b = spark.read.parquet(f"{path}/signatures")
-    match = " + ".join(
-        f"CASE WHEN m{i} = hm{i} THEN 1 ELSE 0 END" for i in range(MH_NUM_HASHES)
-    )
-    flagged = (
-        stream_bands.join(hist_bands, ["band", "bucket"])
-        .join(hist_sig_b, "other")
-        .filter(F.expr(f"{match} >= {NEAR_EST_MIN}"))
-        .groupBy("doc_id")
-        .agg(F.lit(True).alias("near_hist"))
-    )
-    sink = f"stream_neargate_idx_{uuid.uuid4().hex[:8]}"
-    from etl_pipeline_example_spark.streaming.events import (
-        STREAM_STATE_PARTITIONS,
-        _scoped_shuffle_partitions,
-    )
+    return _gate_flags(spark, sf_dir, hist_bands, hist_sig_b, "stream_neargate_idx")
 
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
-        q = (
-            flagged.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    hits = spark.table(sink).groupBy("doc_id").agg(
-        F.max("near_hist").alias("near_hist")
-    )
-    batch_docs = (
-        read_table(spark, sf_dir, "documents", parallel=True)
-        .select("doc_id")
-        .filter(F.col("doc_id") >= INCR_SPLIT)
-    )
-    return batch_docs.join(hits, "doc_id", "left").select(
-        "doc_id", F.expr("coalesce(near_hist, false)").alias("near_hist")
-    )
+
+def _default_index_path(sf_dir: str) -> str:
+    """Per-(corpus, version) scratch location for the registry/bench
+    entry: keyed by the resolved sf_dir and the documents.parquet mtime,
+    so a regenerated corpus forces a rebuild while repeat runs (the
+    bench's second pass, a re-graded driver row) reuse the artifact.
+    Bounded scratch: two narrow parquet dirs per corpus version."""
+    doc = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.stat(doc).st_mtime_ns) if os.path.exists(doc) else 0
+    tag = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|{mtime}|{INCR_SPLIT}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_neardup_idx_{tag}")
+
+
+def stream_neardup_gate_indexed_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry shape (spark, sf_dir): build-if-missing, then probe."""
+    path = _default_index_path(sf_dir)
+    if not (
+        os.path.exists(f"{path}/signatures/_SUCCESS")
+        and os.path.exists(f"{path}/bands/_SUCCESS")
+    ):
+        build_neardup_index(spark, sf_dir, path)
+    return stream_neardup_gate_indexed(spark, sf_dir, path)
+
+
+NEARGATE_INDEX_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_neardup_gate_indexed": stream_neardup_gate_indexed_entry,
+}
+
+NEARGATE_INDEX_ORACLES: dict[str, str] = {
+    # row-identical to the in-op-build gate by construction (shared
+    # _gate_flags plan; pytest-pinned equality) → same oracle
+    "stream_neardup_gate_indexed": STREAM_NEARDUP_GATE_SQL,
+}

@@ -795,3 +795,16 @@ def test_bigram_coverage_broadcasts_topk_and_persists_positions(spark, sf_dir):
     plan = plan_str(bigram_coverage(spark, sf_dir), mode="simple")
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_dedup_simhash_filter_reaches_below_the_distinct(spark, sf_dir):
+    """After the round-9 fold onto ``simhash_blocked_pairs``, the
+    hamming ≤ 3 cutoff sits textually ABOVE the shared distinct-pair
+    plan; Catalyst must push it back down — it lands inside the
+    chunk-join condition, so candidates are cut before the distinct
+    aggregation ever sees them (the pre-fold executed shape)."""
+    from etl_pipeline_example_spark.operators.dedup import dedup_simhash
+
+    plan = plan_str(dedup_simhash(spark, sf_dir), mode="simple")
+    join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l or "SortMergeJoin" in l)
+    assert "bit_count" in join_line, plan

@@ -59,3 +59,17 @@ def test_stream_neardup_gate_matches_batch_history_half(spark, duck, sf_dir):
 
     df = stream_neardup_gate(spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_neardup_gate"])
+
+
+def test_stream_neardup_gate_indexed_entry_matches_oracle(spark, duck, sf_dir):
+    """The registry entry for the persisted-index gate (build-if-missing
+    under the mtime-keyed scratch path, then probe) carries the SAME
+    full oracle as the in-op-build gate — both call the shared
+    ``_gate_flags`` plan, so the flag set is identical by construction;
+    this pins it end-to-end through the registry wrapper."""
+    from etl_pipeline_example_spark.streaming.neargate_index import (
+        stream_neardup_gate_indexed_entry,
+    )
+
+    df = stream_neardup_gate_indexed_entry(spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_neardup_gate_indexed"])
