@@ -155,10 +155,16 @@ from etl_pipeline_example_spark.operators import (
     BIGRAMCOV_QUERIES,
     CLUSTERSIZES_ORACLES,
     CLUSTERSIZES_QUERIES,
+    BANDSTATS_ORACLES,
+    BANDSTATS_QUERIES,
     HAMMINGHIST_ORACLES,
     HAMMINGHIST_QUERIES,
     LENGINI_ORACLES,
     LENGINI_QUERIES,
+    READABILITY_ORACLES,
+    READABILITY_QUERIES,
+    SOURCEOVERLAP_ORACLES,
+    SOURCEOVERLAP_QUERIES,
     MEDIAPIXELS_ORACLES,
     MEDIAPIXELS_QUERIES,
 )
@@ -167,6 +173,8 @@ from etl_pipeline_example_spark.plans import (
     LATEST_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
+    TIMEROLLUP_ORACLES,
+    TIMEROLLUP_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -241,6 +249,10 @@ _REGISTER_FIRST = [
     "bigram_coverage",
     # (a) first evidence: round-9 additions
     "stream_neardup_gate_indexed",
+    "source_overlap_matrix",
+    "text_readability",
+    "minhash_band_occupancy",
+    "events_rollup_multi",
     # (b) displaced round-8 entries (r5 evidence, byte-identical plans)
     "unpack_nested",
     "version_stamp",
@@ -273,8 +285,6 @@ _REGISTER_FIRST = [
     "q_cust_no_orders",
     "q14_promo",
     "q_distinct_agg",
-    "q_percentiles",
-    "q17_small_quantity",
 ]
 
 
@@ -352,8 +362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BIGRAMCOV_QUERIES)
     out.update(HAMMINGHIST_QUERIES)
     out.update(LENGINI_QUERIES)
+    out.update(SOURCEOVERLAP_QUERIES)
+    out.update(READABILITY_QUERIES)
+    out.update(BANDSTATS_QUERIES)
     out.update(RANKFAMILY_QUERIES)
     out.update(LATEST_QUERIES)
+    out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -430,8 +444,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(BIGRAMCOV_ORACLES)
     out.update(HAMMINGHIST_ORACLES)
     out.update(LENGINI_ORACLES)
+    out.update(SOURCEOVERLAP_ORACLES)
+    out.update(READABILITY_ORACLES)
+    out.update(BANDSTATS_ORACLES)
     out.update(RANKFAMILY_ORACLES)
     out.update(LATEST_ORACLES)
+    out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

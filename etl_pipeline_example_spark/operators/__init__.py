@@ -152,6 +152,18 @@ from etl_pipeline_example_spark.operators.lengini import (
     LENGINI_QUERIES,
     LENGINI_ORACLES,
 )
+from etl_pipeline_example_spark.operators.sourceoverlap import (
+    SOURCEOVERLAP_QUERIES,
+    SOURCEOVERLAP_ORACLES,
+)
+from etl_pipeline_example_spark.operators.readability import (
+    READABILITY_QUERIES,
+    READABILITY_ORACLES,
+)
+from etl_pipeline_example_spark.operators.bandstats import (
+    BANDSTATS_QUERIES,
+    BANDSTATS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.normalize import (
     NORMALIZE_QUERIES,
     NORMALIZE_ORACLES,
@@ -212,6 +224,12 @@ __all__ = [
     "BIGRAMCOV_ORACLES",
     "HAMMINGHIST_QUERIES",
     "HAMMINGHIST_ORACLES",
+    "SOURCEOVERLAP_QUERIES",
+    "SOURCEOVERLAP_ORACLES",
+    "READABILITY_QUERIES",
+    "READABILITY_ORACLES",
+    "BANDSTATS_QUERIES",
+    "BANDSTATS_ORACLES",
     "LENGINI_QUERIES",
     "LENGINI_ORACLES",
     "DOMAINSHIFT_QUERIES",

@@ -44,6 +44,10 @@ from etl_pipeline_example_spark.plans.latest import (
     LATEST_QUERIES,
     LATEST_ORACLES,
 )
+from etl_pipeline_example_spark.plans.timerollup import (
+    TIMEROLLUP_QUERIES,
+    TIMEROLLUP_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -72,6 +76,8 @@ __all__ = [
     "RANKFAMILY_ORACLES",
     "LATEST_QUERIES",
     "LATEST_ORACLES",
+    "TIMEROLLUP_QUERIES",
+    "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",
