@@ -157,6 +157,8 @@ from etl_pipeline_example_spark.operators import (
     CLUSTERSIZES_QUERIES,
     BANDSTATS_ORACLES,
     BANDSTATS_QUERIES,
+    BUDGETCURVE_ORACLES,
+    BUDGETCURVE_QUERIES,
     HAMMINGHIST_ORACLES,
     HAMMINGHIST_QUERIES,
     LENGINI_ORACLES,
@@ -261,6 +263,7 @@ _REGISTER_FIRST = [
     "text_readability",
     "minhash_band_occupancy",
     "events_rollup_multi",
+    "token_budget_curve",
     # (b) displaced round-8 entries (r5 evidence, byte-identical plans)
     "unpack_nested",
     "version_stamp",
@@ -292,7 +295,6 @@ _REGISTER_FIRST = [
     "q6_forecast",
     "q_cust_no_orders",
     "q14_promo",
-    "q_distinct_agg",
 ]
 
 
@@ -373,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SOURCEOVERLAP_QUERIES)
     out.update(READABILITY_QUERIES)
     out.update(BANDSTATS_QUERIES)
+    out.update(BUDGETCURVE_QUERIES)
     out.update(RANKFAMILY_QUERIES)
     out.update(LATEST_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
@@ -455,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SOURCEOVERLAP_ORACLES)
     out.update(READABILITY_ORACLES)
     out.update(BANDSTATS_ORACLES)
+    out.update(BUDGETCURVE_ORACLES)
     out.update(RANKFAMILY_ORACLES)
     out.update(LATEST_ORACLES)
     out.update(TIMEROLLUP_ORACLES)

@@ -164,6 +164,10 @@ from etl_pipeline_example_spark.operators.bandstats import (
     BANDSTATS_QUERIES,
     BANDSTATS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.budgetcurve import (
+    BUDGETCURVE_QUERIES,
+    BUDGETCURVE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.normalize import (
     NORMALIZE_QUERIES,
     NORMALIZE_ORACLES,
@@ -230,6 +234,8 @@ __all__ = [
     "READABILITY_ORACLES",
     "BANDSTATS_QUERIES",
     "BANDSTATS_ORACLES",
+    "BUDGETCURVE_QUERIES",
+    "BUDGETCURVE_ORACLES",
     "LENGINI_QUERIES",
     "LENGINI_ORACLES",
     "DOMAINSHIFT_QUERIES",

@@ -57,6 +57,8 @@ from etl_pipeline_example_spark.operators import (
     READABILITY_QUERIES,
     BANDSTATS_ORACLES,
     BANDSTATS_QUERIES,
+    BUDGETCURVE_ORACLES,
+    BUDGETCURVE_QUERIES,
     CLUSTERSIZES_ORACLES,
     CLUSTERSIZES_QUERIES,
     BIGRAMCOV_ORACLES,
@@ -113,7 +115,7 @@ from tests.oracle_util import assert_matches_oracle
 
 ALL_Q = {
     **TEXT_QUERIES, **BPE_QUERIES, **CHARLM_QUERIES, **DOMAIN_QUERIES, **DSIR_QUERIES, **C4_QUERIES, **PMI_QUERIES,
-    **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES, **MEDIAPIXELS_QUERIES, **CLUSTERSIZES_QUERIES, **BIGRAMCOV_QUERIES, **HAMMINGHIST_QUERIES, **LENGINI_QUERIES, **SOURCEOVERLAP_QUERIES, **READABILITY_QUERIES, **BANDSTATS_QUERIES,
+    **BOILERSTRIP_QUERIES, **RP_QUERIES, **FUNNEL_QUERIES, **NORMALIZE_QUERIES, **SHARD_QUERIES, **MEDIAHDR_QUERIES, **MEDIAPIXELS_QUERIES, **CLUSTERSIZES_QUERIES, **BIGRAMCOV_QUERIES, **HAMMINGHIST_QUERIES, **LENGINI_QUERIES, **SOURCEOVERLAP_QUERIES, **READABILITY_QUERIES, **BANDSTATS_QUERIES, **BUDGETCURVE_QUERIES,
     **DOMAINSHIFT_QUERIES, **CONTAINMENT_QUERIES, **EMBEDNORM_QUERIES,
     **CLUSTERTOPICS_QUERIES, **CORPUSSTATS_QUERIES, **INCREMENTAL_QUERIES, **NOVELTY_QUERIES,
     **DIAGNOSTICS_QUERIES, **CALIBRATION_QUERIES, **ZIPF_QUERIES,
@@ -128,7 +130,7 @@ ALL_Q = {
 }
 ALL_O = {
     **TEXT_ORACLES, **BPE_ORACLES, **CHARLM_ORACLES, **DOMAIN_ORACLES, **DSIR_ORACLES, **C4_ORACLES, **PMI_ORACLES,
-    **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES, **MEDIAPIXELS_ORACLES, **CLUSTERSIZES_ORACLES, **BIGRAMCOV_ORACLES, **HAMMINGHIST_ORACLES, **LENGINI_ORACLES, **SOURCEOVERLAP_ORACLES, **READABILITY_ORACLES, **BANDSTATS_ORACLES,
+    **BOILERSTRIP_ORACLES, **RP_ORACLES, **FUNNEL_ORACLES, **NORMALIZE_ORACLES, **SHARD_ORACLES, **MEDIAHDR_ORACLES, **MEDIAPIXELS_ORACLES, **CLUSTERSIZES_ORACLES, **BIGRAMCOV_ORACLES, **HAMMINGHIST_ORACLES, **LENGINI_ORACLES, **SOURCEOVERLAP_ORACLES, **READABILITY_ORACLES, **BANDSTATS_ORACLES, **BUDGETCURVE_ORACLES,
     **DOMAINSHIFT_ORACLES, **CONTAINMENT_ORACLES, **EMBEDNORM_ORACLES,
     **CLUSTERTOPICS_ORACLES, **CORPUSSTATS_ORACLES, **INCREMENTAL_ORACLES, **NOVELTY_ORACLES,
     **DIAGNOSTICS_ORACLES, **CALIBRATION_ORACLES, **ZIPF_ORACLES,

@@ -163,3 +163,21 @@ def test_events_rollup_multi_cascade_is_persisted(spark, sf_dir):
         .toString()
     )
     assert plan.count("InMemoryTableScan") >= 6, plan
+
+
+def test_token_budget_curve_hand_computed(spark, tmp_path):
+    """Three docs: two at TTR 0.5 (bucket 10, 6 tokens) and one at TTR
+    1.0 (bucket 20, 3 tokens); descending cumulative gives the
+    surviving budget at each bucket's lower edge."""
+    from etl_pipeline_example_spark.operators.budgetcurve import token_budget_curve
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "a a a b", "en", "s"), (2, "a b c", "en", "s"), (3, "x x", "en", "s")],
+    )
+    rows = [
+        (r["ttr_bucket"], r["n_docs"], r["n_tokens"], r["cum_docs"], r["cum_tokens"])
+        for r in token_budget_curve(spark, sf).collect()
+    ]
+    assert rows == [(10, 2, 6, 3, 9), (20, 1, 3, 1, 3)], rows
