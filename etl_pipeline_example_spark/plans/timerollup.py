@@ -5,24 +5,18 @@ One panel holds the minute, hour, and day views of the event stream:
 (resolution, bucket_ts, n_events, n_users, min_value, max_value).
 
 The SCALE-RIGHT construction is hierarchical, not three independent
-scans:
+scans: ONE full-data shuffle partial-aggregates to the (minute, user)
+grain, and every level derives from that spine — per-bucket event
+counts as the SUM of per-user counts, min/max composing upward, and
+COUNT DISTINCT users (which does not roll up: a user active in two
+minutes of one hour is one hour-user) as the spine's row count per
+bucket, with the hour spine aggregating the minute spine's truncation
+(strictly smaller input) and the day spine the hour's. Events are
+scanned once; nothing corpus-sized shuffles twice.
 
-- additive metrics (counts, min/max) aggregate ONCE at minute grain —
-  the only shuffle that sees every event — then hour rolls up from the
-  minute aggregate and day from the hour aggregate: the classic
-  continuous-aggregate cascade, where each further level shuffles only
-  the previous level's bucket rows (≈ minutes, then hours — thousands
-  of rows regardless of corpus size).
-- COUNT DISTINCT does not roll up (a user active in two minutes of one
-  hour is one hour-user), so distinct-user counts cascade on the
-  narrow (bucket, user_id) SPINE instead: the minute spine is one
-  distinct over (minute, user) pairs; the hour spine is a distinct of
-  the minute spine's truncation (strictly smaller input), and so on —
-  history text/values never ride the distinct shuffles.
-
-Each cascade level is a multi-consumer frame (feeds both the output
-union and the next level), so the two spines and the minute/hour
-aggregates are tracked-persisted (simcore cache discipline).
+The minute and hour spines are multi-consumer frames (each feeds both
+its level's output fold and the next level), so both are
+tracked-persisted (simcore cache discipline).
 
 The oracle is the naive formulation — three direct GROUP BYs unioned —
 which the cascade must equal exactly: counts are additive, min/max
@@ -55,52 +49,56 @@ def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     at minute, hour, and day grain."""
     release_similarity_caches()
     events = read_table(spark, sf_dir, "events", parallel=True)
-    base = events.select(
-        F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
-        "user_id",
-        "value",
-    )
-
-    # additive cascade: minute sees every event once; hour/day see only
-    # the previous level's buckets
-    minute_agg = tracked_persist(
-        base.groupBy("bucket_ts").agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
+    # Cached plans opt out of AQE's partition coalescing, so a vanilla
+    # 200-shuffle-partition session would pin both persisted spines at
+    # 200 tiny partitions and pay 200-task scans per consumer; coalesce
+    # the reduce side to the engine's parallelism instead (narrow — no
+    # extra shuffle; a no-op under the engine session's 32).
+    par = spark.sparkContext.defaultParallelism
+    # THE one full-data shuffle: partial-aggregate to the (minute, user)
+    # grain. Every level derives from this spine — per-bucket events as
+    # the SUM of per-user counts, min/max composing, and distinct users
+    # as the spine's row count per bucket — so events are scanned once
+    # and nothing corpus-sized shuffles again.
+    mu = tracked_persist(
+        events.select(
+            F.date_trunc("minute", F.col("ts")).alias("bucket_ts"),
+            "user_id",
+            "value",
         )
-    )
-    hour_agg = tracked_persist(
-        minute_agg.groupBy(
-            F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts")
-        ).agg(
-            F.sum("n_events").alias("n_events"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
+        .groupBy("bucket_ts", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
         )
+        .coalesce(par)
     )
-    day_agg = hour_agg.groupBy(
-        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts")
-    ).agg(
-        F.sum("n_events").alias("n_events"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
-    )
-
-    # distinct-user cascade on the narrow (bucket, user) spine
-    mu = tracked_persist(base.select("bucket_ts", "user_id").distinct())
     hu = tracked_persist(
-        mu.select(
-            F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts"), "user_id"
-        ).distinct()
+        mu.groupBy(
+            F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts"), F.col("user_id")
+        ).agg(
+            F.sum("n").alias("n"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .coalesce(par)
     )
-    du = hu.select(
-        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"), "user_id"
-    ).distinct()
+    du = hu.groupBy(
+        F.date_trunc("day", F.col("bucket_ts")).alias("bucket_ts"), F.col("user_id")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
 
-    def level(agg: DataFrame, spine: DataFrame, name: str) -> DataFrame:
-        users = spine.groupBy("bucket_ts").agg(F.count(F.lit(1)).alias("n_users"))
-        return agg.join(users, "bucket_ts").select(
+    def level(spine: DataFrame, name: str) -> DataFrame:
+        return spine.groupBy("bucket_ts").agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        ).select(
             F.lit(name).alias("resolution"),
             "bucket_ts",
             "n_events",
@@ -110,9 +108,9 @@ def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        level(minute_agg, mu, "minute")
-        .unionAll(level(hour_agg, hu, "hour"))
-        .unionAll(level(day_agg, du, "day"))
+        level(mu, "minute")
+        .unionAll(level(hu, "hour"))
+        .unionAll(level(du, "day"))
         .orderBy("resolution", "bucket_ts")
     )
 

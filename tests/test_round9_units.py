@@ -149,11 +149,12 @@ def test_events_rollup_multi_hand_computed(spark, tmp_path):
 
 
 def test_events_rollup_multi_cascade_is_persisted(spark, sf_dir):
-    """The cascade's multi-consumer frames (minute/hour aggregates and
-    the two user spines) must be cached: each feeds both the output
-    union and the next level, so the executed plan shows their
-    InMemoryTableScans instead of recomputing the event scan per
-    level."""
+    """The cascade's multi-consumer frames (the minute and hour
+    (bucket, user) spines) must be cached: each feeds both its level's
+    output fold and the next level, so the executed plan shows their
+    InMemoryTableScans (2 frames × 2 consumers) instead of recomputing
+    the event scan per level — and the events relation itself appears
+    exactly once."""
     from etl_pipeline_example_spark.plans.timerollup import events_rollup_multi
 
     plan = (
@@ -162,7 +163,7 @@ def test_events_rollup_multi_cascade_is_persisted(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert plan.count("InMemoryTableScan") >= 6, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
 
 
 def test_token_budget_curve_hand_computed(spark, tmp_path):
