@@ -106,6 +106,8 @@ from etl_pipeline_example_spark.operators import (
     PACKSTATS_QUERIES,
     MIXTEMP_ORACLES,
     MIXTEMP_QUERIES,
+    DQRULES_ORACLES,
+    DQRULES_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -357,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SLIDING_QUERIES)
     out.update(PACKSTATS_QUERIES)
     out.update(MIXTEMP_QUERIES)
+    out.update(DQRULES_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -440,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SLIDING_ORACLES)
     out.update(PACKSTATS_ORACLES)
     out.update(MIXTEMP_ORACLES)
+    out.update(DQRULES_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -108,6 +108,10 @@ from etl_pipeline_example_spark.operators.mixtemp import (
     MIXTEMP_QUERIES,
     MIXTEMP_ORACLES,
 )
+from etl_pipeline_example_spark.operators.dqrules import (
+    DQRULES_QUERIES,
+    DQRULES_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -294,4 +298,6 @@ __all__ = [
     "PACKSTATS_ORACLES",
     "MIXTEMP_QUERIES",
     "MIXTEMP_ORACLES",
+    "DQRULES_QUERIES",
+    "DQRULES_ORACLES",
 ]

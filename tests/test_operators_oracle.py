@@ -101,6 +101,8 @@ from etl_pipeline_example_spark.operators import (
     PACKSTATS_QUERIES,
     MIXTEMP_ORACLES,
     MIXTEMP_QUERIES,
+    DQRULES_ORACLES,
+    DQRULES_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -124,7 +126,7 @@ ALL_Q = {
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
-    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES, **PACKSTATS_QUERIES, **MIXTEMP_QUERIES,
+    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES, **PACKSTATS_QUERIES, **MIXTEMP_QUERIES, **DQRULES_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -139,7 +141,7 @@ ALL_O = {
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
-    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES, **PACKSTATS_ORACLES, **MIXTEMP_ORACLES,
+    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES, **PACKSTATS_ORACLES, **MIXTEMP_ORACLES, **DQRULES_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

@@ -182,3 +182,70 @@ def test_token_budget_curve_hand_computed(spark, tmp_path):
         for r in token_budget_curve(spark, sf).collect()
     ]
     assert rows == [(10, 2, 6, 3, 9), (20, 1, 3, 1, 3)], rows
+
+
+def test_dq_rules_hand_computed_catalog(spark, tmp_path):
+    """Planted violations, one per rule class: a negative-price order
+    with a bad status, an orphan order (custkey 99), a lineitem that
+    ships before its order, an orphan lineitem (orderkey 99), a
+    zero-quantity lineitem with an out-of-range discount, a negative
+    and a NULL event value, and a zh document whose n_chars drifts."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.operators.dqrules import dq_rules
+
+    d0 = dt.datetime(1995, 1, 10)
+    spark.createDataFrame(
+        [(1, 10, "O", 100.0, d0, "1-URGENT"),
+         (2, 10, "X", -5.0, d0, "1-URGENT"),       # bad status + nonpos price
+         (3, 99, "F", 50.0, d0, "2-HIGH")],        # orphan custkey
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(10, "c", "BUILDING")],
+        "c_custkey bigint, c_name string, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    spark.createDataFrame(
+        # (orderkey, qty, discount, shipdate)
+        [(1, 5.0, 0.1, d0 + dt.timedelta(days=3)),
+         (1, 0.0, 0.9, d0 - dt.timedelta(days=1)),  # qty, disc, ship-before
+         (99, 2.0, 0.0, d0)],                       # orphan orderkey
+        "l_orderkey bigint, l_quantity double, l_discount double,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, d0, 7, "view", 1.0, "{}"),
+         (2, d0, 7, "view", -2.0, "{}"),            # negative value
+         (3, d0, 7, "view", None, "{}")],           # null value
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    spark.createDataFrame(
+        [(1, "ok text", "en", "sA", 7),
+         (2, "drift", "zh", "sA", 99)],             # bad lang + n_chars drift
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["rule_id"]: (r["tbl"], r["checked"], r["violations"])
+        for r in dq_rules(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "orders_nonpositive_price": ("orders", 3, 1),
+        "orders_null_custkey": ("orders", 3, 0),
+        "orders_bad_status": ("orders", 3, 1),
+        "orders_customer_orphans": ("orders", 3, 1),
+        "lineitem_nonpositive_qty": ("lineitem", 3, 1),
+        "lineitem_discount_range": ("lineitem", 3, 1),
+        "lineitem_ship_before_order": ("lineitem", 3, 1),
+        "lineitem_orders_orphans": ("lineitem", 3, 1),
+        "events_null_value": ("events", 3, 1),
+        "events_negative_value": ("events", 3, 1),
+        "documents_empty_text": ("documents", 2, 0),
+        "documents_nchars_drift": ("documents", 2, 1),
+        "documents_lang_not_allowed": ("documents", 2, 1),
+    }, got
+    # pass_rate is the exact int/int double division
+    rates = {r["rule_id"]: r["pass_rate"] for r in dq_rules(spark, str(tmp_path)).collect()}
+    assert rates["orders_nonpositive_price"] == 2.0 / 3.0
