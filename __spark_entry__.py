@@ -174,7 +174,9 @@ from etl_pipeline_example_spark.operators import (
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
+    FRAMES_ORACLES,
     LATEST_QUERIES,
+    FRAMES_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -381,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BUDGETCURVE_QUERIES)
     out.update(RANKFAMILY_QUERIES)
     out.update(LATEST_QUERIES)
+    out.update(FRAMES_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -465,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BUDGETCURVE_ORACLES)
     out.update(RANKFAMILY_ORACLES)
     out.update(LATEST_ORACLES)
+    out.update(FRAMES_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

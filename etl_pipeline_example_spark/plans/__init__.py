@@ -44,6 +44,10 @@ from etl_pipeline_example_spark.plans.latest import (
     LATEST_QUERIES,
     LATEST_ORACLES,
 )
+from etl_pipeline_example_spark.plans.frames import (
+    FRAMES_QUERIES,
+    FRAMES_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -76,6 +80,8 @@ __all__ = [
     "RANKFAMILY_ORACLES",
     "LATEST_QUERIES",
     "LATEST_ORACLES",
+    "FRAMES_QUERIES",
+    "FRAMES_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

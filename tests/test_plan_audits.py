@@ -808,3 +808,33 @@ def test_dedup_simhash_filter_reaches_below_the_distinct(spark, sf_dir):
     plan = plan_str(dedup_simhash(spark, sf_dir), mode="simple")
     join_line = next(l for l in plan.splitlines() if "BroadcastHashJoin" in l or "SortMergeJoin" in l)
     assert "bit_count" in join_line, plan
+
+
+def test_range_frame_window_partitions_by_customer(spark, sf_dir):
+    """The RANGE-frame window must partition by o_custkey — never a
+    global single-partition window — and the frame spec must be a
+    RANGE (value) frame, not ROWS."""
+    from etl_pipeline_example_spark.plans.frames import q_range_frame
+
+    df = q_range_frame(spark, sf_dir)
+    plan = plan_str(df, mode="simple")
+    assert "Window" in plan, plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "o_custkey" in m.group(1), plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+
+
+def test_unpivot_expands_before_partial_aggregate(spark, sf_dir):
+    """The melt must Expand then partial-aggregate map-side: the
+    exchange hashes the (measure, flag) group keys, so the shuffle
+    carries bounded partial rows, never the tripled row stream."""
+    from etl_pipeline_example_spark.plans.frames import q_unpivot_measures
+
+    df = q_unpivot_measures(spark, sf_dir)
+    fmt = plan_str(df, mode="formatted")
+    assert "Expand" in fmt, fmt
+    blocks = _formatted_blocks(fmt)
+    # partial aggregate present below the exchange
+    assert any("HashAggregate" in b and "partial_count" in b for b in blocks), fmt

@@ -249,3 +249,65 @@ def test_dq_rules_hand_computed_catalog(spark, tmp_path):
     # pass_rate is the exact int/int double division
     rates = {r["rule_id"]: r["pass_rate"] for r in dq_rules(spark, str(tmp_path)).collect()}
     assert rates["orders_nonpositive_price"] == 2.0 / 3.0
+
+
+def test_q_range_frame_peers_and_gaps(spark, tmp_path):
+    """RANGE semantics pinned by hand: two same-day orders are peers
+    (each sees both), a 90-days-later order still covers the first two,
+    and a 91-day gap excludes them even though they are adjacent ROWS."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.frames import q_range_frame
+
+    base = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, 7, "O", 10.0, base, "x"),
+         (2, 7, "O", 20.0, base, "x"),                          # peer of 1
+         (3, 7, "O", 40.0, base + dt.timedelta(days=90), "x"),  # includes 1,2
+         (4, 7, "O", 80.0, base + dt.timedelta(days=181), "x"), # 91-day gap
+         (5, 8, "O", 7.0, base, "x")],                          # other cust
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["o_orderkey"]: (r["n_trailing"], r["sum_trailing"])
+        for r in q_range_frame(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 30.0),   # same-day peers see each other
+        2: (2, 30.0),
+        3: (3, 70.0),   # day 90 still inside the 90-preceding frame
+        4: (1, 80.0),   # gap of 91 days: frame excludes 3 despite adjacency
+        5: (1, 7.0),
+    }, got
+
+
+def test_q_unpivot_measures_hand_computed(spark, tmp_path):
+    """Two lineitems melt into 3 measure rows each; per (measure, flag)
+    sums are the decimal-exact column totals."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.frames import q_unpivot_measures
+
+    d = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, 2.0, 100.50, 0.05, "A", d),
+         (2, 3.0, 200.25, 0.10, "A", d),
+         (3, 4.0, 50.00, 0.00, "R", d)],
+        "l_orderkey bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        (r["measure"], r["l_returnflag"]): (r["n"], r["sum_val"])
+        for r in q_unpivot_measures(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("l_quantity", "A"): (2, 5.0),
+        ("l_extendedprice", "A"): (2, 300.75),
+        ("l_discount", "A"): (2, 0.15),
+        ("l_quantity", "R"): (1, 4.0),
+        ("l_extendedprice", "R"): (1, 50.0),
+        ("l_discount", "R"): (1, 0.0),
+    }, got
