@@ -108,6 +108,8 @@ from etl_pipeline_example_spark.operators import (
     MIXTEMP_QUERIES,
     DQRULES_ORACLES,
     DQRULES_QUERIES,
+    SKEWPROFILE_ORACLES,
+    SKEWPROFILE_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -362,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PACKSTATS_QUERIES)
     out.update(MIXTEMP_QUERIES)
     out.update(DQRULES_QUERIES)
+    out.update(SKEWPROFILE_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -447,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PACKSTATS_ORACLES)
     out.update(MIXTEMP_ORACLES)
     out.update(DQRULES_ORACLES)
+    out.update(SKEWPROFILE_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

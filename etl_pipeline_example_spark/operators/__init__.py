@@ -112,6 +112,10 @@ from etl_pipeline_example_spark.operators.dqrules import (
     DQRULES_QUERIES,
     DQRULES_ORACLES,
 )
+from etl_pipeline_example_spark.operators.skewprofile import (
+    SKEWPROFILE_QUERIES,
+    SKEWPROFILE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -300,4 +304,6 @@ __all__ = [
     "MIXTEMP_ORACLES",
     "DQRULES_QUERIES",
     "DQRULES_ORACLES",
+    "SKEWPROFILE_QUERIES",
+    "SKEWPROFILE_ORACLES",
 ]

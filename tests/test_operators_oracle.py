@@ -103,6 +103,8 @@ from etl_pipeline_example_spark.operators import (
     MIXTEMP_QUERIES,
     DQRULES_ORACLES,
     DQRULES_QUERIES,
+    SKEWPROFILE_ORACLES,
+    SKEWPROFILE_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -126,7 +128,7 @@ ALL_Q = {
     **SPANDUP_QUERIES, **QLINEAR_QUERIES, **ALLOCATION_QUERIES,
     **CHARSTATS_QUERIES, **RETRIEVAL_QUERIES,
     **PIIREPORT_QUERIES, **NEARINCREMENTAL_QUERIES,
-    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES, **PACKSTATS_QUERIES, **MIXTEMP_QUERIES, **DQRULES_QUERIES,
+    **TRUNCTUNE_QUERIES, **SLIDING_QUERIES, **SHARDMANIFEST_QUERIES, **PACKSTATS_QUERIES, **MIXTEMP_QUERIES, **DQRULES_QUERIES, **SKEWPROFILE_QUERIES,
     **RPRERANK_QUERIES,
     **DEDUP_QUERIES, **SIM_QUERIES, **MM_QUERIES,
 }
@@ -141,7 +143,7 @@ ALL_O = {
     **SPANDUP_ORACLES, **QLINEAR_ORACLES, **ALLOCATION_ORACLES,
     **CHARSTATS_ORACLES, **RETRIEVAL_ORACLES,
     **PIIREPORT_ORACLES, **NEARINCREMENTAL_ORACLES,
-    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES, **PACKSTATS_ORACLES, **MIXTEMP_ORACLES, **DQRULES_ORACLES,
+    **TRUNCTUNE_ORACLES, **SLIDING_ORACLES, **SHARDMANIFEST_ORACLES, **PACKSTATS_ORACLES, **MIXTEMP_ORACLES, **DQRULES_ORACLES, **SKEWPROFILE_ORACLES,
     **RPRERANK_ORACLES,
     **DEDUP_ORACLES, **SIM_ORACLES, **MM_ORACLES,
 }

@@ -838,3 +838,17 @@ def test_unpivot_expands_before_partial_aggregate(spark, sf_dir):
     blocks = _formatted_blocks(fmt)
     # partial aggregate present below the exchange
     assert any("HashAggregate" in b and "partial_count" in b for b in blocks), fmt
+
+
+def test_skew_profile_reuses_keyed_frame_and_take_ordered(spark, sf_dir):
+    """The distinct-key frame must be cached and read by BOTH consumers
+    (stats + head: two InMemoryTableScans), the head must be a
+    TakeOrdered (never a global sort of all keys), and the only
+    corpus-sized exchange is the single groupBy on the key."""
+    from etl_pipeline_example_spark.operators.skewprofile import (
+        join_skew_profile,
+    )
+
+    plan = plan_str(join_skew_profile(spark, sf_dir), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -311,3 +311,39 @@ def test_q_unpivot_measures_hand_computed(spark, tmp_path):
         ("l_extendedprice", "R"): (1, 50.0),
         ("l_discount", "R"): (1, 0.0),
     }, got
+
+
+def test_join_skew_profile_hand_computed(spark, tmp_path):
+    """4 keys with loads 5/2/2/1 over 10 rows: ranks break count ties
+    by key, share_ppm and load_x1000 are exact integer divisions."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.operators.skewprofile import (
+        join_skew_profile,
+    )
+
+    d = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, cnt in [(7, 5), (3, 2), (9, 2), (1, 1)]:
+        for i in range(cnt):
+            rows.append((len(rows), d, uid, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = [
+        (r["rank"], r["user_id"], r["n_rows"], r["total_rows"], r["n_keys"],
+         r["share_ppm"], r["load_x1000"])
+        for r in sorted(
+            join_skew_profile(spark, str(tmp_path)).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert got == [
+        (1, 7, 5, 10, 4, 500000, 2000),  # 5/10 of rows, 2x the mean load
+        (2, 3, 2, 10, 4, 200000, 800),   # tie with 9 broken by key
+        (3, 9, 2, 10, 4, 200000, 800),
+        (4, 1, 1, 10, 4, 100000, 400),
+    ], got
