@@ -24,6 +24,10 @@ from etl_pipeline_example_spark.streaming.neargate_index import (
     NEARGATE_INDEX_ORACLES,
     NEARGATE_INDEX_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.dqgate import (
+    DQGATE_ORACLES,
+    DQGATE_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -35,6 +39,8 @@ STREAM_QUERIES.update(NEARGATE_QUERIES)
 STREAM_ORACLES.update(NEARGATE_ORACLES)
 STREAM_QUERIES.update(NEARGATE_INDEX_QUERIES)
 STREAM_ORACLES.update(NEARGATE_INDEX_ORACLES)
+STREAM_QUERIES.update(DQGATE_QUERIES)
+STREAM_ORACLES.update(DQGATE_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

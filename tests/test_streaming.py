@@ -73,3 +73,39 @@ def test_stream_neardup_gate_indexed_entry_matches_oracle(spark, duck, sf_dir):
 
     df = stream_neardup_gate_indexed_entry(spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_neardup_gate_indexed"])
+
+
+def test_stream_dq_quarantine_matches_batch(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_dq_quarantine"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_dq_quarantine"])
+
+
+def test_stream_dq_quarantine_flags_every_violated_rule(spark, tmp_path):
+    """A doc violating two rules yields two quarantine rows; a clean
+    doc yields none."""
+    import glob as _glob
+    import shutil
+
+    staging = tmp_path / "staging"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        [(1, "", "zh", "sA", 0),        # empty_text + lang_not_allowed
+         (2, "fine text", "en", "sA", 9),
+         (3, "drift", "en", "sA", 42)], # nchars_drift
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/documents.parquet")
+    # the stream source globs the single-FILE testdata layout
+    part = _glob.glob(f"{staging}/documents.parquet/part-*.parquet")[0]
+    shutil.copy(part, corpus / "documents.parquet")
+    from etl_pipeline_example_spark.streaming.dqgate import stream_dq_quarantine
+
+    got = sorted(
+        (r["doc_id"], r["rule_id"])
+        for r in stream_dq_quarantine(spark, str(corpus)).collect()
+    )
+    assert got == [
+        (1, "documents_empty_text"),
+        (1, "documents_lang_not_allowed"),
+        (3, "documents_nchars_drift"),
+    ], got
