@@ -110,6 +110,8 @@ from etl_pipeline_example_spark.operators import (
     DQRULES_QUERIES,
     SKEWPROFILE_ORACLES,
     SKEWPROFILE_QUERIES,
+    LENGTHKS_ORACLES,
+    LENGTHKS_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -365,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MIXTEMP_QUERIES)
     out.update(DQRULES_QUERIES)
     out.update(SKEWPROFILE_QUERIES)
+    out.update(LENGTHKS_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -451,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(MIXTEMP_ORACLES)
     out.update(DQRULES_ORACLES)
     out.update(SKEWPROFILE_ORACLES)
+    out.update(LENGTHKS_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -116,6 +116,10 @@ from etl_pipeline_example_spark.operators.skewprofile import (
     SKEWPROFILE_QUERIES,
     SKEWPROFILE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.lengthks import (
+    LENGTHKS_QUERIES,
+    LENGTHKS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -306,4 +310,6 @@ __all__ = [
     "DQRULES_ORACLES",
     "SKEWPROFILE_QUERIES",
     "SKEWPROFILE_ORACLES",
+    "LENGTHKS_QUERIES",
+    "LENGTHKS_ORACLES",
 ]

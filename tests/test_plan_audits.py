@@ -852,3 +852,18 @@ def test_skew_profile_reuses_keyed_frame_and_take_ordered(spark, sf_dir):
     plan = plan_str(join_skew_profile(spark, sf_dir), mode="simple")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_length_ks_windows_are_bucket_bounded(spark, sf_dir):
+    """Neither KS window may run over corpus rows: the per-source
+    cumulative partitions by source over the bucket spine, and the
+    one global cumulative runs over the <= |buckets| bucket frame —
+    whose input is the CACHED (source, bucket) aggregate, never a
+    documents scan."""
+    from etl_pipeline_example_spark.operators.lengthks import length_drift_ks
+
+    plan = plan_str(length_drift_ks(spark, sf_dir), mode="simple")
+    # every consumer reads the cached (source, bucket) aggregate (the
+    # FileScan text repeating under each InMemoryTableScan is the
+    # cached relation's DEFINITION, executed once)
+    assert plan.count("InMemoryTableScan") >= 3, plan

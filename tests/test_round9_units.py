@@ -347,3 +347,28 @@ def test_join_skew_profile_hand_computed(spark, tmp_path):
         (3, 9, 2, 10, 4, 200000, 800),
         (4, 1, 1, 10, 4, 100000, 400),
     ], got
+
+
+def test_length_drift_ks_hand_computed(spark, tmp_path):
+    """Source A: two docs in bucket 0; source B: one doc in bucket 3.
+    Corpus ECDF is (2/3, 1); A's is (1, 1) -> ks 1/3; B's is (0, 1)
+    -> ks 2/3. Exact rational-in-double arithmetic both sides."""
+    from etl_pipeline_example_spark.operators.lengthks import length_drift_ks
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a" * 10, "en", "sA"),
+            (2, "b" * 20, "en", "sA"),
+            (3, "c" * 200, "en", "sB"),
+        ],
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["ks"])
+        for r in length_drift_ks(spark, sf).collect()
+    }
+    assert got == {
+        "sA": (2, abs(1.0 - 2.0 / 3.0)),
+        "sB": (1, 2.0 / 3.0),
+    }, got
