@@ -112,6 +112,8 @@ from etl_pipeline_example_spark.operators import (
     SKEWPROFILE_QUERIES,
     LENGTHKS_ORACLES,
     LENGTHKS_QUERIES,
+    ANNRECALL_ORACLES,
+    ANNRECALL_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -368,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DQRULES_QUERIES)
     out.update(SKEWPROFILE_QUERIES)
     out.update(LENGTHKS_QUERIES)
+    out.update(ANNRECALL_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -455,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DQRULES_ORACLES)
     out.update(SKEWPROFILE_ORACLES)
     out.update(LENGTHKS_ORACLES)
+    out.update(ANNRECALL_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -120,6 +120,10 @@ from etl_pipeline_example_spark.operators.lengthks import (
     LENGTHKS_QUERIES,
     LENGTHKS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.annrecall import (
+    ANNRECALL_QUERIES,
+    ANNRECALL_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -312,4 +316,6 @@ __all__ = [
     "SKEWPROFILE_ORACLES",
     "LENGTHKS_QUERIES",
     "LENGTHKS_ORACLES",
+    "ANNRECALL_QUERIES",
+    "ANNRECALL_ORACLES",
 ]

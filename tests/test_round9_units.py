@@ -372,3 +372,18 @@ def test_length_drift_ks_hand_computed(spark, tmp_path):
         "sA": (2, abs(1.0 - 2.0 / 3.0)),
         "sB": (1, 2.0 / 3.0),
     }, got
+
+
+def test_ann_recall_matrix_contract(spark, sf_dir):
+    """Structural contract on real data: one row per method, the
+    ground-truth denominator is ANN_K pairs per query, hits bounded by
+    the denominator, recall the exact quotient."""
+    from etl_pipeline_example_spark.operators.annrecall import ann_recall_matrix
+    from etl_pipeline_example_spark.operators.similarity import ANN_K
+
+    rows = {r["method"]: r for r in ann_recall_matrix(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert r["n_possible"] == r["n_queries"] * ANN_K
+        assert 0 <= r["n_hits"] <= r["n_possible"]
+        assert r["recall"] == r["n_hits"] / r["n_possible"]
