@@ -181,8 +181,10 @@ from etl_pipeline_example_spark.operators import (
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
     FRAMES_ORACLES,
+    COHORT_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
+    COHORT_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -393,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RANKFAMILY_QUERIES)
     out.update(LATEST_QUERIES)
     out.update(FRAMES_QUERIES)
+    out.update(COHORT_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -481,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RANKFAMILY_ORACLES)
     out.update(LATEST_ORACLES)
     out.update(FRAMES_ORACLES)
+    out.update(COHORT_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

@@ -48,6 +48,10 @@ from etl_pipeline_example_spark.plans.frames import (
     FRAMES_QUERIES,
     FRAMES_ORACLES,
 )
+from etl_pipeline_example_spark.plans.cohort import (
+    COHORT_QUERIES,
+    COHORT_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -82,6 +86,8 @@ __all__ = [
     "LATEST_ORACLES",
     "FRAMES_QUERIES",
     "FRAMES_ORACLES",
+    "COHORT_QUERIES",
+    "COHORT_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

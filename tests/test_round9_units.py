@@ -387,3 +387,34 @@ def test_ann_recall_matrix_contract(spark, sf_dir):
         assert r["n_possible"] == r["n_queries"] * ANN_K
         assert 0 <= r["n_hits"] <= r["n_possible"]
         assert r["recall"] == r["n_hits"] / r["n_possible"]
+
+
+def test_q_cohort_ltv_hand_computed(spark, tmp_path):
+    """Customer 1 cohorts at 1995-01 (month 36) with orders at offsets
+    0 and 2; customer 2 cohorts at 1995-03 sharing the (36,2) calendar
+    month but landing in its own (38, 0) cell."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.cohort import q_cohort_ltv
+
+    rows = [
+        (1, 1, "O", 10.0, dt.datetime(1995, 1, 5), "x"),
+        (2, 1, "O", 30.0, dt.datetime(1995, 3, 20), "x"),
+        (3, 2, "O", 7.0, dt.datetime(1995, 3, 1), "x"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        (r["cohort_month"], r["month_offset"]): (
+            r["n_customers"], r["n_orders"], r["revenue"])
+        for r in q_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (36, 0): (1, 1, 10.0),
+        (36, 2): (1, 1, 30.0),
+        (38, 0): (1, 1, 7.0),
+    }, got
