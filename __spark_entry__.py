@@ -182,9 +182,11 @@ from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
     FRAMES_ORACLES,
     COHORT_ORACLES,
+    QUANTILES_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
+    QUANTILES_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -396,6 +398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(LATEST_QUERIES)
     out.update(FRAMES_QUERIES)
     out.update(COHORT_QUERIES)
+    out.update(QUANTILES_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -485,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(LATEST_ORACLES)
     out.update(FRAMES_ORACLES)
     out.update(COHORT_ORACLES)
+    out.update(QUANTILES_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

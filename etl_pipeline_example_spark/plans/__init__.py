@@ -52,6 +52,10 @@ from etl_pipeline_example_spark.plans.cohort import (
     COHORT_QUERIES,
     COHORT_ORACLES,
 )
+from etl_pipeline_example_spark.plans.quantiles import (
+    QUANTILES_QUERIES,
+    QUANTILES_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -88,6 +92,8 @@ __all__ = [
     "FRAMES_ORACLES",
     "COHORT_QUERIES",
     "COHORT_ORACLES",
+    "QUANTILES_QUERIES",
+    "QUANTILES_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -418,3 +418,31 @@ def test_q_cohort_ltv_hand_computed(spark, tmp_path):
         (36, 2): (1, 1, 30.0),
         (38, 0): (1, 1, 7.0),
     }, got
+
+
+def test_q_quantile_counting_hand_computed(spark, tmp_path):
+    """Flag A: values 1..10 (p50=5, p90=9, p99=10 by lower inverse
+    ECDF); flag R: [2,2,2,8] (p50=2: cum(2)=3, 3*100 >= 50*4; p90=8;
+    p99=8)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.quantiles import q_quantile_counting
+
+    d = dt.datetime(1995, 1, 1)
+    rows = [(i, float(v), 100.0, 0.0, "A", d) for i, v in enumerate(range(1, 11))]
+    rows += [(100 + i, float(v), 100.0, 0.0, "R", d)
+             for i, v in enumerate([2, 2, 2, 8])]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_returnflag string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r["l_returnflag"]: (r["n_rows"], r["p50"], r["p90"], r["p99"])
+        for r in q_quantile_counting(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "A": (10, 5, 9, 10),
+        "R": (4, 2, 8, 8),
+    }, got
