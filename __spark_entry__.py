@@ -183,10 +183,12 @@ from etl_pipeline_example_spark.plans import (
     FRAMES_ORACLES,
     COHORT_ORACLES,
     QUANTILES_ORACLES,
+    SQLFACADE_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
     QUANTILES_QUERIES,
+    SQLFACADE_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -399,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(FRAMES_QUERIES)
     out.update(COHORT_QUERIES)
     out.update(QUANTILES_QUERIES)
+    out.update(SQLFACADE_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -489,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(FRAMES_ORACLES)
     out.update(COHORT_ORACLES)
     out.update(QUANTILES_ORACLES)
+    out.update(SQLFACADE_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

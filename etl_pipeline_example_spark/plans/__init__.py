@@ -56,6 +56,10 @@ from etl_pipeline_example_spark.plans.quantiles import (
     QUANTILES_QUERIES,
     QUANTILES_ORACLES,
 )
+from etl_pipeline_example_spark.plans.sqlfacade import (
+    SQLFACADE_QUERIES,
+    SQLFACADE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -94,6 +98,8 @@ __all__ = [
     "COHORT_ORACLES",
     "QUANTILES_QUERIES",
     "QUANTILES_ORACLES",
+    "SQLFACADE_QUERIES",
+    "SQLFACADE_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -446,3 +446,24 @@ def test_q_quantile_counting_hand_computed(spark, tmp_path):
         "A": (10, 5, 9, 10),
         "R": (4, 2, 8, 8),
     }, got
+
+
+def test_run_sql_executes_adhoc_ansi_text(spark, sf_dir, duck):
+    """The facade runs caller-supplied SQL over the registered views,
+    and the shared-dialect demo constant returns identical results
+    when DuckDB executes the very same text."""
+    from etl_pipeline_example_spark.plans.sqlfacade import (
+        SHARED_NATION_REVENUE_SQL,
+        run_sql,
+    )
+
+    adhoc = run_sql(
+        spark, sf_dir, "SELECT count(*) AS n, min(o_orderkey) AS k FROM orders"
+    ).collect()
+    assert adhoc[0]["n"] > 0 and adhoc[0]["k"] is not None
+
+    srows = sorted(
+        tuple(r) for r in run_sql(spark, sf_dir, SHARED_NATION_REVENUE_SQL).collect()
+    )
+    drows = sorted(tuple(r) for r in duck.sql(SHARED_NATION_REVENUE_SQL).fetchall())
+    assert srows == drows
