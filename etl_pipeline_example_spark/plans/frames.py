@@ -125,12 +125,60 @@ GROUP BY measure, l_returnflag
 """
 
 
+def q_value_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, o_custkey, price, first_price, second_price,
+    last_price): the value-picking window family — FIRST_VALUE /
+    NTH_VALUE(2) / LAST_VALUE over each customer's full order history
+    (explicit UNBOUNDED..UNBOUNDED frame: the default frame stops at
+    CURRENT ROW, which silently turns LAST_VALUE into "this row" — the
+    classic window-frame bug this entry pins against).
+
+    Pure value SELECTION (no arithmetic), so doubles pass through
+    bit-exact; (day, orderkey) is a total order, making every pick
+    deterministic. Partitions by customer — never a global window.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.expr(f"datediff(cast(o_orderdate as date), DATE '{_EPOCH}')"),
+            F.col("o_orderkey"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").alias("price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+    )
+
+
+Q_VALUE_WINDOW_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice AS price,
+       first_value(o_totalprice) OVER w AS first_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       last_value(o_totalprice) OVER w AS last_price
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_custkey
+  ORDER BY date_diff('day', DATE '{_EPOCH}', cast(o_orderdate AS date)),
+           o_orderkey
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
 FRAMES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_frame": q_range_frame,
     "q_unpivot_measures": q_unpivot_measures,
+    "q_value_window": q_value_window,
 }
 
 FRAMES_ORACLES: dict[str, str] = {
     "q_range_frame": Q_RANGE_FRAME_SQL,
     "q_unpivot_measures": Q_UNPIVOT_SQL,
+    "q_value_window": Q_VALUE_WINDOW_SQL,
 }

@@ -467,3 +467,33 @@ def test_run_sql_executes_adhoc_ansi_text(spark, sf_dir, duck):
     )
     drows = sorted(tuple(r) for r in duck.sql(SHARED_NATION_REVENUE_SQL).fetchall())
     assert srows == drows
+
+
+def test_q_value_window_full_frame_semantics(spark, tmp_path):
+    """The UNBOUNDED..UNBOUNDED frame: every row of a customer sees the
+    same (first, second, last); a single-order customer's second_price
+    is NULL."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.frames import q_value_window
+
+    base = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, 7, "O", 10.0, base, "x"),
+         (2, 7, "O", 20.0, base + dt.timedelta(days=5), "x"),
+         (3, 7, "O", 30.0, base + dt.timedelta(days=9), "x"),
+         (4, 8, "O", 99.0, base, "x")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["o_orderkey"]: (r["first_price"], r["second_price"], r["last_price"])
+        for r in q_value_window(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (10.0, 20.0, 30.0),
+        2: (10.0, 20.0, 30.0),   # NOT "current row" — the frame bug pin
+        3: (10.0, 20.0, 30.0),
+        4: (99.0, None, 99.0),
+    }, got
