@@ -109,3 +109,43 @@ def test_stream_dq_quarantine_flags_every_violated_rule(spark, tmp_path):
         (1, "documents_lang_not_allowed"),
         (3, "documents_nchars_drift"),
     ], got
+
+
+def test_stream_upsert_merges_and_replays_idempotently(spark, tmp_path):
+    """Seed (1,v1,'old') (2,v1,'keep'); stream an update for key 1
+    (v2) plus a new key 3. After the drain: latest-wins, no dupes.
+    Replaying the same stream input converges to the same table —
+    the foreachBatch idempotence contract."""
+    from etl_pipeline_example_spark.streaming.upsertsink import stream_upsert
+
+    target = f"{tmp_path}/table"
+    spark.createDataFrame(
+        [(1, 1, "old"), (2, 1, "keep")], "k bigint, ver bigint, val string"
+    ).write.parquet(target)
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame(
+        [(1, 2, "new"), (3, 1, "fresh")], "k bigint, ver bigint, val string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/stage")
+    import glob as _glob
+    import shutil as _shutil
+
+    part = _glob.glob(f"{tmp_path}/stage/part-*.parquet")[0]
+    _shutil.copy(part, src_dir / "batch1.parquet")
+
+    def drain():
+        src = spark.readStream.schema("k bigint, ver bigint, val string").parquet(
+            str(src_dir)
+        )
+        stream_upsert(spark, src, target, key="k", version_col="ver")
+
+    drain()
+    got = {r["k"]: (r["ver"], r["val"])
+           for r in spark.read.parquet(target).collect()}
+    assert got == {1: (2, "new"), 2: (1, "keep"), 3: (1, "fresh")}, got
+
+    drain()  # replay: fresh checkpoint, same input — must converge
+    again = {r["k"]: (r["ver"], r["val"])
+             for r in spark.read.parquet(target).collect()}
+    assert again == got, again
