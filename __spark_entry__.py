@@ -184,11 +184,13 @@ from etl_pipeline_example_spark.plans import (
     COHORT_ORACLES,
     QUANTILES_ORACLES,
     SQLFACADE_ORACLES,
+    INTERVALS_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
     QUANTILES_QUERIES,
     SQLFACADE_QUERIES,
+    INTERVALS_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -402,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(COHORT_QUERIES)
     out.update(QUANTILES_QUERIES)
     out.update(SQLFACADE_QUERIES)
+    out.update(INTERVALS_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -493,6 +496,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(COHORT_ORACLES)
     out.update(QUANTILES_ORACLES)
     out.update(SQLFACADE_ORACLES)
+    out.update(INTERVALS_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

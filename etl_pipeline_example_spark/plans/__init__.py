@@ -60,6 +60,10 @@ from etl_pipeline_example_spark.plans.sqlfacade import (
     SQLFACADE_QUERIES,
     SQLFACADE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.intervals import (
+    INTERVALS_QUERIES,
+    INTERVALS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -100,6 +104,8 @@ __all__ = [
     "QUANTILES_ORACLES",
     "SQLFACADE_QUERIES",
     "SQLFACADE_ORACLES",
+    "INTERVALS_QUERIES",
+    "INTERVALS_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -497,3 +497,32 @@ def test_q_value_window_full_frame_semantics(spark, tmp_path):
         3: (10.0, 20.0, 30.0),
         4: (99.0, None, 99.0),
     }, got
+
+
+def test_q_interval_merge_swallowed_interval(spark, tmp_path):
+    """The case 'previous row's end' gets wrong: order 2 is swallowed
+    by order 1's window, order 3 starts inside order 1's span (though
+    after order 2's end would have closed), so all three fuse; order 4
+    starts past the running max and opens episode 2."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.intervals import q_interval_merge
+
+    base = dt.datetime(1995, 1, 1)  # day 1096; +30 => e = 1126
+    spark.createDataFrame(
+        [(1, 7, "O", 1.0, base, "x"),                           # [1096,1126]
+         (2, 7, "O", 1.0, base + dt.timedelta(days=2), "x"),    # [1098,1128]
+         (3, 7, "O", 1.0, base + dt.timedelta(days=31), "x"),   # [1127,1157] <= 1128
+         (4, 7, "O", 1.0, base + dt.timedelta(days=70), "x")],  # 1166 > 1157
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["episode"]: (r["ep_start"], r["ep_end"], r["n_orders"])
+        for r in q_interval_merge(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (1096, 1157, 3),
+        1: (1166, 1196, 1),
+    }, got
