@@ -114,6 +114,8 @@ from etl_pipeline_example_spark.operators import (
     LENGTHKS_QUERIES,
     ANNRECALL_ORACLES,
     ANNRECALL_QUERIES,
+    QUALITYENSEMBLE_ORACLES,
+    QUALITYENSEMBLE_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -379,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SKEWPROFILE_QUERIES)
     out.update(LENGTHKS_QUERIES)
     out.update(ANNRECALL_QUERIES)
+    out.update(QUALITYENSEMBLE_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -471,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SKEWPROFILE_ORACLES)
     out.update(LENGTHKS_ORACLES)
     out.update(ANNRECALL_ORACLES)
+    out.update(QUALITYENSEMBLE_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -124,6 +124,10 @@ from etl_pipeline_example_spark.operators.annrecall import (
     ANNRECALL_QUERIES,
     ANNRECALL_ORACLES,
 )
+from etl_pipeline_example_spark.operators.qualityensemble import (
+    QUALITYENSEMBLE_QUERIES,
+    QUALITYENSEMBLE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -318,4 +322,6 @@ __all__ = [
     "LENGTHKS_ORACLES",
     "ANNRECALL_QUERIES",
     "ANNRECALL_ORACLES",
+    "QUALITYENSEMBLE_QUERIES",
+    "QUALITYENSEMBLE_ORACLES",
 ]

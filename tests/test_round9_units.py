@@ -526,3 +526,28 @@ def test_q_interval_merge_swallowed_interval(spark, tmp_path):
         0: (1096, 1157, 3),
         1: (1166, 1196, 1),
     }, got
+
+
+def test_quality_agreement_cube_is_consistent(spark, sf_dir):
+    """Cube invariants on real data: cells partition the corpus (sum
+    of n_docs = total docs), n_gates equals the flag sum per cell, and
+    marginals match each gate's own keep count."""
+    from etl_pipeline_example_spark.operators.c4 import C4_QUERIES
+    from etl_pipeline_example_spark.operators.qualityensemble import (
+        quality_agreement,
+    )
+
+    cells = quality_agreement(spark, sf_dir).collect()
+    total = sum(r["n_docs"] for r in cells)
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    assert total == read_table(spark, sf_dir, "documents").count()
+    for r in cells:
+        assert r["n_gates"] == int(r["c4_keep"]) + int(r["charlm_keep"]) + int(
+            r["linear_keep"]
+        )
+    c4_keep_marginal = sum(r["n_docs"] for r in cells if r["c4_keep"])
+    c4_direct = (
+        C4_QUERIES["quality_c4"](spark, sf_dir).filter("keep").count()
+    )
+    assert c4_keep_marginal == c4_direct
