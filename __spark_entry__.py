@@ -187,12 +187,14 @@ from etl_pipeline_example_spark.plans import (
     QUANTILES_ORACLES,
     SQLFACADE_ORACLES,
     INTERVALS_ORACLES,
+    GROWTH_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
     QUANTILES_QUERIES,
     SQLFACADE_QUERIES,
     INTERVALS_QUERIES,
+    GROWTH_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -408,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUANTILES_QUERIES)
     out.update(SQLFACADE_QUERIES)
     out.update(INTERVALS_QUERIES)
+    out.update(GROWTH_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -501,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(QUANTILES_ORACLES)
     out.update(SQLFACADE_ORACLES)
     out.update(INTERVALS_ORACLES)
+    out.update(GROWTH_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

@@ -64,6 +64,10 @@ from etl_pipeline_example_spark.plans.intervals import (
     INTERVALS_QUERIES,
     INTERVALS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.growth import (
+    GROWTH_QUERIES,
+    GROWTH_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -106,6 +110,8 @@ __all__ = [
     "SQLFACADE_ORACLES",
     "INTERVALS_QUERIES",
     "INTERVALS_ORACLES",
+    "GROWTH_QUERIES",
+    "GROWTH_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

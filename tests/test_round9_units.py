@@ -551,3 +551,36 @@ def test_quality_agreement_cube_is_consistent(spark, sf_dir):
         C4_QUERIES["quality_c4"](spark, sf_dir).filter("keep").count()
     )
     assert c4_keep_marginal == c4_direct
+
+
+def test_q_growth_accounting_hand_computed(spark, tmp_path):
+    """User A active weeks 0,1 (new, retained; churns into 2); user B
+    active weeks 0,2 (new; silent week 1 = churn into 1; resurrected
+    week 2); user C active week 2 only (new). Week boundaries:
+    1992-01-01 + 7d steps."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.growth import q_growth_accounting
+
+    w0 = dt.datetime(1992, 1, 2)
+    rows = []
+    for i, (uid, week) in enumerate(
+        [(1, 0), (1, 1), (2, 0), (2, 2), (3, 2)]
+    ):
+        rows.append((i, w0 + dt.timedelta(weeks=week), uid, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["week"]: (r["n_new"], r["n_retained"], r["n_resurrected"],
+                    r["n_churned"])
+        for r in q_growth_accounting(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 0, 0, 0),
+        1: (0, 1, 0, 1),   # A retained; B churned into week 1
+        2: (1, 0, 1, 1),   # C new, B resurrected; A churned into week 2
+    }, got
