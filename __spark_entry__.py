@@ -188,6 +188,7 @@ from etl_pipeline_example_spark.plans import (
     SQLFACADE_ORACLES,
     INTERVALS_ORACLES,
     GROWTH_ORACLES,
+    BENFORD_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -195,6 +196,7 @@ from etl_pipeline_example_spark.plans import (
     SQLFACADE_QUERIES,
     INTERVALS_QUERIES,
     GROWTH_QUERIES,
+    BENFORD_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -411,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SQLFACADE_QUERIES)
     out.update(INTERVALS_QUERIES)
     out.update(GROWTH_QUERIES)
+    out.update(BENFORD_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -505,6 +508,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SQLFACADE_ORACLES)
     out.update(INTERVALS_ORACLES)
     out.update(GROWTH_ORACLES)
+    out.update(BENFORD_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

@@ -68,6 +68,10 @@ from etl_pipeline_example_spark.plans.growth import (
     GROWTH_QUERIES,
     GROWTH_ORACLES,
 )
+from etl_pipeline_example_spark.plans.benford import (
+    BENFORD_QUERIES,
+    BENFORD_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -112,6 +116,8 @@ __all__ = [
     "INTERVALS_ORACLES",
     "GROWTH_QUERIES",
     "GROWTH_ORACLES",
+    "BENFORD_QUERIES",
+    "BENFORD_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -584,3 +584,34 @@ def test_q_growth_accounting_hand_computed(spark, tmp_path):
         1: (0, 1, 0, 1),   # A retained; B churned into week 1
         2: (1, 0, 1, 1),   # C new, B resurrected; A churned into week 2
     }, got
+
+
+def test_dq_benford_hand_computed(spark, tmp_path):
+    """Totals 123, 150, 199 (digit 1), 250 (digit 2), 987 (digit 9):
+    n=5; expected_n = 5 * log10(1 + 1/d), chi2 term checked for the
+    planted digits and the zero-observation digit 3."""
+    import datetime as dt
+    import math
+
+    from etl_pipeline_example_spark.plans.benford import dq_benford
+
+    rows = [
+        (i, 1, "O", tp, dt.datetime(1995, 1, 1), "1-URGENT")
+        for i, tp in enumerate([123.0, 150.5, 199.9, 250.0, 987.6])
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["digit"]: (r["n_obs"], r["expected_n"], r["chi2_term"])
+        for r in dq_benford(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(1, 10))
+    for digit, n_obs in [(1, 3), (2, 1), (9, 1), (3, 0)]:
+        exp = 5.0 * float(repr(math.log10(1.0 + 1.0 / digit)))
+        assert got[digit][0] == n_obs
+        assert got[digit][1] == exp
+        assert got[digit][2] == (n_obs - exp) * (n_obs - exp) / exp
