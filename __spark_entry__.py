@@ -115,7 +115,9 @@ from etl_pipeline_example_spark.operators import (
     ANNRECALL_ORACLES,
     ANNRECALL_QUERIES,
     QUALITYENSEMBLE_ORACLES,
+    PREFIXDUP_ORACLES,
     QUALITYENSEMBLE_QUERIES,
+    PREFIXDUP_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -386,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(LENGTHKS_QUERIES)
     out.update(ANNRECALL_QUERIES)
     out.update(QUALITYENSEMBLE_QUERIES)
+    out.update(PREFIXDUP_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -481,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(LENGTHKS_ORACLES)
     out.update(ANNRECALL_ORACLES)
     out.update(QUALITYENSEMBLE_ORACLES)
+    out.update(PREFIXDUP_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

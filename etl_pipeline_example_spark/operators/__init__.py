@@ -128,6 +128,10 @@ from etl_pipeline_example_spark.operators.qualityensemble import (
     QUALITYENSEMBLE_QUERIES,
     QUALITYENSEMBLE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.prefixdup import (
+    PREFIXDUP_QUERIES,
+    PREFIXDUP_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -324,4 +328,6 @@ __all__ = [
     "ANNRECALL_ORACLES",
     "QUALITYENSEMBLE_QUERIES",
     "QUALITYENSEMBLE_ORACLES",
+    "PREFIXDUP_QUERIES",
+    "PREFIXDUP_ORACLES",
 ]

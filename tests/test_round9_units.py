@@ -615,3 +615,37 @@ def test_dq_benford_hand_computed(spark, tmp_path):
         assert got[digit][0] == n_obs
         assert got[digit][1] == exp
         assert got[digit][2] == (n_obs - exp) * (n_obs - exp) / exp
+
+
+def test_dedup_prefix_hand_computed(spark, tmp_path):
+    """Docs 1 and 3 share a 64+-char opening with different tails (one
+    cluster, keep=1); doc 2's opening diverges inside the prefix
+    window; docs 4 and 5 are identical short texts (prefix == whole
+    text, second cluster, keep=4)."""
+    from etl_pipeline_example_spark.operators.prefixdup import dedup_prefix
+
+    opener = (
+        "the quick brown fox jumps over the lazy dog again and again and"
+        " then some more padding words"
+    )
+    assert len(opener) >= 64
+    rows = [
+        (1, opener + " tail one", "en", "web", 1),
+        (2, "completely different opening text that shares nothing here",
+         "en", "web", 1),
+        (3, opener + " a wholly different continuation", "en", "web", 1),
+        (4, "short doc", "en", "web", 1),
+        (5, "short doc", "en", "web", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = {
+        r["keep_doc_id"]: r["n_docs"]
+        for r in dedup_prefix(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 2, 4: 2}, got
