@@ -191,6 +191,7 @@ from etl_pipeline_example_spark.plans import (
     INTERVALS_ORACLES,
     GROWTH_ORACLES,
     BENFORD_ORACLES,
+    SALTEDAGG_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -199,6 +200,7 @@ from etl_pipeline_example_spark.plans import (
     INTERVALS_QUERIES,
     GROWTH_QUERIES,
     BENFORD_QUERIES,
+    SALTEDAGG_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -417,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(INTERVALS_QUERIES)
     out.update(GROWTH_QUERIES)
     out.update(BENFORD_QUERIES)
+    out.update(SALTEDAGG_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -513,6 +516,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(INTERVALS_ORACLES)
     out.update(GROWTH_ORACLES)
     out.update(BENFORD_ORACLES)
+    out.update(SALTEDAGG_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

@@ -72,6 +72,10 @@ from etl_pipeline_example_spark.plans.benford import (
     BENFORD_QUERIES,
     BENFORD_ORACLES,
 )
+from etl_pipeline_example_spark.plans.saltedagg import (
+    SALTEDAGG_QUERIES,
+    SALTEDAGG_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -118,6 +122,8 @@ __all__ = [
     "GROWTH_ORACLES",
     "BENFORD_QUERIES",
     "BENFORD_ORACLES",
+    "SALTEDAGG_QUERIES",
+    "SALTEDAGG_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

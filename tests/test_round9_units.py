@@ -649,3 +649,37 @@ def test_dedup_prefix_hand_computed(spark, tmp_path):
         for r in dedup_prefix(spark, str(tmp_path)).collect()
     }
     assert got == {1: 2, 4: 2}, got
+
+
+def test_agg_salted_hand_computed(spark, tmp_path):
+    """Hot key 'click' (4 events, 2 users), cold key 'view' (1 event):
+    the salted two-phase decomposition must reproduce the plain
+    groupBy numbers exactly, and the phase-1 grouping must carry the
+    salt (visible in the optimized plan)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.saltedagg import agg_salted
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 10, "click", 5.0, "{}"),
+        (1, t0, 10, "click", 1.0, "{}"),
+        (2, t0, 20, "click", 9.0, "{}"),
+        (3, t0, 20, "click", 2.0, "{}"),
+        (4, t0, 10, "view", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    df = agg_salted(spark, str(tmp_path))
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_users"], r["min_value"], r["max_value"]
+        )
+        for r in df.collect()
+    }
+    assert got == {"click": (4, 2, 1.0, 9.0), "view": (1, 1, 7.0, 7.0)}, got
+    assert "pmod" in df._jdf.queryExecution().optimizedPlan().toString()
