@@ -116,8 +116,10 @@ from etl_pipeline_example_spark.operators import (
     ANNRECALL_QUERIES,
     QUALITYENSEMBLE_ORACLES,
     PREFIXDUP_ORACLES,
+    LEXICON_ORACLES,
     QUALITYENSEMBLE_QUERIES,
     PREFIXDUP_QUERIES,
+    LEXICON_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -391,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ANNRECALL_QUERIES)
     out.update(QUALITYENSEMBLE_QUERIES)
     out.update(PREFIXDUP_QUERIES)
+    out.update(LEXICON_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -488,6 +491,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ANNRECALL_ORACLES)
     out.update(QUALITYENSEMBLE_ORACLES)
     out.update(PREFIXDUP_ORACLES)
+    out.update(LEXICON_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

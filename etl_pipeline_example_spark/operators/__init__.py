@@ -132,6 +132,10 @@ from etl_pipeline_example_spark.operators.prefixdup import (
     PREFIXDUP_QUERIES,
     PREFIXDUP_ORACLES,
 )
+from etl_pipeline_example_spark.operators.lexicon import (
+    LEXICON_QUERIES,
+    LEXICON_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -330,4 +334,6 @@ __all__ = [
     "QUALITYENSEMBLE_ORACLES",
     "PREFIXDUP_QUERIES",
     "PREFIXDUP_ORACLES",
+    "LEXICON_QUERIES",
+    "LEXICON_ORACLES",
 ]

@@ -683,3 +683,22 @@ def test_agg_salted_hand_computed(spark, tmp_path):
     }
     assert got == {"click": (4, 2, 1.0, 9.0), "view": (1, 1, 7.0, 7.0)}, got
     assert "pmod" in df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_lexicon_stats_hand_computed(spark, tmp_path):
+    """Source s: docs 'a a b' + 'a c' -> counts a:3 b:1 c:1; n_tokens=5,
+    n_types=3, hapax=2, sum_sq=11: hapax_share=2/3, gini=1-11/25,
+    top_share=3/5."""
+    from etl_pipeline_example_spark.operators.lexicon import lexicon_stats
+
+    sf = _write_docs(
+        spark, tmp_path,
+        [(1, "a a b", "en", "s"), (2, "a c", "en", "s")],
+    )
+    [r] = lexicon_stats(spark, sf).collect()
+    assert (r["source"], r["n_tokens"], r["n_types"], r["n_hapax"]) == (
+        "s", 5, 3, 2
+    ), r
+    assert r["hapax_share"] == 2.0 / 3.0
+    assert r["gini_impurity"] == 1.0 - 11.0 / 25.0
+    assert r["top_share"] == 3.0 / 5.0
