@@ -194,6 +194,7 @@ from etl_pipeline_example_spark.plans import (
     GROWTH_ORACLES,
     BENFORD_ORACLES,
     SALTEDAGG_ORACLES,
+    ABTEST_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -203,6 +204,7 @@ from etl_pipeline_example_spark.plans import (
     GROWTH_QUERIES,
     BENFORD_QUERIES,
     SALTEDAGG_QUERIES,
+    ABTEST_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -423,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(GROWTH_QUERIES)
     out.update(BENFORD_QUERIES)
     out.update(SALTEDAGG_QUERIES)
+    out.update(ABTEST_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -521,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(GROWTH_ORACLES)
     out.update(BENFORD_ORACLES)
     out.update(SALTEDAGG_ORACLES)
+    out.update(ABTEST_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

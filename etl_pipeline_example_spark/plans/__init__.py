@@ -76,6 +76,10 @@ from etl_pipeline_example_spark.plans.saltedagg import (
     SALTEDAGG_QUERIES,
     SALTEDAGG_ORACLES,
 )
+from etl_pipeline_example_spark.plans.abtest import (
+    ABTEST_QUERIES,
+    ABTEST_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -124,6 +128,8 @@ __all__ = [
     "BENFORD_ORACLES",
     "SALTEDAGG_QUERIES",
     "SALTEDAGG_ORACLES",
+    "ABTEST_QUERIES",
+    "ABTEST_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

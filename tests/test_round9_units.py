@@ -702,3 +702,53 @@ def test_lexicon_stats_hand_computed(spark, tmp_path):
     assert r["hapax_share"] == 2.0 / 3.0
     assert r["gini_impurity"] == 1.0 - 11.0 / 25.0
     assert r["top_share"] == 3.0 / 5.0
+
+
+def test_q_ab_chi2_hand_computed(spark, tmp_path):
+    """Six users: 1-3 heavy purchasers (14 purchases), 4-6 light (1).
+    Variants mirror the md5-hexint assignment computed independently
+    with hashlib; expected counts and chi-square terms recomputed with
+    the same float operations."""
+    import datetime as dt
+    import hashlib
+
+    from etl_pipeline_example_spark.plans.abtest import (
+        CONV_MIN_PURCHASES,
+        q_ab_chi2,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for uid in [1, 2, 3]:
+        for _ in range(CONV_MIN_PURCHASES):
+            rows.append((eid, t0, uid, "purchase", 1.0, "{}")); eid += 1
+    for uid in [4, 5, 6]:
+        rows.append((eid, t0, uid, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    def variant(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15], 16) % 2
+
+    cells = {}
+    for uid in range(1, 7):
+        key = (variant(uid), 1 if uid <= 3 else 0)
+        cells[key] = cells.get(key, 0) + 1
+    rt = {v: sum(n for (vv, _), n in cells.items() if vv == v) for v in (0, 1)}
+    ct = {c: sum(n for (_, cc), n in cells.items() if cc == c) for c in (0, 1)}
+
+    got = {
+        (r["variant"], r["converted"]): (
+            r["n_users"], r["expected_n"], r["chi2_term"]
+        )
+        for r in q_ab_chi2(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(cells)
+    for (v, c), n in cells.items():
+        exp = float(rt[v]) * float(ct[c]) / 6.0
+        assert got[(v, c)][0] == n
+        assert got[(v, c)][1] == exp
+        assert got[(v, c)][2] == (n - exp) * (n - exp) / exp
