@@ -195,6 +195,7 @@ from etl_pipeline_example_spark.plans import (
     BENFORD_ORACLES,
     SALTEDAGG_ORACLES,
     ABTEST_ORACLES,
+    ROLLING_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -205,6 +206,7 @@ from etl_pipeline_example_spark.plans import (
     BENFORD_QUERIES,
     SALTEDAGG_QUERIES,
     ABTEST_QUERIES,
+    ROLLING_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -426,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BENFORD_QUERIES)
     out.update(SALTEDAGG_QUERIES)
     out.update(ABTEST_QUERIES)
+    out.update(ROLLING_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -525,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BENFORD_ORACLES)
     out.update(SALTEDAGG_ORACLES)
     out.update(ABTEST_ORACLES)
+    out.update(ROLLING_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

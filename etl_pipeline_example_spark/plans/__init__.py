@@ -80,6 +80,10 @@ from etl_pipeline_example_spark.plans.abtest import (
     ABTEST_QUERIES,
     ABTEST_ORACLES,
 )
+from etl_pipeline_example_spark.plans.rolling import (
+    ROLLING_QUERIES,
+    ROLLING_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -130,6 +134,8 @@ __all__ = [
     "SALTEDAGG_ORACLES",
     "ABTEST_QUERIES",
     "ABTEST_ORACLES",
+    "ROLLING_QUERIES",
+    "ROLLING_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -752,3 +752,35 @@ def test_q_ab_chi2_hand_computed(spark, tmp_path):
         assert got[(v, c)][0] == n
         assert got[(v, c)][1] == exp
         assert got[(v, c)][2] == (n - exp) * (n - exp) / exp
+
+
+def test_q_rolling_actives_hand_computed(spark, tmp_path):
+    """User 1 active on days 1 and 5, user 2 on day 5: day 5's trailing
+    window [day -6, day] covers both of user 1's visits once; output
+    days are only the observed ones (no phantom trailing days)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.rolling import q_rolling_actives
+
+    def d(n):
+        return dt.datetime(2024, 1, n, 12, 0)
+
+    rows = [
+        (0, d(1), 1, "view", 1.0, "{}"),
+        (1, d(5), 1, "view", 1.0, "{}"),
+        (2, d(5), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        str(r["day"]): (r["dau"], r["wau7"], r["stickiness"])
+        for r in q_rolling_actives(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 1, 1.0),
+        "2024-01-05": (2, 2, 1.0),
+    }, got
