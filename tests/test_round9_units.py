@@ -784,3 +784,57 @@ def test_q_rolling_actives_hand_computed(spark, tmp_path):
         "2024-01-01": (1, 1, 1.0),
         "2024-01-05": (2, 2, 1.0),
     }, got
+
+
+def test_read_jsonl_quarantine_splits_rows(spark, tmp_path):
+    """Four landed lines: one clean, one raw garbage (unparseable),
+    one with a wrong-typed required int (type casualty), one with a
+    legitimately absent optional field (stays good)."""
+    import gzip
+    import json
+
+    from etl_pipeline_example_spark.metadata import TableSpec
+    from etl_pipeline_example_spark.sources.quarantine import (
+        QUAR_REASON_BAD_JSON,
+        QUAR_REASON_NULL_REQUIRED,
+        quarantine_landed,
+        read_jsonl_quarantine,
+    )
+
+    spec = TableSpec.from_dict(
+        {
+            "name": "recs",
+            "data_format": "json",
+            "columns": [
+                {"name": "id", "type": "int"},
+                {"name": "label", "type": "character"},
+            ],
+        }
+    )
+    land = tmp_path / "land"
+    land.mkdir()
+    lines = [
+        json.dumps({"id": 1, "label": "ok"}),
+        "this is not json at all {{{",
+        json.dumps({"id": "NaNa", "label": "bad_type"}),
+        json.dumps({"id": 4}),  # label absent: legitimate null
+    ]
+    with gzip.open(land / "part-0.jsonl.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    good, bad = read_jsonl_quarantine(spark, str(land), spec, required=["id"])
+    good_rows = {r["id"]: r["label"] for r in good.collect()}
+    assert good_rows == {1: "ok", 4: None}, good_rows
+    bad_rows = sorted((r["reason"], r["raw_line"]) for r in bad.collect())
+    assert [r[0] for r in bad_rows] == sorted(
+        [QUAR_REASON_BAD_JSON, QUAR_REASON_NULL_REQUIRED]
+    ), bad_rows
+    assert any("NaNa" in r[1] for r in bad_rows)
+
+    counts = quarantine_landed(
+        spark, str(land), spec, str(tmp_path / "good"),
+        str(tmp_path / "quar"), required=["id"],
+    )
+    assert counts == {"good": 2, "quarantined": 2}, counts
+    requar = spark.read.json(str(tmp_path / "quar"))
+    assert sorted(requar.columns) == ["raw_line", "reason"]
