@@ -196,6 +196,7 @@ from etl_pipeline_example_spark.plans import (
     SALTEDAGG_ORACLES,
     ABTEST_ORACLES,
     ROLLING_ORACLES,
+    SCD2ASOF_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -207,6 +208,7 @@ from etl_pipeline_example_spark.plans import (
     SALTEDAGG_QUERIES,
     ABTEST_QUERIES,
     ROLLING_QUERIES,
+    SCD2ASOF_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -429,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SALTEDAGG_QUERIES)
     out.update(ABTEST_QUERIES)
     out.update(ROLLING_QUERIES)
+    out.update(SCD2ASOF_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -529,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SALTEDAGG_ORACLES)
     out.update(ABTEST_ORACLES)
     out.update(ROLLING_ORACLES)
+    out.update(SCD2ASOF_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

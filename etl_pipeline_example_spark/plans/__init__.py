@@ -84,6 +84,10 @@ from etl_pipeline_example_spark.plans.rolling import (
     ROLLING_QUERIES,
     ROLLING_ORACLES,
 )
+from etl_pipeline_example_spark.plans.scd2asof import (
+    SCD2ASOF_QUERIES,
+    SCD2ASOF_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -136,6 +140,8 @@ __all__ = [
     "ABTEST_ORACLES",
     "ROLLING_QUERIES",
     "ROLLING_ORACLES",
+    "SCD2ASOF_QUERIES",
+    "SCD2ASOF_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

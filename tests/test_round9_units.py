@@ -838,3 +838,56 @@ def test_read_jsonl_quarantine_splits_rows(spark, tmp_path):
     assert counts == {"good": 2, "quarantined": 2}, counts
     requar = spark.read.json(str(tmp_path / "quar"))
     assert sorted(requar.columns) == ["raw_line", "reason"]
+
+
+def test_q_scd2_asof_hand_computed(spark, tmp_path):
+    """One changed customer (hash-gated) with an order on each side of
+    the change date, one unchanged customer: pre-change orders keep the
+    original segment, post-change orders flip to '_v2'."""
+    import datetime as dt
+    import hashlib
+
+    from etl_pipeline_example_spark.plans.scd2asof import (
+        ASOF_MOD,
+        q_scd2_asof,
+    )
+
+    def changed(ck):
+        return int(
+            hashlib.md5(f"upd2:{ck}".encode()).hexdigest()[:15], 16
+        ) % ASOF_MOD == 0
+
+    # find one changed and one unchanged custkey deterministically
+    ck_changed = next(k for k in range(1, 100) if changed(k))
+    ck_stable = next(k for k in range(1, 100) if not changed(k))
+
+    spark.createDataFrame(
+        [
+            (ck_changed, "BUILDING"),
+            (ck_stable, "MACHINERY"),
+        ],
+        "c_custkey bigint, c_mktsegment string",
+    ).withColumn("c_name", F.lit("x")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/customer.parquet")
+
+    orders = [
+        (1, ck_changed, "O", 10.0, dt.datetime(1996, 1, 1), "1-URGENT"),
+        (2, ck_changed, "O", 20.0, dt.datetime(1999, 1, 1), "1-URGENT"),
+        (3, ck_stable, "O", 40.0, dt.datetime(1999, 6, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        r["segment_at_order"]: (r["n_orders"], r["revenue"])
+        for r in q_scd2_asof(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "BUILDING": (1, 10.0),
+        "BUILDING_v2": (1, 20.0),
+        "MACHINERY": (1, 40.0),
+    }, got
