@@ -117,9 +117,11 @@ from etl_pipeline_example_spark.operators import (
     QUALITYENSEMBLE_ORACLES,
     PREFIXDUP_ORACLES,
     LEXICON_ORACLES,
+    BLOOMGATE_ORACLES,
     QUALITYENSEMBLE_QUERIES,
     PREFIXDUP_QUERIES,
     LEXICON_QUERIES,
+    BLOOMGATE_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -400,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(QUALITYENSEMBLE_QUERIES)
     out.update(PREFIXDUP_QUERIES)
     out.update(LEXICON_QUERIES)
+    out.update(BLOOMGATE_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -501,6 +504,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(QUALITYENSEMBLE_ORACLES)
     out.update(PREFIXDUP_ORACLES)
     out.update(LEXICON_ORACLES)
+    out.update(BLOOMGATE_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

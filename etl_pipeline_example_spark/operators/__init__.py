@@ -136,6 +136,10 @@ from etl_pipeline_example_spark.operators.lexicon import (
     LEXICON_QUERIES,
     LEXICON_ORACLES,
 )
+from etl_pipeline_example_spark.operators.bloomgate import (
+    BLOOMGATE_QUERIES,
+    BLOOMGATE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -336,4 +340,6 @@ __all__ = [
     "PREFIXDUP_ORACLES",
     "LEXICON_QUERIES",
     "LEXICON_ORACLES",
+    "BLOOMGATE_QUERIES",
+    "BLOOMGATE_ORACLES",
 ]

@@ -891,3 +891,30 @@ def test_q_scd2_asof_hand_computed(spark, tmp_path):
         "BUILDING_v2": (1, 20.0),
         "MACHINERY": (1, 40.0),
     }, got
+
+
+def test_contamination_bloom_hand_computed(spark, tmp_path):
+    """Eval doc (src0) shares its exact 5-gram with train doc 2; train
+    doc 3 shares nothing (with 3 bits set of 2^16, an accidental
+    all-slices hit has ~1e-13 probability). Bloom must flag the exact
+    match (no false negatives) and nothing else."""
+    from etl_pipeline_example_spark.operators.bloomgate import (
+        contamination_bloom,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, shared + " zeta", "en", "src0"),
+            (2, "prefix " + shared, "en", "srcA"),
+            (3, "one two three four five six", "en", "srcA"),
+            (4, "tiny", "en", "srcB"),  # < 5 tokens: no grams, never flagged
+        ],
+    )
+    got = {
+        r["source"]: (r["n_docs"], r["n_bloom"], r["n_exact"], r["n_false_pos"])
+        for r in contamination_bloom(spark, sf).collect()
+    }
+    assert got == {"srcA": (2, 1, 1, 0), "srcB": (1, 0, 0, 0)}, got
