@@ -867,3 +867,47 @@ def test_length_ks_windows_are_bucket_bounded(spark, sf_dir):
     # FileScan text repeating under each InMemoryTableScan is the
     # cached relation's DEFINITION, executed once)
     assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_bloom_gate_probes_by_broadcast_semi_joins(spark, sf_dir):
+    """The bloom probe must be broadcast LEFT SEMI joins (one per hash
+    slice — never a shuffled join of the gram stream against the bit
+    set), and both persisted gram frames must feed their two consumers
+    from cache (bloom + exact chains, bits + exact probe)."""
+    from etl_pipeline_example_spark.operators.bloomgate import (
+        BLOOM_K,
+        contamination_bloom,
+    )
+
+    plan = plan_str(contamination_bloom(spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K, plan
+    assert plan.count("LeftSemi") >= BLOOM_K, plan
+    assert plan.count("InMemoryTableScan") >= 4, plan
+
+
+def test_dedup_prefix_shuffles_hashes_not_text(spark, sf_dir):
+    """One map-side-combined aggregate on the prefix hash: a partial
+    count/min below the exchange, and no text column surviving past
+    the hash projection (the shuffle carries 32-byte rows)."""
+    from etl_pipeline_example_spark.operators.prefixdup import dedup_prefix
+
+    fmt = plan_str(dedup_prefix(spark, sf_dir), mode="formatted")
+    blocks = _formatted_blocks(fmt)
+    assert any(
+        "HashAggregate" in b and "partial_count" in b for b in blocks
+    ), fmt
+    exchanges = [b for b in blocks if b.startswith("(") and "Exchange" in b]
+    assert exchanges and all("text" not in b for b in exchanges), fmt
+
+
+def test_lexicon_stats_combines_term_counts_map_side(spark, sf_dir):
+    """The (source, token) aggregate must partial-combine below its
+    exchange so the shuffle carries vocabulary-bounded partials, not
+    token instances."""
+    from etl_pipeline_example_spark.operators.lexicon import lexicon_stats
+
+    fmt = plan_str(lexicon_stats(spark, sf_dir), mode="formatted")
+    blocks = _formatted_blocks(fmt)
+    assert any(
+        "HashAggregate" in b and "partial_count" in b for b in blocks
+    ), fmt
