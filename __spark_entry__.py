@@ -199,6 +199,7 @@ from etl_pipeline_example_spark.plans import (
     ABTEST_ORACLES,
     ROLLING_ORACLES,
     SCD2ASOF_ORACLES,
+    BALANCE_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -211,6 +212,7 @@ from etl_pipeline_example_spark.plans import (
     ABTEST_QUERIES,
     ROLLING_QUERIES,
     SCD2ASOF_QUERIES,
+    BALANCE_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -435,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ABTEST_QUERIES)
     out.update(ROLLING_QUERIES)
     out.update(SCD2ASOF_QUERIES)
+    out.update(BALANCE_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -537,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ABTEST_ORACLES)
     out.update(ROLLING_ORACLES)
     out.update(SCD2ASOF_ORACLES)
+    out.update(BALANCE_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

@@ -88,6 +88,10 @@ from etl_pipeline_example_spark.plans.scd2asof import (
     SCD2ASOF_QUERIES,
     SCD2ASOF_ORACLES,
 )
+from etl_pipeline_example_spark.plans.balance import (
+    BALANCE_QUERIES,
+    BALANCE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -142,6 +146,8 @@ __all__ = [
     "ROLLING_ORACLES",
     "SCD2ASOF_QUERIES",
     "SCD2ASOF_ORACLES",
+    "BALANCE_QUERIES",
+    "BALANCE_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -918,3 +918,38 @@ def test_contamination_bloom_hand_computed(spark, tmp_path):
         for r in contamination_bloom(spark, sf).collect()
     }
     assert got == {"srcA": (2, 1, 1, 0), "srcB": (1, 0, 0, 0)}, got
+
+
+def test_q_period_balance_hand_computed(spark, tmp_path):
+    """User 1 posts 10.0 then 3.5 in week 0 (balance = 3.5, the LAST
+    reading — a plain sum would say 13.5); user 2 posts 2.0 in week 0
+    and 7.0 in week 1. Tie on ts broken by event_id desc."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.balance import q_period_balance
+
+    t0 = dt.datetime(1992, 1, 1)
+
+    rows = [
+        (0, t0, 1, "bal", 10.0, "{}"),
+        (1, t0 + dt.timedelta(days=1), 1, "bal", 3.5, "{}"),
+        (2, t0, 2, "bal", 2.0, "{}"),
+        (3, t0 + dt.timedelta(days=8), 2, "bal", 7.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["week"]: (
+            r["n_accounts"], r["total_balance"],
+            r["min_balance"], r["max_balance"],
+        )
+        for r in q_period_balance(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        0: (2, 5.5, 2.0, 3.5),
+        1: (1, 7.0, 7.0, 7.0),
+    }, got
