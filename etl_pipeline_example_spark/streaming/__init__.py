@@ -28,6 +28,10 @@ from etl_pipeline_example_spark.streaming.dqgate import (
     DQGATE_ORACLES,
     DQGATE_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.slidingwin import (
+    SLIDINGWIN_ORACLES,
+    SLIDINGWIN_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -41,6 +45,8 @@ STREAM_QUERIES.update(NEARGATE_INDEX_QUERIES)
 STREAM_ORACLES.update(NEARGATE_INDEX_ORACLES)
 STREAM_QUERIES.update(DQGATE_QUERIES)
 STREAM_ORACLES.update(DQGATE_ORACLES)
+STREAM_QUERIES.update(SLIDINGWIN_QUERIES)
+STREAM_ORACLES.update(SLIDINGWIN_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

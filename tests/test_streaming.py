@@ -149,3 +149,40 @@ def test_stream_upsert_merges_and_replays_idempotently(spark, tmp_path):
     again = {r["k"]: (r["ver"], r["val"])
              for r in spark.read.parquet(target).collect()}
     assert again == got, again
+
+
+def test_stream_sliding_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_sliding"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_sliding"])
+
+
+def test_stream_sliding_double_counts_each_event(spark, tmp_path):
+    """An event at 10:15 must appear in the 09:30 and 10:00 windows
+    and nowhere else (each event covers exactly two sliding windows)."""
+    import datetime as dt
+    import glob as _glob
+    import shutil
+
+    from etl_pipeline_example_spark.streaming.slidingwin import stream_sliding
+
+    staging = tmp_path / "staging"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    rows = [(0, dt.datetime(2024, 1, 1, 10, 15), 1, "click", 2.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{staging}/events.parquet")
+    # the stream source globs the single-FILE testdata layout
+    part = _glob.glob(f"{staging}/events.parquet/part-*.parquet")[0]
+    shutil.copy(part, corpus / "events.parquet")
+
+    got = {
+        r["win_start"]: (r["n_events"], r["sum_value"])
+        for r in stream_sliding(spark, str(corpus)).collect()
+    }
+    assert got == {
+        dt.datetime(2024, 1, 1, 9, 30): (1, 2.0),
+        dt.datetime(2024, 1, 1, 10, 0): (1, 2.0),
+    }, got
