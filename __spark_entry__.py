@@ -118,10 +118,12 @@ from etl_pipeline_example_spark.operators import (
     PREFIXDUP_ORACLES,
     LEXICON_ORACLES,
     BLOOMGATE_ORACLES,
+    WSAMPLE_ORACLES,
     QUALITYENSEMBLE_QUERIES,
     PREFIXDUP_QUERIES,
     LEXICON_QUERIES,
     BLOOMGATE_QUERIES,
+    WSAMPLE_QUERIES,
     SHARDMANIFEST_ORACLES,
     SHARDMANIFEST_QUERIES,
     TEXT_ORACLES,
@@ -405,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PREFIXDUP_QUERIES)
     out.update(LEXICON_QUERIES)
     out.update(BLOOMGATE_QUERIES)
+    out.update(WSAMPLE_QUERIES)
     out.update(SHARDMANIFEST_QUERIES)
     out.update(RECON_QUERIES)
     out.update(SEASONAL_QUERIES)
@@ -508,6 +511,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PREFIXDUP_ORACLES)
     out.update(LEXICON_ORACLES)
     out.update(BLOOMGATE_ORACLES)
+    out.update(WSAMPLE_ORACLES)
     out.update(SHARDMANIFEST_ORACLES)
     out.update(RECON_ORACLES)
     out.update(SEASONAL_ORACLES)

@@ -140,6 +140,10 @@ from etl_pipeline_example_spark.operators.bloomgate import (
     BLOOMGATE_QUERIES,
     BLOOMGATE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.wsample import (
+    WSAMPLE_QUERIES,
+    WSAMPLE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -342,4 +346,6 @@ __all__ = [
     "LEXICON_ORACLES",
     "BLOOMGATE_QUERIES",
     "BLOOMGATE_ORACLES",
+    "WSAMPLE_QUERIES",
+    "WSAMPLE_ORACLES",
 ]

@@ -953,3 +953,36 @@ def test_q_period_balance_hand_computed(spark, tmp_path):
         0: (2, 5.5, 2.0, 3.5),
         1: (1, 7.0, 7.0, 7.0),
     }, got
+
+
+def test_sample_weighted_gate_and_weights(spark, tmp_path):
+    """The gate mirrors hashlib exactly: a doc is kept iff
+    md5-hexint('wsamp:'||id) % CAP < min(n_chars, CAP); kept docs carry
+    CAP/min(n_chars, CAP) as the HT weight (1.0 once saturated)."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.wsample import (
+        WSAMPLE_CAP,
+        sample_weighted,
+    )
+
+    rows = [(i, "x" * ln, "en", "s") for i, ln in [
+        (1, 10), (2, 500), (3, 1000), (4, 2500), (5, 40),
+    ]]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def gate(doc_id, n):
+        h = int(hashlib.md5(f"wsamp:{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % WSAMPLE_CAP < min(n, WSAMPLE_CAP)
+
+    expected = {
+        i: WSAMPLE_CAP / min(ln, WSAMPLE_CAP)
+        for i, ln in [(1, 10), (2, 500), (3, 1000), (4, 2500), (5, 40)]
+        if gate(i, ln)
+    }
+    got = {
+        r["doc_id"]: r["ht_weight"]
+        for r in sample_weighted(spark, sf).collect()
+    }
+    assert got == expected, (got, expected)
+    assert all(w == 1.0 for i, w in got.items() if i in (3, 4))
