@@ -202,6 +202,7 @@ from etl_pipeline_example_spark.plans import (
     ROLLING_ORACLES,
     SCD2ASOF_ORACLES,
     BALANCE_ORACLES,
+    DIMLIFT_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -215,6 +216,7 @@ from etl_pipeline_example_spark.plans import (
     ROLLING_QUERIES,
     SCD2ASOF_QUERIES,
     BALANCE_QUERIES,
+    DIMLIFT_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -441,6 +443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ROLLING_QUERIES)
     out.update(SCD2ASOF_QUERIES)
     out.update(BALANCE_QUERIES)
+    out.update(DIMLIFT_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -545,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(ROLLING_ORACLES)
     out.update(SCD2ASOF_ORACLES)
     out.update(BALANCE_ORACLES)
+    out.update(DIMLIFT_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

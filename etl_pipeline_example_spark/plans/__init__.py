@@ -92,6 +92,10 @@ from etl_pipeline_example_spark.plans.balance import (
     BALANCE_QUERIES,
     BALANCE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.dimlift import (
+    DIMLIFT_QUERIES,
+    DIMLIFT_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -148,6 +152,8 @@ __all__ = [
     "SCD2ASOF_ORACLES",
     "BALANCE_QUERIES",
     "BALANCE_ORACLES",
+    "DIMLIFT_QUERIES",
+    "DIMLIFT_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

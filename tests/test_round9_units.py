@@ -986,3 +986,48 @@ def test_sample_weighted_gate_and_weights(spark, tmp_path):
     }
     assert got == expected, (got, expected)
     assert all(w == 1.0 for i, w in got.items() if i in (3, 4))
+
+
+def test_q_dim_lift_hand_computed(spark, tmp_path):
+    """2x2 lattice: brand A sells 3 lines into nation X and 1 into Y;
+    brand B sells 1 into X. Lifts recomputed by hand: e.g.
+    lift(A,X) = 3*5 / (4*4)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.dimlift import q_dim_lift
+
+    spark.createDataFrame(
+        [(1, "A"), (2, "B")], "p_partkey bigint, p_brand string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [(1, 0, "X"), (2, 0, "Y")],
+        "n_nationkey bigint, n_regionkey bigint, n_name string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/nation.parquet")
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "c_custkey bigint, c_nationkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    d0 = dt.datetime(1995, 1, 1)
+    spark.createDataFrame(
+        [(1, 1, "O", 1.0, d0, "p"), (2, 2, "O", 1.0, d0, "p")],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    # lineitem: (orderkey, partkey) — order 1 is nation X, order 2 is Y
+    li = [(1, 1), (1, 1), (1, 1), (1, 2), (2, 1)]
+    spark.createDataFrame(
+        [(o, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d0) for o, p in li],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        (r["p_brand"], r["nation"]): (r["cell_cnt"], r["lift"])
+        for r in q_dim_lift(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("A", "X"): (3, 3 * 5 / (4 * 4)),
+        ("A", "Y"): (1, 1 * 5 / (4 * 1)),
+        ("B", "X"): (1, 1 * 5 / (1 * 4)),
+    }, got
