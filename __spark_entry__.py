@@ -277,12 +277,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round evidence because their backing closures are byte-identical.
 #
 # ROUND-10 PLAN (commit now, execute next round): _REGISTER_FIRST :=
-#   1. any full-oracle operators ADDED in round 9 after the round-9
-#      window froze, and any entry round-10 churn pulls out of the
-#      freeze;
-#   2. the r6-stale cohort not refreshed in round 9 (ANN/semdedup/
-#      kmeans/multimodal/pii families and the remaining relational
-#      plans), oldest evidence first.
+#   1. the round-9-late full-oracle cohort (registered after the
+#      round-9 window froze, never driver-graded): dq_rules,
+#      stream_dq_quarantine, join_skew_profile, length_drift_ks,
+#      ann_recall_matrix, q_cohort_ltv, q_quantile_counting,
+#      q_range_frame, q_value_window, q_unpivot_measures,
+#      q_interval_merge, quality_agreement, q_sql_shared_dialect,
+#      q_growth_accounting, dq_benford, dedup_prefix, agg_salted,
+#      lexicon_stats, q_ab_chi2, q_rolling_actives, q_scd2_asof,
+#      contamination_bloom, q_period_balance, stream_sliding,
+#      sample_weighted, q_dim_lift (26 entries), plus any entry
+#      round-10 churn pulls out of the freeze;
+#   2. remaining slots: the r6-stale cohort not refreshed in round 9
+#      (ANN/semdedup/kmeans/multimodal/pii families and the remaining
+#      relational plans), oldest evidence first.
 _REGISTER_FIRST = [
     # (a) first evidence: late-r7 cohort, then r8 additions
     "stream_neardup_gate",
