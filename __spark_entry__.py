@@ -203,6 +203,7 @@ from etl_pipeline_example_spark.plans import (
     SCD2ASOF_ORACLES,
     BALANCE_ORACLES,
     DIMLIFT_ORACLES,
+    ATTRIBUTION_ORACLES,
     LATEST_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
@@ -217,6 +218,7 @@ from etl_pipeline_example_spark.plans import (
     SCD2ASOF_QUERIES,
     BALANCE_QUERIES,
     DIMLIFT_QUERIES,
+    ATTRIBUTION_QUERIES,
     RANKFAMILY_ORACLES,
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -452,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SCD2ASOF_QUERIES)
     out.update(BALANCE_QUERIES)
     out.update(DIMLIFT_QUERIES)
+    out.update(ATTRIBUTION_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
@@ -557,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SCD2ASOF_ORACLES)
     out.update(BALANCE_ORACLES)
     out.update(DIMLIFT_ORACLES)
+    out.update(ATTRIBUTION_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)

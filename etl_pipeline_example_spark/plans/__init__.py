@@ -96,6 +96,10 @@ from etl_pipeline_example_spark.plans.dimlift import (
     DIMLIFT_QUERIES,
     DIMLIFT_ORACLES,
 )
+from etl_pipeline_example_spark.plans.attribution import (
+    ATTRIBUTION_QUERIES,
+    ATTRIBUTION_ORACLES,
+)
 from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
@@ -154,6 +158,8 @@ __all__ = [
     "BALANCE_ORACLES",
     "DIMLIFT_QUERIES",
     "DIMLIFT_ORACLES",
+    "ATTRIBUTION_QUERIES",
+    "ATTRIBUTION_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -1031,3 +1031,41 @@ def test_q_dim_lift_hand_computed(spark, tmp_path):
         ("A", "Y"): (1, 1 * 5 / (4 * 1)),
         ("B", "X"): (1, 1 * 5 / (1 * 4)),
     }, got
+
+
+def test_q_attribution_hand_computed(spark, tmp_path):
+    """User 1: view -> click -> purchase in one session (first=view,
+    last=click); then after a 2h gap a lone purchase (both (direct)).
+    User 2: click -> purchase (first=click, last=click)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.attribution import q_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (0, m(0), 1, "view", 1.0, "{}"),
+        (1, m(5), 1, "click", 1.0, "{}"),
+        (2, m(10), 1, "purchase", 1.0, "{}"),
+        (3, m(10 + 120), 1, "purchase", 1.0, "{}"),  # opens its own session
+        (4, m(0), 2, "click", 1.0, "{}"),
+        (5, m(3), 2, "purchase", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    got = {
+        r["touch_type"]: (r["n_first_touch"], r["n_last_touch"])
+        for r in q_attribution(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "(direct)": (1, 1),
+        "view": (1, 0),
+        "click": (1, 2),
+    }, got
