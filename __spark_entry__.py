@@ -234,121 +234,107 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. ROUND 9 executes the rotation
-# committed in round 8 (and amended by the round-8 verdict: no no-oracle
-# entries in the window — dq_profile_approx / embed_pca / quality_compress
-# can only return `err: no_oracle`; their pytest contracts are the
-# designated evidence, so every slot below is gradable):
+# entries that most need fresh evidence. ROUND 10 executes the rotation
+# committed in round 9 (no no-oracle entries in the window —
+# dq_profile_approx / embed_pca / quality_compress can only return
+# `err: no_oracle`; their pytest contracts are the designated evidence,
+# so every slot below is gradable):
 #
 #   (a) first-evidence cohort — every full-oracle entry never yet
-#       driver-graded: the late-round-7 cohort (stream_neardup_gate,
-#       neardup_incremental, pii_by_source, embed_trunc_tune,
-#       doc_chunk_sliding, shard_manifest, pack_efficiency,
-#       q_new_vs_returning, mix_temperature), the 7 round-8 additions
-#       (multimodal_decode, dup_cluster_sizes, q_rank_family,
-#       q_latest_event, doc_len_gini, simhash_hamming_hist,
-#       bigram_coverage), and the round-9 additions (registered as they
-#       land, first-evidence priority).
-#   (b) the 5 entries displaced from the round-8 window (trivial frozen
-#       plans, byte-identical since their r5 green rows): unpack_nested,
-#       version_stamp, sample_hash, text_langid, token_count.
-#   (c) freeze churn — the round-8 verdict's fold asks edit dedup.py
-#       (simhash construction folds out of hamminghist.py) and
-#       neargate.py (stream topology shared with neargate_index.py),
-#       and the file-granular freeze rule pulls every entry whose
-#       backing-module IMPORT CLOSURE includes an edited file into the
-#       current window: dedup.py's own four (dedup_exact, dedup_minhash,
-#       dedup_simhash, ngram_jaccard) plus its importers' seven
-#       (dedup_savings, minhash_calibration, minhash_tune,
-#       dedup_substring, substring_dup_rate, dedup_cluster,
-#       contamination_minhash). embed_normalize rejoins for the
-#       embednorm.py d-squared-fold bound note (verdict ask #8).
-#   (d) remaining slots: r6-stale refresh, oldest evidence first; cheap
-#       relational plans chosen so the grading budget is spent on (a)-(c).
-#
-#   Standing exception, confirmed accepted by the round-8 verdict and
-#   re-affirmed here per the round-8 ADVICE ask: `q_active_users` keeps
-#   its r7 evidence although engagement.py was edited in round 8 — the
-#   diff was confined to sibling functions/docstrings (plan function
-#   byte-untouched), the sibling entry (q_props_schema) regraded green
-#   in round 8, and the judge's strict re-verification covered the
-#   module. It rotates into the round-10 window with the r6 cohort.
+#       driver-graded: the round-9-late additions registered after the
+#       round-9 window froze (dq_rules, stream_dq_quarantine,
+#       join_skew_profile, length_drift_ks, ann_recall_matrix,
+#       q_cohort_ltv, q_quantile_counting, q_range_frame,
+#       q_value_window, q_unpivot_measures, q_interval_merge,
+#       quality_agreement, q_sql_shared_dialect, q_growth_accounting,
+#       dq_benford, dedup_prefix, agg_salted, lexicon_stats, q_ab_chi2,
+#       q_rolling_actives, q_scd2_asof, contamination_bloom,
+#       q_period_balance, stream_sliding, sample_weighted, q_dim_lift,
+#       q_attribution — 27 entries).
+#   (b) the standing-exception entry: `q_active_users` (kept its r7
+#       evidence through the round-8 engagement.py edit by the
+#       documented byte-untouched-plan argument; the round-8 verdict
+#       accepted that but scheduled it for a fresh row here).
+#   (c) r6-stale refresh, oldest evidence first — the families the
+#       round-9 plan named: ANN (ann_bruteforce, ann_lsh, ann_ivf,
+#       ann_int8_rerank, ann_pq_adc, ann_ivfpq, embed_quantize,
+#       dedup_embedding_lsh), semdedup (semdedup_prune_2l,
+#       semdedup_canonical), kmeans_assign, multimodal (multimodal_meta,
+#       multimodal_framesample), pii_scrub, the quality pair
+#       (quality_charlm, quality_repetition), boilerplate_chunks,
+#       domain_cap, and four relational plans (q_distinct_agg,
+#       q_percentiles, q2_argmin, q7_volume) — 22 entries.
 #
 # Everything else rides the freeze manifest (tools/frozen_hashes.json,
-# enforced by tests/test_freeze.py): r6/r7/r8-green entries keep their
+# enforced by tests/test_freeze.py): r7/r8/r9-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# ROUND-10 PLAN (commit now, execute next round): _REGISTER_FIRST :=
-#   1. the round-9-late full-oracle cohort (registered after the
-#      round-9 window froze, never driver-graded): dq_rules,
-#      stream_dq_quarantine, join_skew_profile, length_drift_ks,
-#      ann_recall_matrix, q_cohort_ltv, q_quantile_counting,
-#      q_range_frame, q_value_window, q_unpivot_measures,
-#      q_interval_merge, quality_agreement, q_sql_shared_dialect,
-#      q_growth_accounting, dq_benford, dedup_prefix, agg_salted,
-#      lexicon_stats, q_ab_chi2, q_rolling_actives, q_scd2_asof,
-#      contamination_bloom, q_period_balance, stream_sliding,
-#      sample_weighted, q_dim_lift (26 entries), plus any entry
-#      round-10 churn pulls out of the freeze;
-#   2. remaining slots: the r6-stale cohort not refreshed in round 9
-#      (ANN/semdedup/kmeans/multimodal/pii families and the remaining
-#      relational plans), oldest evidence first.
+# ROUND-11 PLAN (commit now, execute next round): _REGISTER_FIRST :=
+#   1. every full-oracle entry added during round 10 (registered beyond
+#      this window as they land, first-evidence priority), plus any
+#      entry round-11 churn pulls out of the freeze;
+#   2. the 11 remaining r6-stale TPC-H-extra plans (q8_mktshare,
+#      q9_profit, q10_returns, q11_part_value, q15_top_supplier,
+#      q16_supplier_cnt, q17_small_quantity, q18_large_orders,
+#      q19_disjunctive, q21_sole_fault, q22_idle_rich — byte-frozen
+#      since their r6 green rows);
+#   3. remaining slots: r7-stale refresh, oldest evidence first.
 _REGISTER_FIRST = [
-    # (a) first evidence: late-r7 cohort, then r8 additions
-    "stream_neardup_gate",
-    "neardup_incremental",
-    "pii_by_source",
-    "embed_trunc_tune",
-    "doc_chunk_sliding",
-    "shard_manifest",
-    "pack_efficiency",
-    "q_new_vs_returning",
-    "mix_temperature",
-    "multimodal_decode",
-    "dup_cluster_sizes",
-    "q_rank_family",
-    "q_latest_event",
-    "doc_len_gini",
-    "simhash_hamming_hist",
-    "bigram_coverage",
-    # (a) first evidence: round-9 additions
-    "stream_neardup_gate_indexed",
-    "source_overlap_matrix",
-    "text_readability",
-    "minhash_band_occupancy",
-    "events_rollup_multi",
-    "token_budget_curve",
-    # (b) displaced round-8 entries (r5 evidence, byte-identical plans)
-    "unpack_nested",
-    "version_stamp",
-    "sample_hash",
-    "text_langid",
-    "token_count",
-    # (c) freeze churn: dedup.py fold + import closure + embednorm note
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ngram_jaccard",
-    "dedup_savings",
-    "minhash_calibration",
-    "minhash_tune",
-    "dedup_substring",
-    "substring_dup_rate",
-    "dedup_cluster",
-    "contamination_minhash",
-    "embed_normalize",
-    # (d) r6-stale refresh, cheap relational plans first
-    "q_calculated",
-    "q1_pricing",
-    "q3_shipping",
-    "q5_local_supplier",
-    "q_topn_window",
-    "q_running_sum",
-    "q_rollup",
-    "q4_late_orders",
-    "q6_forecast",
-    "q_cust_no_orders",
-    "q14_promo",
+    # (a) first evidence: round-9-late additions, registration order
+    "dq_rules",
+    "stream_dq_quarantine",
+    "join_skew_profile",
+    "length_drift_ks",
+    "ann_recall_matrix",
+    "q_cohort_ltv",
+    "q_quantile_counting",
+    "q_range_frame",
+    "q_value_window",
+    "q_unpivot_measures",
+    "q_interval_merge",
+    "quality_agreement",
+    "q_sql_shared_dialect",
+    "q_growth_accounting",
+    "dq_benford",
+    "dedup_prefix",
+    "agg_salted",
+    "lexicon_stats",
+    "q_ab_chi2",
+    "q_rolling_actives",
+    "q_scd2_asof",
+    "contamination_bloom",
+    "q_period_balance",
+    "stream_sliding",
+    "sample_weighted",
+    "q_dim_lift",
+    "q_attribution",
+    # (b) standing-exception regrade
+    "q_active_users",
+    # (c) r6-stale refresh: ANN / semdedup / kmeans family
+    "ann_bruteforce",
+    "ann_lsh",
+    "ann_ivf",
+    "ann_int8_rerank",
+    "ann_pq_adc",
+    "ann_ivfpq",
+    "embed_quantize",
+    "dedup_embedding_lsh",
+    "semdedup_prune_2l",
+    "semdedup_canonical",
+    "kmeans_assign",
+    # (c) r6-stale refresh: multimodal / pii / quality / corpus
+    "multimodal_meta",
+    "multimodal_framesample",
+    "pii_scrub",
+    "quality_charlm",
+    "quality_repetition",
+    "boilerplate_chunks",
+    "domain_cap",
+    # (c) r6-stale refresh: relational
+    "q_distinct_agg",
+    "q_percentiles",
+    "q2_argmin",
+    "q7_volume",
 ]
 
 
