@@ -223,6 +223,14 @@ from etl_pipeline_example_spark.plans import (
     RANKFAMILY_QUERIES,
     TIMEROLLUP_ORACLES,
     TIMEROLLUP_QUERIES,
+    CDC_ORACLES,
+    CDC_QUERIES,
+    PARTIALAGG_ORACLES,
+    PARTIALAGG_QUERIES,
+    ORDERGAP_ORACLES,
+    ORDERGAP_QUERIES,
+    YOY_ORACLES,
+    YOY_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -442,6 +450,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DIMLIFT_QUERIES)
     out.update(ATTRIBUTION_QUERIES)
     out.update(TIMEROLLUP_QUERIES)
+    out.update(CDC_QUERIES)
+    out.update(PARTIALAGG_QUERIES)
+    out.update(ORDERGAP_QUERIES)
+    out.update(YOY_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -548,6 +560,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(DIMLIFT_ORACLES)
     out.update(ATTRIBUTION_ORACLES)
     out.update(TIMEROLLUP_ORACLES)
+    out.update(CDC_ORACLES)
+    out.update(PARTIALAGG_ORACLES)
+    out.update(ORDERGAP_ORACLES)
+    out.update(YOY_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -104,6 +104,22 @@ from etl_pipeline_example_spark.plans.timerollup import (
     TIMEROLLUP_QUERIES,
     TIMEROLLUP_ORACLES,
 )
+from etl_pipeline_example_spark.plans.cdc import (
+    CDC_QUERIES,
+    CDC_ORACLES,
+)
+from etl_pipeline_example_spark.plans.partialagg import (
+    PARTIALAGG_QUERIES,
+    PARTIALAGG_ORACLES,
+)
+from etl_pipeline_example_spark.plans.ordergap import (
+    ORDERGAP_QUERIES,
+    ORDERGAP_ORACLES,
+)
+from etl_pipeline_example_spark.plans.yoy import (
+    YOY_QUERIES,
+    YOY_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -162,6 +178,14 @@ __all__ = [
     "ATTRIBUTION_ORACLES",
     "TIMEROLLUP_QUERIES",
     "TIMEROLLUP_ORACLES",
+    "CDC_QUERIES",
+    "CDC_ORACLES",
+    "PARTIALAGG_QUERIES",
+    "PARTIALAGG_ORACLES",
+    "ORDERGAP_QUERIES",
+    "ORDERGAP_ORACLES",
+    "YOY_QUERIES",
+    "YOY_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -1,0 +1,186 @@
+"""Hand-computed unit tests for the round-10 operators: CDC merge,
+partial-aggregate state merge, order-gap histogram, YoY growth."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _write_orders(spark, tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, status, totalprice, date, priority)."""
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+
+
+def _write_lineitem(spark, tmp_path, rows):
+    """rows: (l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+    l_returnflag, l_linestatus)."""
+    full = [
+        (k, 1, 1, ln, q, p, 0.0, 0.0, rf, ls, dt.datetime(1995, 1, 1))
+        for k, ln, q, p, rf, ls in rows
+    ]
+    df = spark.createDataFrame(
+        full,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+
+
+def test_cdc_apply_hand_computed(spark, tmp_path):
+    """Latest-wins over a keyed change log: key 1 deleted (latest op R),
+    key 2 updated, key 3 inserted (absent from base), a delete on
+    absent key 6 is a no-op, keys 4/5 kept untouched."""
+    from etl_pipeline_example_spark.plans.cdc import cdc_apply
+
+    d = dt.datetime(1995, 6, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 10, "O", 100.0, d, "1-URGENT"),
+            (2, 10, "O", 100.0, d, "2-HIGH"),
+            (3, 10, "O", 100.0, d, "3-MEDIUM"),  # % 3 == 0: not in base
+            (4, 10, "F", 100.0, d, "4-LOW"),
+            (5, 10, "P", 100.0, d, "5-LOW"),
+            (6, 10, "O", 100.0, d, "3-MEDIUM"),  # % 3 == 0: not in base
+        ],
+    )
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1.0, 10.0, "N", "O"),
+            (1, 2, 1.0, 10.0, "R", "F"),  # latest for key 1 → delete
+            (2, 1, 1.0, 10.0, "N", "F"),  # update key 2 → status F
+            (3, 1, 1.0, 10.0, "A", "O"),  # insert key 3 → status O
+            (6, 1, 1.0, 10.0, "R", "F"),  # delete absent key → no-op
+        ],
+    )
+    got = [
+        (r["o_orderkey"], r["status"], r["priority"], r["action"])
+        for r in cdc_apply(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (2, "F", "2-HIGH", "updated"),
+        (3, "O", "NEW", "inserted"),
+        (4, "F", "4-LOW", "kept"),
+        (5, "P", "5-LOW", "kept"),
+    ], got
+
+
+def test_agg_merge_states_hand_computed(spark, tmp_path):
+    """Quantities 1+2+3 across two ingestion batches (keys 1 and 4 →
+    batches 1 and 0) merge to the direct aggregate: n=3, sum=6,
+    min/max price, avg=2."""
+    from etl_pipeline_example_spark.plans.partialagg import agg_merge_states
+
+    _write_lineitem(
+        spark,
+        tmp_path,
+        [
+            (1, 1, 1.0, 10.0, "N", "O"),
+            (1, 2, 2.0, 30.0, "N", "O"),
+            (4, 1, 3.0, 20.0, "N", "O"),
+            (4, 2, 5.0, 40.0, "R", "F"),
+        ],
+    )
+    got = [
+        (
+            r["l_returnflag"],
+            r["l_linestatus"],
+            r["n_rows"],
+            r["sum_qty"],
+            r["min_price"],
+            r["max_price"],
+            r["avg_qty"],
+        )
+        for r in agg_merge_states(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("N", "O", 3, 6.0, 10.0, 30.0, 2.0),
+        ("R", "F", 1, 5.0, 40.0, 40.0, 5.0),
+    ], got
+
+
+def test_q_order_gap_dist_hand_computed(spark, tmp_path):
+    """One customer, orders at d, d (same day), d+5, d+40: gaps 0 / 5 /
+    35 land in a_same_day / b_week / d_quarter."""
+    from etl_pipeline_example_spark.plans.ordergap import q_order_gap_dist
+
+    d = dt.datetime(1995, 6, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 7, "O", 1.0, d, "1-URGENT"),
+            (2, 7, "O", 1.0, d, "1-URGENT"),
+            (3, 7, "O", 1.0, d + dt.timedelta(days=5), "1-URGENT"),
+            (4, 7, "O", 1.0, d + dt.timedelta(days=40), "1-URGENT"),
+        ],
+    )
+    got = {
+        r["gap_bucket"]: (r["n_gaps"], r["n_customers"])
+        for r in q_order_gap_dist(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "a_same_day": (1, 1),
+        "b_week": (1, 1),
+        "d_quarter": (1, 1),
+    }, got
+
+
+def test_q_yoy_growth_hand_computed(spark, tmp_path):
+    """One nation, 10.0 in 1995 and 25.0 in 1996: delta 15, ratio 2.5;
+    the first year reports NULL comparisons."""
+    from etl_pipeline_example_spark.plans.yoy import q_yoy_growth
+
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "O", 10.0, dt.datetime(1995, 3, 1), "1-URGENT"),
+            (2, 1, "O", 25.0, dt.datetime(1996, 7, 1), "1-URGENT"),
+        ],
+    )
+    cust = spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "BUILDING")],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    cust.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    nat = spark.createDataFrame(
+        [(0, "ALGERIA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    nat.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/nation.parquet"
+    )
+    got = [
+        (
+            r["n_name"],
+            r["order_year"],
+            r["revenue"],
+            r["prev_revenue"],
+            r["yoy_delta"],
+            r["yoy_ratio"],
+        )
+        for r in q_yoy_growth(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("ALGERIA", 1995, 10.0, None, None, None),
+        ("ALGERIA", 1996, 25.0, 10.0, 15.0, 2.5),
+    ], got
