@@ -187,6 +187,8 @@ from etl_pipeline_example_spark.operators import (
     SOURCEOVERLAP_QUERIES,
     MEDIAPIXELS_ORACLES,
     MEDIAPIXELS_QUERIES,
+    SURVIVOR_ORACLES,
+    SURVIVOR_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -231,6 +233,12 @@ from etl_pipeline_example_spark.plans import (
     ORDERGAP_QUERIES,
     YOY_ORACLES,
     YOY_QUERIES,
+    SKYLINE_ORACLES,
+    SKYLINE_QUERIES,
+    MODEAGG_ORACLES,
+    MODEAGG_QUERIES,
+    SEGMENTS_ORACLES,
+    SEGMENTS_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -454,6 +462,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PARTIALAGG_QUERIES)
     out.update(ORDERGAP_QUERIES)
     out.update(YOY_QUERIES)
+    out.update(SKYLINE_QUERIES)
+    out.update(MODEAGG_QUERIES)
+    out.update(SEGMENTS_QUERIES)
+    out.update(SURVIVOR_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -564,6 +576,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(PARTIALAGG_ORACLES)
     out.update(ORDERGAP_ORACLES)
     out.update(YOY_ORACLES)
+    out.update(SKYLINE_ORACLES)
+    out.update(MODEAGG_ORACLES)
+    out.update(SEGMENTS_ORACLES)
+    out.update(SURVIVOR_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

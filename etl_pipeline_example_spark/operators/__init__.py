@@ -144,6 +144,10 @@ from etl_pipeline_example_spark.operators.wsample import (
     WSAMPLE_QUERIES,
     WSAMPLE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.survivor import (
+    SURVIVOR_QUERIES,
+    SURVIVOR_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -348,4 +352,6 @@ __all__ = [
     "BLOOMGATE_ORACLES",
     "WSAMPLE_QUERIES",
     "WSAMPLE_ORACLES",
+    "SURVIVOR_QUERIES",
+    "SURVIVOR_ORACLES",
 ]

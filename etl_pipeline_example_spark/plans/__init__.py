@@ -120,6 +120,18 @@ from etl_pipeline_example_spark.plans.yoy import (
     YOY_QUERIES,
     YOY_ORACLES,
 )
+from etl_pipeline_example_spark.plans.skyline import (
+    SKYLINE_QUERIES,
+    SKYLINE_ORACLES,
+)
+from etl_pipeline_example_spark.plans.modeagg import (
+    MODEAGG_QUERIES,
+    MODEAGG_ORACLES,
+)
+from etl_pipeline_example_spark.plans.segments import (
+    SEGMENTS_QUERIES,
+    SEGMENTS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -186,6 +198,12 @@ __all__ = [
     "ORDERGAP_ORACLES",
     "YOY_QUERIES",
     "YOY_ORACLES",
+    "SKYLINE_QUERIES",
+    "SKYLINE_ORACLES",
+    "MODEAGG_QUERIES",
+    "MODEAGG_ORACLES",
+    "SEGMENTS_QUERIES",
+    "SEGMENTS_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -184,3 +184,145 @@ def test_q_yoy_growth_hand_computed(spark, tmp_path):
         ("ALGERIA", 1995, 10.0, None, None, None),
         ("ALGERIA", 1996, 25.0, 10.0, 15.0, 2.5),
     ], got
+
+
+def test_q_skyline_2d_hand_computed(spark, tmp_path):
+    """One brand, sizes/prices: (10, 50), (8, 60), (6, 55), (4, 70).
+    Frontier: 10 (largest size), 8 (60 > 50), 4 (70 > 60); 6 is
+    dominated by size 8 at price 60."""
+    from etl_pipeline_example_spark.plans.skyline import q_skyline_2d
+
+    df = spark.createDataFrame(
+        [
+            (1, "pa", "Brand#1", "t", 10, 50.0),
+            (2, "pb", "Brand#1", "t", 8, 60.0),
+            (3, "pc", "Brand#1", "t", 6, 55.0),
+            (4, "pd", "Brand#1", "t", 4, 70.0),
+        ],
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = [
+        (r["p_brand"], r["p_size"], r["best_price"], r["n_parts"])
+        for r in q_skyline_2d(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("Brand#1", 4, 70.0, 1),
+        ("Brand#1", 8, 60.0, 1),
+        ("Brand#1", 10, 50.0, 1),
+    ], got
+
+
+def test_q_mode_per_group_hand_computed(spark, tmp_path):
+    """One month with a 2-2 tie (1-URGENT vs 2-HIGH): the
+    lexicographically smaller priority wins deterministically."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.modeagg import q_mode_per_group
+
+    d = dt.datetime(1995, 6, 10)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "O", 1.0, d, "2-HIGH"),
+            (2, 1, "O", 1.0, d, "2-HIGH"),
+            (3, 1, "O", 1.0, d, "1-URGENT"),
+            (4, 1, "O", 1.0, d, "1-URGENT"),
+            (5, 1, "O", 1.0, d, "3-MEDIUM"),
+        ],
+    )
+    got = [
+        (
+            str(r["order_month"]),
+            r["mode_priority"],
+            r["n_mode"],
+            r["n_month"],
+            r["mode_share"],
+        )
+        for r in q_mode_per_group(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("1995-06-01", "1-URGENT", 2, 5, 0.4)], got
+
+
+def test_q_behavior_segments_hand_computed(spark, tmp_path):
+    """User 1 views+purchases in week A and only views in week B; user
+    2 clicks in week A: cells V-P, V--, -C- with share 1/3 each."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.segments import q_behavior_segments
+
+    wk_a = dt.datetime(2024, 1, 1, 10)  # Monday
+    wk_b = dt.datetime(2024, 1, 8, 10)  # next Monday
+    rows = [
+        (1, wk_a, 1, "view", 1.0, "{}"),
+        (2, wk_a + dt.timedelta(hours=1), 1, "purchase", 1.0, "{}"),
+        (3, wk_b, 1, "view", 1.0, "{}"),
+        (4, wk_a, 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        r["segment"]: (r["n_user_weeks"], r["share"])
+        for r in q_behavior_segments(spark, str(tmp_path)).collect()
+    }
+    third = 1.0 / 3.0
+    assert got == {
+        "V-P": (1, third),
+        "V--": (1, third),
+        "-C-": (1, third),
+    }, got
+
+
+def test_dedup_survivor_policy_hand_computed(spark, tmp_path):
+    """Duplicate content across src12 (tier 2) and src3 (tier 0): the
+    tier-0 copy survives; a singleton stays a singleton; tier ties
+    break on doc_id."""
+    from etl_pipeline_example_spark.operators.survivor import (
+        dedup_survivor_policy,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "same text", "en", "src12"),
+            (2, "same text", "en", "src3"),
+            (3, "same text", "en", "src7"),
+            (4, "unique", "en", "src0"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (
+            r["survivor_doc_id"],
+            r["action"],
+            r["source_tier"],
+            r["cluster_size"],
+        )
+        for r in dedup_survivor_policy(spark, sf).collect()
+    }
+    assert got == {
+        1: (2, "duplicate", 2, 3),
+        2: (2, "survivor", 0, 3),
+        3: (2, "duplicate", 1, 3),
+        4: (4, "singleton", 0, 1),
+    }, got
+
+
+def _write_docs_survivor(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    return str(tmp_path)
