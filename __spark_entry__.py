@@ -189,6 +189,10 @@ from etl_pipeline_example_spark.operators import (
     MEDIAPIXELS_QUERIES,
     SURVIVOR_ORACLES,
     SURVIVOR_QUERIES,
+    LANGEVAL_ORACLES,
+    LANGEVAL_QUERIES,
+    CHARTRIGRAM_ORACLES,
+    CHARTRIGRAM_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -466,6 +470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MODEAGG_QUERIES)
     out.update(SEGMENTS_QUERIES)
     out.update(SURVIVOR_QUERIES)
+    out.update(LANGEVAL_QUERIES)
+    out.update(CHARTRIGRAM_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -580,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(MODEAGG_ORACLES)
     out.update(SEGMENTS_ORACLES)
     out.update(SURVIVOR_ORACLES)
+    out.update(LANGEVAL_ORACLES)
+    out.update(CHARTRIGRAM_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -148,6 +148,14 @@ from etl_pipeline_example_spark.operators.survivor import (
     SURVIVOR_QUERIES,
     SURVIVOR_ORACLES,
 )
+from etl_pipeline_example_spark.operators.langeval import (
+    LANGEVAL_QUERIES,
+    LANGEVAL_ORACLES,
+)
+from etl_pipeline_example_spark.operators.chartrigram import (
+    CHARTRIGRAM_QUERIES,
+    CHARTRIGRAM_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -354,4 +362,8 @@ __all__ = [
     "WSAMPLE_ORACLES",
     "SURVIVOR_QUERIES",
     "SURVIVOR_ORACLES",
+    "LANGEVAL_QUERIES",
+    "LANGEVAL_ORACLES",
+    "CHARTRIGRAM_QUERIES",
+    "CHARTRIGRAM_ORACLES",
 ]

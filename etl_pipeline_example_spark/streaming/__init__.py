@@ -32,6 +32,10 @@ from etl_pipeline_example_spark.streaming.slidingwin import (
     SLIDINGWIN_ORACLES,
     SLIDINGWIN_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.topk import (
+    TOPK_ORACLES,
+    TOPK_QUERIES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -47,6 +51,8 @@ STREAM_QUERIES.update(DQGATE_QUERIES)
 STREAM_ORACLES.update(DQGATE_ORACLES)
 STREAM_QUERIES.update(SLIDINGWIN_QUERIES)
 STREAM_ORACLES.update(SLIDINGWIN_ORACLES)
+STREAM_QUERIES.update(TOPK_QUERIES)
+STREAM_ORACLES.update(TOPK_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

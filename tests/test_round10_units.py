@@ -326,3 +326,90 @@ def _write_docs_survivor(spark, tmp_path, rows):
         f"{tmp_path}/documents.parquet"
     )
     return str(tmp_path)
+
+
+def test_lang_confusion_hand_computed(spark, tmp_path):
+    """Two docs labeled en: one hits English stopwords (pred en), one is
+    gibberish (pred und) — the confusion matrix splits en 50/50."""
+    from etl_pipeline_example_spark.operators.langeval import lang_confusion
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "the cat and the dog", "en", "src0"),
+            (2, "zzz qqq xxx", "en", "src0"),
+        ],
+    )
+    got = {
+        (r["lang_true"], r["pred_lang"]): (r["n_docs"], r["share_of_true"])
+        for r in lang_confusion(spark, sf).collect()
+    }
+    assert got == {
+        ("en", "en"): (1, 0.5),
+        ("en", "und"): (1, 0.5),
+    }, got
+
+
+def test_ngram_lang_profile_hand_computed(spark, tmp_path):
+    """'aaab' + 'aaaa' in en: trigram aaa occurs 3x, aab once; a 2-char
+    doc contributes nothing."""
+    from etl_pipeline_example_spark.operators.chartrigram import (
+        ngram_lang_profile,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "aaab", "en", "src0"),
+            (2, "aaaa", "en", "src0"),
+            (3, "ab", "en", "src0"),
+        ],
+    )
+    got = [
+        (r["lang"], r["trigram"], r["n_occ"], r["rnk"], r["occ_share"])
+        for r in ngram_lang_profile(spark, sf).collect()
+    ]
+    assert got == [
+        ("en", "aaa", 3, 1, 0.75),
+        ("en", "aab", 1, 2, 0.25),
+    ], got
+
+
+def test_stream_topk_hand_computed(spark, tmp_path):
+    """One hour, counts view=3 / click=2 / error=2 / signup=1: top-3 is
+    view, then the tie at 2 breaks alphabetically (click before error);
+    signup falls off."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.streaming.topk import stream_topk
+
+    t0 = dt.datetime(2024, 3, 1, 9, 5)
+    rows = []
+    for i, et in enumerate(
+        ["view", "view", "view", "click", "click", "error", "error", "signup"]
+    ):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, et, 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    # the file-source stream globs for a FILE named events.parquet
+    import glob as _glob
+    import shutil
+
+    staging = tmp_path / "staging"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/events.parquet"
+    )
+    part = _glob.glob(f"{staging}/events.parquet/part-*.parquet")[0]
+    shutil.copy(part, corpus / "events.parquet")
+    got = [
+        (r["event_type"], r["n_events"], r["rnk"])
+        for r in stream_topk(spark, str(corpus)).collect()
+    ]
+    assert got == [("view", 3, 1), ("click", 2, 2), ("error", 2, 3)], got
