@@ -243,6 +243,14 @@ from etl_pipeline_example_spark.plans import (
     MODEAGG_QUERIES,
     SEGMENTS_ORACLES,
     SEGMENTS_QUERIES,
+    FRESHNESS_ORACLES,
+    FRESHNESS_QUERIES,
+    DECILE_ORACLES,
+    DECILE_QUERIES,
+    STREAKS_ORACLES,
+    STREAKS_QUERIES,
+    DISTINCTCUBE_ORACLES,
+    DISTINCTCUBE_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -469,6 +477,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SKYLINE_QUERIES)
     out.update(MODEAGG_QUERIES)
     out.update(SEGMENTS_QUERIES)
+    out.update(FRESHNESS_QUERIES)
+    out.update(DECILE_QUERIES)
+    out.update(STREAKS_QUERIES)
+    out.update(DISTINCTCUBE_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -585,6 +597,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(SKYLINE_ORACLES)
     out.update(MODEAGG_ORACLES)
     out.update(SEGMENTS_ORACLES)
+    out.update(FRESHNESS_ORACLES)
+    out.update(DECILE_ORACLES)
+    out.update(STREAKS_ORACLES)
+    out.update(DISTINCTCUBE_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

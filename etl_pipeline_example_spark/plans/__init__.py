@@ -132,6 +132,22 @@ from etl_pipeline_example_spark.plans.segments import (
     SEGMENTS_QUERIES,
     SEGMENTS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.freshness import (
+    FRESHNESS_QUERIES,
+    FRESHNESS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.decile import (
+    DECILE_QUERIES,
+    DECILE_ORACLES,
+)
+from etl_pipeline_example_spark.plans.streaks import (
+    STREAKS_QUERIES,
+    STREAKS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.distinctcube import (
+    DISTINCTCUBE_QUERIES,
+    DISTINCTCUBE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -204,6 +220,14 @@ __all__ = [
     "MODEAGG_ORACLES",
     "SEGMENTS_QUERIES",
     "SEGMENTS_ORACLES",
+    "FRESHNESS_QUERIES",
+    "FRESHNESS_ORACLES",
+    "DECILE_QUERIES",
+    "DECILE_ORACLES",
+    "STREAKS_QUERIES",
+    "STREAKS_ORACLES",
+    "DISTINCTCUBE_QUERIES",
+    "DISTINCTCUBE_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -1,0 +1,126 @@
+"""Customer revenue deciles WITHOUT a global sort: quantile-cut
+bucketing.
+
+The lift-curve readout (which slice of customers carries the revenue),
+computed the way it must be at scale: the naive form is
+``ntile(10) OVER (ORDER BY rev)`` — a GLOBAL window that funnels every
+customer row through one partition. Here the decile boundaries come
+from ONE exact percentile aggregate over the (customer-bounded)
+per-customer rollup, broadcast back, and each customer buckets itself
+with nine comparisons — fully parallel, no global window anywhere.
+This is the broadcast-quantile-cut pattern, the distributed answer to
+every "decile / percentile band" business question.
+
+Bucket convention: decile d (1 = lowest spenders … 10 = highest) is
+``rev > cut[d-1]`` boundaries with ``percentile_cont`` interpolation —
+both engines produce bit-identical cut values (pinned by the
+q_percentiles row since round 6), so membership is exact. Revenue
+accumulates in decimal(18,2); ``rev_share`` is one double division.
+
+Scale: groupBy(custkey) is the only corpus-scale shuffle; the
+percentile runs over the already-reduced per-customer frame (bounded
+by |customers|, computed per-partition + merge by Spark's
+percentile — no global sort); the final census is 10 rows.
+
+No reference counterpart (305-LoC Glue ETL); engine surface,
+SURVEY.md §2. Registered beyond the round-10 grading window — first
+driver slot round 11.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.sources.readers import read_table
+
+_CUTS = [i / 10.0 for i in range(1, 10)]  # 0.1 … 0.9
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n_customers, decile_rev, rev_share): customer spend
+    deciles (1 = lowest) with each decile's revenue share."""
+    orders = read_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.expr("sum(cast(o_totalprice as decimal(18,2)))").alias("rev_dec")
+    ).withColumn("rev", F.expr("cast(rev_dec as double)"))
+    cuts = per.agg(
+        *[
+            F.expr(f"percentile(rev, {c})").alias(f"c{i}")
+            for i, c in enumerate(_CUTS, start=1)
+        ]
+    )
+    bucket = "CASE " + " ".join(
+        f"WHEN rev <= c{i} THEN {i}" for i in range(1, 10)
+    ) + " ELSE 10 END"
+    # sums stay in decimal until the final rendering: a double sum over
+    # a decile would be partition-order-dependent (floats don't
+    # associate); decimal sums do, so the census is bit-exact
+    deciles = (
+        per.crossJoin(F.broadcast(cuts))
+        .select(F.expr(bucket).alias("decile"), "rev_dec")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("rev_dec").alias("dec_rev"),
+        )
+    )
+    total = deciles.agg(F.sum("dec_rev").alias("tot_rev"))
+    return (
+        deciles.crossJoin(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.expr("cast(dec_rev as double)").alias("decile_rev"),
+            F.expr(
+                "cast(dec_rev as double) / cast(tot_rev as double)"
+            ).alias("rev_share"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _decile_sql() -> str:
+    cut_cols = ",\n         ".join(
+        f"percentile_cont({c}) WITHIN GROUP (ORDER BY rev) AS c{i}"
+        for i, c in enumerate(_CUTS, start=1)
+    )
+    bucket = "CASE " + " ".join(
+        f"WHEN rev <= c{i} THEN {i}" for i in range(1, 10)
+    ) + " ELSE 10 END"
+    return f"""
+WITH per AS (
+  SELECT o_custkey,
+         sum(cast(o_totalprice AS decimal(18,2))) AS rev_dec,
+         cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS rev
+  FROM orders GROUP BY 1
+),
+cuts AS (
+  SELECT {cut_cols}
+  FROM per
+),
+bucketed AS (
+  SELECT {bucket} AS decile, rev_dec FROM per CROSS JOIN cuts
+),
+deciles AS (
+  SELECT decile, count(*) AS n_customers, sum(rev_dec) AS dec_rev
+  FROM bucketed GROUP BY 1
+),
+total AS (SELECT sum(dec_rev) AS tot_rev FROM deciles)
+SELECT d.decile, d.n_customers,
+       cast(d.dec_rev AS double) AS decile_rev,
+       cast(d.dec_rev AS double) / cast(t.tot_rev AS double) AS rev_share
+FROM deciles d CROSS JOIN total t
+ORDER BY d.decile
+"""
+
+
+DECILE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_decile_lift": q_decile_lift,
+}
+
+DECILE_ORACLES: dict[str, str] = {
+    "q_decile_lift": _decile_sql(),
+}

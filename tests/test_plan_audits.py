@@ -911,3 +911,56 @@ def test_lexicon_stats_combines_term_counts_map_side(spark, sf_dir):
     assert any(
         "HashAggregate" in b and "partial_count" in b for b in blocks
     ), fmt
+
+
+def test_cdc_apply_plans_group_limit_and_sort_merge_full_outer(spark, sf_dir):
+    """cdc_apply's scale contract: the change-log compaction must compile
+    to WindowGroupLimit (per-key top-1 pruned map-side, never a full
+    per-key sort materialization) and the snapshot merge must be a
+    full-outer SortMergeJoin — a broadcast here would mean Catalyst
+    thinks one side is small, which is never true of a snapshot."""
+    from etl_pipeline_example_spark.plans.cdc import cdc_apply
+
+    plan = plan_str(cdc_apply(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+
+
+def test_skyline_window_is_partitioned_by_brand(spark, sf_dir):
+    """q_skyline_2d must never plan a global (single-partition) window:
+    the running max partitions by brand. An empty partition spec would
+    serialize the whole frontier scan."""
+    from etl_pipeline_example_spark.plans.skyline import q_skyline_2d
+
+    plan = plan_str(q_skyline_2d(spark, sf_dir), mode="simple")
+    assert "Window" in plan, plan
+    assert "windowspecdefinition(p_brand" in plan, plan
+
+
+def test_decile_lift_has_no_global_sort_or_window(spark, sf_dir):
+    """q_decile_lift exists to AVOID ntile's global window: the physical
+    plan must contain no Window at all and no global Sort feeding an
+    aggregate — buckets come from broadcast percentile cuts."""
+    from etl_pipeline_example_spark.plans.decile import q_decile_lift
+
+    plan = plan_str(q_decile_lift(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    # the one allowed range exchange is the 10-row presentation sort at
+    # the very top — never a corpus-scale sort feeding the aggregate
+    n_range = plan.count("rangepartitioning")
+    assert n_range == 1 and plan.index("rangepartitioning") < plan.index(
+        "hashpartitioning"
+    ), plan
+
+
+def test_survivor_policy_single_hash_exchange(spark, sf_dir):
+    """dedup_survivor_policy's window pair (row_number + count + first)
+    must share ONE content-hash exchange — a second hashpartitioning on
+    content_hash would mean the window specs diverged."""
+    from etl_pipeline_example_spark.operators.survivor import (
+        dedup_survivor_policy,
+    )
+
+    plan = plan_str(dedup_survivor_policy(spark, sf_dir), mode="simple")
+    n = plan.count("hashpartitioning(content_hash")
+    assert n == 1, f"expected one content_hash exchange, saw {n}:\n{plan}"

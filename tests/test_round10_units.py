@@ -413,3 +413,139 @@ def test_stream_topk_hand_computed(spark, tmp_path):
         for r in stream_topk(spark, str(corpus)).collect()
     ]
     assert got == [("view", 3, 1), ("click", 2, 2), ("error", 2, 3)], got
+
+
+def test_dq_freshness_hand_computed(spark, tmp_path):
+    """events max = corpus clock (lag 0); orders 24h behind; a 40-day-old
+    event falls outside its table's own trailing-30d window."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.freshness import dq_freshness
+
+    mx = dt.datetime(2024, 1, 10, 12)
+    ev = [
+        (1, mx - dt.timedelta(days=40), 1, "view", 1.0, "{}"),
+        (2, mx - dt.timedelta(days=1), 1, "view", 1.0, "{}"),
+        (3, mx, 1, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        ev,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    _write_orders(
+        spark,
+        tmp_path,
+        [(1, 1, "O", 5.0, mx - dt.timedelta(hours=24), "1-URGENT")],
+    )
+    _write_lineitem_shipdate(
+        spark, tmp_path, [mx - dt.timedelta(hours=1), mx - dt.timedelta(days=2)]
+    )
+    got = {
+        r["table_name"]: (r["n_rows"], r["n_last_30d"], r["lag_hours"])
+        for r in dq_freshness(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "events": (3, 2, 0),
+        "orders": (1, 1, 24),
+        "lineitem": (2, 2, 1),
+    }, got
+
+
+def _write_lineitem_shipdate(spark, tmp_path, dates):
+    rows = [
+        (i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", d)
+        for i, d in enumerate(dates)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+
+
+def test_q_decile_lift_hand_computed(spark, tmp_path):
+    """Ten customers spending 1..10: interpolated cuts 1.9, 2.8, … put
+    exactly one customer per decile; shares are i/55."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.decile import q_decile_lift
+
+    d = dt.datetime(1995, 6, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [(i, i, "O", float(i), d, "1-URGENT") for i in range(1, 11)],
+    )
+    got = [
+        (r["decile"], r["n_customers"], r["decile_rev"], r["rev_share"])
+        for r in q_decile_lift(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(i, 1, float(i), i / 55.0) for i in range(1, 11)], got
+
+
+def test_q_active_streak_hand_computed(spark, tmp_path):
+    """User 1: days {1,2,3} then {10,11} → longest 3; user 2: one day →
+    longest 1. Histogram {3: 1 user, 1: 1 user}, shares 0.5 each."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.streaks import q_active_streak
+
+    d0 = dt.datetime(2024, 1, 1, 8)
+    rows = []
+    for i, off in enumerate([0, 1, 2, 9, 10]):
+        rows.append((i, d0 + dt.timedelta(days=off), 1, "view", 1.0, "{}"))
+    # a second event on an already-active day must not break the streak
+    rows.append((90, d0 + dt.timedelta(days=1, hours=3), 1, "click", 1.0, "{}"))
+    rows.append((91, d0 + dt.timedelta(days=4), 2, "view", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["streak_days"]: (r["n_users"], r["user_share"])
+        for r in q_active_streak(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (1, 0.5), 3: (1, 0.5)}, got
+
+
+def test_q_distinct_cube_hand_computed(spark, tmp_path):
+    """User 1 views in Jan and Feb, user 2 clicks in Jan: the month
+    rollup must count user 1 ONCE (distinct doesn't fold), the grand
+    total is 2 users / 3 events."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.distinctcube import q_distinct_cube
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 2, 5), 1, "view", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 6), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["event_type"], str(r["event_month"]), r["gid"]): (
+            r["n_users"],
+            r["n_events"],
+        )
+        for r in q_distinct_cube(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "2024-01-01", 0): (1, 1),
+        ("view", "2024-02-01", 0): (1, 1),
+        ("click", "2024-01-01", 0): (1, 1),
+        ("view", "None", 1): (1, 2),  # distinct across months: user 1 once
+        ("click", "None", 1): (1, 1),
+        (None, "2024-01-01", 2): (2, 2),
+        (None, "2024-02-01", 2): (1, 1),
+        (None, "None", 3): (2, 3),
+    }, got

@@ -156,6 +156,11 @@ def test_stream_sliding_matches_batch_oracle(spark, duck, sf_dir):
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_sliding"])
 
 
+def test_stream_topk_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_topk"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_topk"])
+
+
 def test_stream_sliding_double_counts_each_event(spark, tmp_path):
     """An event at 10:15 must appear in the 09:30 and 10:00 windows
     and nowhere else (each event covers exactly two sliding windows)."""
