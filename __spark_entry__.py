@@ -193,6 +193,8 @@ from etl_pipeline_example_spark.operators import (
     LANGEVAL_QUERIES,
     CHARTRIGRAM_ORACLES,
     CHARTRIGRAM_QUERIES,
+    FERTILITY_ORACLES,
+    FERTILITY_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -251,6 +253,10 @@ from etl_pipeline_example_spark.plans import (
     STREAKS_QUERIES,
     DISTINCTCUBE_ORACLES,
     DISTINCTCUBE_QUERIES,
+    GROUPPCT_ORACLES,
+    GROUPPCT_QUERIES,
+    NUMCORR_ORACLES,
+    NUMCORR_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -481,9 +487,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DECILE_QUERIES)
     out.update(STREAKS_QUERIES)
     out.update(DISTINCTCUBE_QUERIES)
+    out.update(GROUPPCT_QUERIES)
+    out.update(NUMCORR_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
+    out.update(FERTILITY_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -601,9 +610,12 @@ def oracle_sql() -> dict[str, str]:
     out.update(DECILE_ORACLES)
     out.update(STREAKS_ORACLES)
     out.update(DISTINCTCUBE_ORACLES)
+    out.update(GROUPPCT_ORACLES)
+    out.update(NUMCORR_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)
+    out.update(FERTILITY_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

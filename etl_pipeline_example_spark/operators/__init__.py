@@ -156,6 +156,10 @@ from etl_pipeline_example_spark.operators.chartrigram import (
     CHARTRIGRAM_QUERIES,
     CHARTRIGRAM_ORACLES,
 )
+from etl_pipeline_example_spark.operators.fertility import (
+    FERTILITY_QUERIES,
+    FERTILITY_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -366,4 +370,6 @@ __all__ = [
     "LANGEVAL_ORACLES",
     "CHARTRIGRAM_QUERIES",
     "CHARTRIGRAM_ORACLES",
+    "FERTILITY_QUERIES",
+    "FERTILITY_ORACLES",
 ]

@@ -148,6 +148,14 @@ from etl_pipeline_example_spark.plans.distinctcube import (
     DISTINCTCUBE_QUERIES,
     DISTINCTCUBE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.grouppct import (
+    GROUPPCT_QUERIES,
+    GROUPPCT_ORACLES,
+)
+from etl_pipeline_example_spark.plans.numcorr import (
+    NUMCORR_QUERIES,
+    NUMCORR_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -228,6 +236,10 @@ __all__ = [
     "STREAKS_ORACLES",
     "DISTINCTCUBE_QUERIES",
     "DISTINCTCUBE_ORACLES",
+    "GROUPPCT_QUERIES",
+    "GROUPPCT_ORACLES",
+    "NUMCORR_QUERIES",
+    "NUMCORR_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

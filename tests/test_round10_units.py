@@ -549,3 +549,122 @@ def test_q_distinct_cube_hand_computed(spark, tmp_path):
         (None, "2024-02-01", 2): (1, 1),
         (None, "None", 3): (2, 3),
     }, got
+
+
+def test_bpe_fertility_consistency(spark, tmp_path):
+    """The per-source rollup must equal a direct groupBy over
+    bpe_encode's own output joined to the documents table — pins the
+    composition wiring (join key, sums, ratio definitions)."""
+    from etl_pipeline_example_spark.operators.bpe import bpe_encode
+    from etl_pipeline_example_spark.operators.fertility import bpe_fertility
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "the cat sat on the mat", "en", "sA"),
+            (2, "the cat ran", "en", "sA"),
+            (3, "der hund und der ball", "de", "sB"),
+        ],
+    )
+    enc = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in bpe_encode(spark, sf).collect()}
+    docs = {1: ("sA", 22), 2: ("sA", 11), 3: ("sB", 21)}
+    want = {}
+    for did, (src, nch) in docs.items():
+        w, t = enc[did]
+        d = want.setdefault(src, [0, 0, 0, 0])
+        d[0] += 1
+        d[1] += w
+        d[2] += t
+        d[3] += nch
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_words"],
+            r["n_bpe_tokens"],
+            r["tokens_per_word"],
+            r["chars_per_token"],
+        )
+        for r in bpe_fertility(spark, sf).collect()
+    }
+    for src, (nd, nw, nt, nch) in want.items():
+        assert got[src] == (nd, nw, nt, nt / nw, nch / nt), (src, got[src])
+
+
+def test_q_group_percentiles_hand_computed(spark, tmp_path):
+    """One segment with customer revenues 10/20/30: p50 = 20, p90 = 28,
+    p99 = 29.8 (interpolated)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.grouppct import q_group_percentiles
+
+    d = dt.datetime(1995, 6, 1)
+    _write_orders(
+        spark,
+        tmp_path,
+        [
+            (1, 1, "O", 10.0, d, "1-URGENT"),
+            (2, 2, "O", 20.0, d, "1-URGENT"),
+            (3, 3, "O", 30.0, d, "1-URGENT"),
+        ],
+    )
+    spark.createDataFrame(
+        [(i, f"c{i}", 0, 0.0, "BUILDING") for i in (1, 2, 3)],
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/customer.parquet"
+    )
+    r = q_group_percentiles(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (
+        row["c_mktsegment"],
+        row["n_customers"],
+        row["p50_rev"],
+        row["p90_rev"],
+    ) == ("BUILDING", 3, 20.0, 28.0), r
+    assert abs(row["p99_rev"] - 29.8) < 1e-9, r
+
+
+def test_q_numeric_corr_hand_computed(spark, tmp_path):
+    """quantity and extendedprice perfectly correlated (price = 10×qty)
+    → r = 1; a constant column yields NULL/NaN denominators, excluded
+    here by using varying tax anti-correlated with qty → r = -1."""
+    from etl_pipeline_example_spark.plans.numcorr import q_numeric_corr
+
+    _write_lineitem_corr(
+        spark,
+        tmp_path,
+        [
+            (1.0, 10.0, 0.01, 0.03),
+            (2.0, 20.0, 0.02, 0.02),
+            (3.0, 30.0, 0.03, 0.01),
+        ],
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["r"]
+        for r in q_numeric_corr(spark, str(tmp_path)).collect()
+    }
+    assert abs(got[("l_quantity", "l_extendedprice")] - 1.0) < 1e-12, got
+    assert abs(got[("l_quantity", "l_discount")] - 1.0) < 1e-12, got
+    assert abs(got[("l_quantity", "l_tax")] + 1.0) < 1e-12, got
+    assert len(got) == 6, got
+
+
+def _write_lineitem_corr(spark, tmp_path, rows):
+    import datetime as dt
+
+    full = [
+        (i, 1, 1, 1, q, p, d, t, "N", "O", dt.datetime(1995, 1, 1))
+        for i, (q, p, d, t) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        full,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
