@@ -195,6 +195,8 @@ from etl_pipeline_example_spark.operators import (
     CHARTRIGRAM_QUERIES,
     FERTILITY_ORACLES,
     FERTILITY_QUERIES,
+    PHASH_ORACLES,
+    PHASH_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -257,6 +259,8 @@ from etl_pipeline_example_spark.plans import (
     GROUPPCT_QUERIES,
     NUMCORR_ORACLES,
     NUMCORR_QUERIES,
+    TRANSITIONS_ORACLES,
+    TRANSITIONS_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -489,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DISTINCTCUBE_QUERIES)
     out.update(GROUPPCT_QUERIES)
     out.update(NUMCORR_QUERIES)
+    out.update(TRANSITIONS_QUERIES)
+    out.update(PHASH_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -612,6 +618,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(DISTINCTCUBE_ORACLES)
     out.update(GROUPPCT_ORACLES)
     out.update(NUMCORR_ORACLES)
+    out.update(TRANSITIONS_ORACLES)
+    out.update(PHASH_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -160,6 +160,10 @@ from etl_pipeline_example_spark.operators.fertility import (
     FERTILITY_QUERIES,
     FERTILITY_ORACLES,
 )
+from etl_pipeline_example_spark.operators.phash import (
+    PHASH_QUERIES,
+    PHASH_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -372,4 +376,6 @@ __all__ = [
     "CHARTRIGRAM_ORACLES",
     "FERTILITY_QUERIES",
     "FERTILITY_ORACLES",
+    "PHASH_QUERIES",
+    "PHASH_ORACLES",
 ]

@@ -156,6 +156,10 @@ from etl_pipeline_example_spark.plans.numcorr import (
     NUMCORR_QUERIES,
     NUMCORR_ORACLES,
 )
+from etl_pipeline_example_spark.plans.transitions import (
+    TRANSITIONS_QUERIES,
+    TRANSITIONS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -240,6 +244,8 @@ __all__ = [
     "GROUPPCT_ORACLES",
     "NUMCORR_QUERIES",
     "NUMCORR_ORACLES",
+    "TRANSITIONS_QUERIES",
+    "TRANSITIONS_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -668,3 +668,54 @@ def _write_lineitem_corr(spark, tmp_path, rows):
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{tmp_path}/lineitem.parquet"
     )
+
+
+def test_q_event_transitions_hand_computed(spark, tmp_path):
+    """User 1: view→click→view, user 2: click→view. Matrix:
+    view→click 1 (p=1.0), click→view 2 (p=1.0)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.transitions import (
+        q_event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 1, "view", 1.0, "{}"),
+        (4, t0, 2, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(minutes=1), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r["ev_from"], r["ev_to"]): (r["n_trans"], r["p_next"])
+        for r in q_event_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 1.0),
+        ("click", "view"): (2, 1.0),
+    }, got
+
+
+def test_multimodal_phash_hand_computed(spark, tmp_path):
+    """doc 0 is an 8×8 image with gray = 3(3x+7y)+33 (no mod wrap):
+    threshold 64g > 8832 sets exactly the 31 bits with 3x+7y >= 36 —
+    lo = bits {29,30,31}, hi = the derived 28-bit pattern. Odd doc ids
+    (audio) are skipped."""
+    from etl_pipeline_example_spark.operators.phash import multimodal_phash
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [(0, "img doc", "en", "sA"), (1, "wav doc", "en", "sA")],
+    )
+    got = [
+        (r["doc_id"], r["n_ones"], r["hash_lo"], r["hash_hi"])
+        for r in multimodal_phash(spark, sf).collect()
+    ]
+    assert got == [(0, 31, 3758096384, 4294967032)], got
