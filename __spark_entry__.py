@@ -197,6 +197,8 @@ from etl_pipeline_example_spark.operators import (
     FERTILITY_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
+    PHASHDUP_ORACLES,
+    PHASHDUP_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -261,6 +263,8 @@ from etl_pipeline_example_spark.plans import (
     NUMCORR_QUERIES,
     TRANSITIONS_ORACLES,
     TRANSITIONS_QUERIES,
+    GROUPREG_ORACLES,
+    GROUPREG_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -307,16 +311,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_freeze.py): r7/r8/r9-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# ROUND-11 PLAN (commit now, execute next round): _REGISTER_FIRST :=
-#   1. every full-oracle entry added during round 10 (registered beyond
-#      this window as they land, first-evidence priority), plus any
-#      entry round-11 churn pulls out of the freeze;
+# ROUND-11 PLAN (committed at round-10 end, execute next round):
+# _REGISTER_FIRST := exactly these 50, in this order —
+#   1. first evidence: the round-10 additions, registration order
+#      (cdc_apply, agg_merge_states, q_order_gap_dist, q_yoy_growth,
+#      q_skyline_2d, q_mode_per_group, q_behavior_segments,
+#      dedup_survivor_policy, lang_confusion, ngram_lang_profile,
+#      stream_topk, dq_freshness, q_decile_lift, q_active_streak,
+#      q_distinct_cube, bpe_fertility, q_group_percentiles,
+#      q_numeric_corr, q_event_transitions, multimodal_phash,
+#      multimodal_phash_dups, q_group_regression — 22 entries), plus any
+#      entry round-11 churn pulls out of the freeze (displacing tail
+#      slots below if needed);
 #   2. the 11 remaining r6-stale TPC-H-extra plans (q8_mktshare,
 #      q9_profit, q10_returns, q11_part_value, q15_top_supplier,
 #      q16_supplier_cnt, q17_small_quantity, q18_large_orders,
 #      q19_disjunctive, q21_sole_fault, q22_idle_rich — byte-frozen
 #      since their r6 green rows);
-#   3. remaining slots: r7-stale refresh, oldest evidence first.
+#   3. the 17 oldest r7-stale entries: scd2_merge, q_window_funnel,
+#      q_retention, q_event_path, q_sequence_match, anomaly_mad,
+#      q_basket_pairs, q_funnel_lag, q_full_outer_recon, q_rfm,
+#      q_seasonality, li_shipping_lag, supplier_scorecard,
+#      q_revenue_concentration, q_events_heatmap, corpus_stats,
+#      dup_rate_by_source (dedup_incremental/dedup_savings and the
+#      rest of the r7 cohort roll to round 12).
 _REGISTER_FIRST = [
     # (a) first evidence: round-9-late additions, registration order
     "dq_rules",
@@ -495,6 +513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(NUMCORR_QUERIES)
     out.update(TRANSITIONS_QUERIES)
     out.update(PHASH_QUERIES)
+    out.update(PHASHDUP_QUERIES)
+    out.update(GROUPREG_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -620,6 +640,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(NUMCORR_ORACLES)
     out.update(TRANSITIONS_ORACLES)
     out.update(PHASH_ORACLES)
+    out.update(PHASHDUP_ORACLES)
+    out.update(GROUPREG_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

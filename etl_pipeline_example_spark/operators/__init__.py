@@ -164,6 +164,10 @@ from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
 )
+from etl_pipeline_example_spark.operators.phashdup import (
+    PHASHDUP_QUERIES,
+    PHASHDUP_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -378,4 +382,6 @@ __all__ = [
     "FERTILITY_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
+    "PHASHDUP_QUERIES",
+    "PHASHDUP_ORACLES",
 ]

@@ -160,6 +160,10 @@ from etl_pipeline_example_spark.plans.transitions import (
     TRANSITIONS_QUERIES,
     TRANSITIONS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.groupreg import (
+    GROUPREG_QUERIES,
+    GROUPREG_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -246,6 +250,8 @@ __all__ = [
     "NUMCORR_ORACLES",
     "TRANSITIONS_QUERIES",
     "TRANSITIONS_ORACLES",
+    "GROUPREG_QUERIES",
+    "GROUPREG_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -719,3 +719,48 @@ def test_multimodal_phash_hand_computed(spark, tmp_path):
         for r in multimodal_phash(spark, sf).collect()
     ]
     assert got == [(0, 31, 3758096384, 4294967032)], got
+
+
+def test_multimodal_phash_dups_hand_computed(spark, tmp_path):
+    """Docs 0 and 24 share (8,8) dims and a constant gray shift with no
+    mod-256 wrap, so their aHashes are identical → one pair at Hamming
+    0. The odd doc (audio) never appears."""
+    from etl_pipeline_example_spark.operators.phashdup import (
+        multimodal_phash_dups,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [(0, "a", "en", "sA"), (24, "b", "en", "sA"), (1, "c", "en", "sA")],
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in multimodal_phash_dups(spark, sf).collect()
+    ]
+    assert got == [(0, 24, 0)], got
+
+
+def test_q_group_regression_hand_computed(spark, tmp_path):
+    """One brand, (discount, qty) = (0.0,1), (0.1,2), (0.2,3): the OLS
+    line is qty = 1 + 10·discount."""
+    from etl_pipeline_example_spark.plans.groupreg import q_group_regression
+
+    _write_lineitem_corr(
+        spark,
+        tmp_path,
+        [
+            (1.0, 9.0, 0.0, 0.0),
+            (2.0, 9.0, 0.1, 0.0),
+            (3.0, 9.0, 0.2, 0.0),
+        ],
+    )
+    spark.createDataFrame(
+        [(1, "p", "Brand#1", "t", 5, 1.0)],
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    r = q_group_regression(spark, str(tmp_path)).collect()
+    assert len(r) == 1 and r[0]["n_rows"] == 3, r
+    assert abs(r[0]["slope"] - 10.0) < 1e-9, r
+    assert abs(r[0]["intercept"] - 1.0) < 1e-9, r
