@@ -168,6 +168,10 @@ from etl_pipeline_example_spark.operators.phashdup import (
     PHASHDUP_QUERIES,
     PHASHDUP_ORACLES,
 )
+from etl_pipeline_example_spark.operators.vocabgrowth import (
+    VOCABGROWTH_QUERIES,
+    VOCABGROWTH_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -384,4 +388,6 @@ __all__ = [
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",
     "PHASHDUP_ORACLES",
+    "VOCABGROWTH_QUERIES",
+    "VOCABGROWTH_ORACLES",
 ]

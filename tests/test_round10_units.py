@@ -764,3 +764,32 @@ def test_q_group_regression_hand_computed(spark, tmp_path):
     assert len(r) == 1 and r[0]["n_rows"] == 3, r
     assert abs(r[0]["slope"] - 10.0) < 1e-9, r
     assert abs(r[0]["intercept"] - 1.0) < 1e-9, r
+
+
+def test_vocab_growth_hand_computed(spark, tmp_path):
+    """Docs 1..5 ('a', 'a b', 'a', 'c', 'd e'): cutoffs 1/2/3/4/5 give
+    distinct-word counts 1/2/2/3/5."""
+    from etl_pipeline_example_spark.operators.vocabgrowth import vocab_growth
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "a", "en", "sA"),
+            (2, "a b", "en", "sA"),
+            (3, "a", "en", "sA"),
+            (4, "c", "en", "sA"),
+            (5, "d e", "en", "sA"),
+        ],
+    )
+    got = [
+        (r["pct"], r["cutoff_doc"], r["n_docs"], r["distinct_words"])
+        for r in vocab_growth(spark, sf).collect()
+    ]
+    assert got == [
+        (20, 1, 1, 1),
+        (40, 2, 2, 2),
+        (60, 3, 3, 2),
+        (80, 4, 4, 3),
+        (100, 5, 5, 5),
+    ], got
