@@ -964,3 +964,44 @@ def test_survivor_policy_single_hash_exchange(spark, sf_dir):
     plan = plan_str(dedup_survivor_policy(spark, sf_dir), mode="simple")
     n = plan.count("hashpartitioning(content_hash")
     assert n == 1, f"expected one content_hash exchange, saw {n}:\n{plan}"
+
+
+def test_numeric_corr_is_one_scan_no_shuffle_width(spark, sf_dir):
+    """q_numeric_corr's whole moment state must come from ONE lineitem
+    scan reduced to a single row: no hash-partitioned exchange, no
+    window, no join anywhere in the plan."""
+    from etl_pipeline_example_spark.plans.numcorr import q_numeric_corr
+
+    plan = plan_str(q_numeric_corr(spark, sf_dir), mode="simple")
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+
+
+def test_group_regression_broadcasts_the_dim(spark, sf_dir):
+    """q_group_regression's part→brand join must broadcast: a
+    sort-merge join here would shuffle the fact table twice."""
+    from etl_pipeline_example_spark.plans.groupreg import q_group_regression
+
+    plan = plan_str(q_group_regression(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_distinct_cube_routes_through_expand(spark, sf_dir):
+    """q_distinct_cube exists to pin the non-additive path: Expand must
+    appear (grouping-set fan-out) — if Catalyst ever 'optimizes' it
+    away the distinct counts would silently fold like sums."""
+    from etl_pipeline_example_spark.plans.distinctcube import q_distinct_cube
+
+    plan = plan_str(q_distinct_cube(spark, sf_dir), mode="simple")
+    assert "Expand" in plan, plan
+
+
+def test_agg_merge_states_partial_aggregates(spark, sf_dir):
+    """agg_merge_states' partial pass must map-side combine (partial_
+    functions before the exchange) — the whole point of the operator is
+    that per-batch states are tiny."""
+    from etl_pipeline_example_spark.plans.partialagg import agg_merge_states
+
+    plan = plan_str(agg_merge_states(spark, sf_dir), mode="simple")
+    assert "partial_count" in plan or "partial_sum" in plan, plan
