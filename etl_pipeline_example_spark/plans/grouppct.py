@@ -15,8 +15,9 @@ double rendering; both engines interpolate percentile_cont identically
 Scale: groupBy(custkey) over orders is the only corpus-scale shuffle;
 the percentile groupBy runs over |customers| rows in |segments| groups
 — per-group state is customer-bounded, the documented cost of EXACT
-grouped percentiles (the sketch path is dq_profile_approx). Joining
-the segment dimension broadcasts.
+grouped percentiles (the sketch path is dq_profile_approx). The customer
+join stays AQE-decided (customer scales with SF — never a forced
+broadcast).
 
 No reference counterpart (305-LoC Glue ETL); engine surface,
 SURVEY.md §2. Registered beyond the round-10 grading window — first
@@ -41,8 +42,9 @@ def q_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
     per = (
+        # customer scales with SF: no forced broadcast — AQE decides
         orders.join(
-            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            cust.select("c_custkey", "c_mktsegment"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy("c_mktsegment", "o_custkey")

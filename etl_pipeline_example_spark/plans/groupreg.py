@@ -14,7 +14,8 @@ and the closed forms
 evaluate in fixed-order correctly-rounded doubles — bit-identical
 across engines and partitionings.
 
-Scale: one broadcast dim join (part → brand) onto the fact scan, then
+Scale: one dim join (part → brand, AQE-decided build side — part
+scales with SF so it carries no forced hint) onto the fact scan, then
 ONE map-side-combined groupBy(brand) carrying 5 moment cells — output
 bounded by |brands|. The regression math runs on 25 rows. At 100 TB
 this is a scan with a broadcast hash join, nothing else.
@@ -63,8 +64,10 @@ def q_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_discount", "l_quantity"
     )
     part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # part scales with SF: no forced broadcast hint — AQE broadcasts
+    # from runtime stats when the dim is actually small
     moments = (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(*[F.expr(e).alias(al) for e, al in _MOMENTS])
     )

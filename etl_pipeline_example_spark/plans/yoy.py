@@ -11,8 +11,8 @@ Exactness: revenue accumulates in decimal(18,2) (associative, exact);
 decimal renderings — correctly-rounded IEEE, bit-exact cross-engine.
 
 Scale: one groupBy (nation, year) over the orders⋈customer⋈nation
-join — customer⋈nation broadcasts (25 rows), orders⋈customer is the
-only corpus-scale shuffle; the window runs over ≤ years-per-nation
+join — nation (fixed 25 rows) carries the only forced broadcast,
+customer scales with SF so its join stays AQE-decided; the window runs over ≤ years-per-nation
 rows (bounded dimension, never fact-sized partitions).
 
 No reference counterpart (305-LoC Glue ETL); engine surface,
@@ -38,13 +38,14 @@ def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     nation = read_table(spark, sf_dir, "nation")
     annual = (
+        # nation (fixed 25 rows) carries the only forced broadcast;
+        # customer SCALES with SF, so its join stays AQE-decided — a
+        # forced hint would override runtime stats at 100 TB
         orders.join(
-            F.broadcast(
-                cust.join(
-                    F.broadcast(nation),
-                    cust["c_nationkey"] == nation["n_nationkey"],
-                ).select("c_custkey", "n_name")
-            ),
+            cust.join(
+                F.broadcast(nation),
+                cust["c_nationkey"] == nation["n_nationkey"],
+            ).select("c_custkey", "n_name"),
             orders["o_custkey"] == F.col("c_custkey"),
         )
         .groupBy(
