@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.sources.readers import read_table
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 
 _CUTS = [i / 10.0 for i in range(1, 10)]  # 0.1 … 0.9
 
@@ -43,6 +47,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(decile, n_customers, decile_rev, rev_share): customer spend
     deciles (1 = lowest) with each decile's revenue share."""
     orders = read_table(spark, sf_dir, "orders")
+    release_similarity_caches()
     per = orders.groupBy("o_custkey").agg(
         F.expr("sum(cast(o_totalprice as decimal(18,2)))").alias("rev_dec")
     ).withColumn("rev", F.expr("cast(rev_dec as double)"))
@@ -58,7 +63,7 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sums stay in decimal until the final rendering: a double sum over
     # a decile would be partition-order-dependent (floats don't
     # associate); decimal sums do, so the census is bit-exact
-    deciles = (
+    deciles = tracked_persist(
         per.crossJoin(F.broadcast(cuts))
         .select(F.expr(bucket).alias("decile"), "rev_dec")
         .groupBy("decile")
@@ -66,6 +71,8 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.sum("rev_dec").alias("dec_rev"),
         )
+        # persisted (10 rows): the grand total is a second consumer —
+        # without it the whole bucket pass re-runs for the broadcast side
     )
     total = deciles.agg(F.sum("dec_rev").alias("tot_rev"))
     return (

@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.sources.readers import read_table
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 
 _FLAG = "max(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
 SEGMENT_LABEL = (
@@ -46,6 +50,7 @@ def q_behavior_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(segment, has_view, has_click, has_purchase, n_user_weeks,
     share): the 2×2×2 weekly engagement-combination census."""
     ev = read_table(spark, sf_dir, "events", parallel=True)
+    release_similarity_caches()
     users = ev.groupBy(
         "user_id", F.expr("date_trunc('week', ts)").alias("wk")
     ).agg(
@@ -53,8 +58,12 @@ def q_behavior_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_FLAG.format(t="click")).alias("has_click"),
         F.expr(_FLAG.format(t="purchase")).alias("has_purchase"),
     )
-    cells = users.groupBy("has_view", "has_click", "has_purchase").agg(
-        F.count(F.lit(1)).alias("n_user_weeks")
+    # persisted: the one-row total is a second consumer of cells — an
+    # unpersisted frame would re-run the corpus reduction for it
+    cells = tracked_persist(
+        users.groupBy("has_view", "has_click", "has_purchase").agg(
+            F.count(F.lit(1)).alias("n_user_weeks")
+        )
     )
     total = cells.agg(F.sum("n_user_weeks").alias("n_total"))
     return (

@@ -31,14 +31,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_pipeline_example_spark.sources.readers import read_table
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 
 
 def q_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(streak_days, n_users, user_share): histogram of each user's
     LONGEST consecutive-day activity streak."""
     ev = read_table(spark, sf_dir, "events")
+    release_similarity_caches()
+    # ONE exchange serves the whole keyed chain: hashpartitioning on
+    # user_id alone satisfies the (user_id, d) distinct, the per-user
+    # window AND the island groupBy (key-subset clustering rule)
+    dp = spark.sparkContext.defaultParallelism
     days = (
         ev.select("user_id", F.expr("cast(ts as date)").alias("d"))
+        .repartition(dp, "user_id")
         .distinct()
     )
     w = Window.partitionBy("user_id").orderBy("d")
@@ -54,8 +64,13 @@ def q_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest = islands.groupBy("user_id").agg(
         F.max("streak").alias("streak_days")
     )
-    hist = longest.groupBy("streak_days").agg(
-        F.count(F.lit(1)).alias("n_users")
+    # persist the tiny histogram: its total is a second consumer, and
+    # an unpersisted frame would recompute the whole corpus chain for
+    # the broadcast side (Spark doesn't share subplans)
+    hist = tracked_persist(
+        longest.groupBy("streak_days").agg(
+            F.count(F.lit(1)).alias("n_users")
+        )
     )
     total = hist.agg(F.sum("n_users").alias("n_total"))
     return (

@@ -31,12 +31,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_pipeline_example_spark.sources.readers import read_table
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 
 
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(ev_from, ev_to, n_trans, p_next): the first-order transition
     matrix over per-user event sequences."""
     ev = read_table(spark, sf_dir, "events")
+    release_similarity_caches()
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -44,8 +49,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("ev_to IS NOT NULL")
         .select(F.col("event_type").alias("ev_from"), "ev_to")
     )
-    cells = pairs.groupBy("ev_from", "ev_to").agg(
-        F.count(F.lit(1)).alias("n_trans")
+    # persisted: row totals are a second consumer — without the persist
+    # the broadcast side re-runs the lead() window over the corpus
+    cells = tracked_persist(
+        pairs.groupBy("ev_from", "ev_to").agg(
+            F.count(F.lit(1)).alias("n_trans")
+        )
     )
     totals = cells.groupBy("ev_from").agg(F.sum("n_trans").alias("n_from"))
     return (
