@@ -48,9 +48,15 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deciles (1 = lowest) with each decile's revenue share."""
     orders = read_table(spark, sf_dir, "orders")
     release_similarity_caches()
-    per = orders.groupBy("o_custkey").agg(
-        F.expr("sum(cast(o_totalprice as decimal(18,2)))").alias("rev_dec")
-    ).withColumn("rev", F.expr("cast(rev_dec as double)"))
+    # persisted: the percentile cuts AND the bucketing pass both consume
+    # the per-customer rollup — one orders scan instead of two
+    per = tracked_persist(
+        orders.groupBy("o_custkey").agg(
+            F.expr("sum(cast(o_totalprice as decimal(18,2)))").alias(
+                "rev_dec"
+            )
+        ).withColumn("rev", F.expr("cast(rev_dec as double)"))
+    )
     cuts = per.agg(
         *[
             F.expr(f"percentile(rev, {c})").alias(f"c{i}")
