@@ -172,6 +172,10 @@ from etl_pipeline_example_spark.operators.vocabgrowth import (
     VOCABGROWTH_QUERIES,
     VOCABGROWTH_ORACLES,
 )
+from etl_pipeline_example_spark.operators.mediaresize import (
+    MEDIARESIZE_QUERIES,
+    MEDIARESIZE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -390,4 +394,6 @@ __all__ = [
     "PHASHDUP_ORACLES",
     "VOCABGROWTH_QUERIES",
     "VOCABGROWTH_ORACLES",
+    "MEDIARESIZE_QUERIES",
+    "MEDIARESIZE_ORACLES",
 ]

@@ -793,3 +793,27 @@ def test_vocab_growth_hand_computed(spark, tmp_path):
         (80, 4, 4, 3),
         (100, 5, 5, 5),
     ], got
+
+
+def test_multimodal_resize_hand_computed(spark, tmp_path):
+    """doc 0 (8×8, gray = 9x + 21y + 33 per pixel): each 2×2 block sums
+    to 72·bx + 168·by + 192 with 4 pixels; audio doc skipped."""
+    from etl_pipeline_example_spark.operators.mediaresize import (
+        multimodal_resize,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [(0, "img", "en", "sA"), (1, "wav", "en", "sA")],
+    )
+    got = {
+        (r["by"], r["bx"]): (r["n_px"], r["sum_px"])
+        for r in multimodal_resize(spark, sf).collect()
+    }
+    want = {
+        (by, bx): (4, 72 * bx + 168 * by + 192)
+        for by in range(4)
+        for bx in range(4)
+    }
+    assert got == want, got
