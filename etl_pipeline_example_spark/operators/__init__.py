@@ -176,6 +176,10 @@ from etl_pipeline_example_spark.operators.mediaresize import (
     MEDIARESIZE_QUERIES,
     MEDIARESIZE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.audiofeat import (
+    AUDIOFEAT_QUERIES,
+    AUDIOFEAT_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -396,4 +400,6 @@ __all__ = [
     "VOCABGROWTH_ORACLES",
     "MEDIARESIZE_QUERIES",
     "MEDIARESIZE_ORACLES",
+    "AUDIOFEAT_QUERIES",
+    "AUDIOFEAT_ORACLES",
 ]

@@ -817,3 +817,37 @@ def test_multimodal_resize_hand_computed(spark, tmp_path):
         for bx in range(4)
     }
     assert got == want, got
+
+
+def test_multimodal_audio_energy_matches_planted_formula(spark, tmp_path):
+    """The operator measures through encode→decode; the expectation is
+    computed straight from the planted-sample formula (no bytes) — a
+    match certifies the PCM byte loop is lossless and the segment
+    lattice is the numpy one. Image doc skipped."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.audiofeat import (
+        SEGS,
+        multimodal_audio_energy,
+    )
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        planted_samples,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [(1, "wav", "en", "sA"), (2, "img", "en", "sA")],
+    )
+    smp = planted_samples(1).astype(np.int64)
+    n = smp.shape[0]
+    cuts = [(k * n) // SEGS for k in range(SEGS + 1)]
+    want = {}
+    for seg in range(SEGS):
+        b = smp[cuts[seg] : cuts[seg + 1]]
+        want[seg] = (int(b.size), int((b * b).sum()), int(b.max()))
+    got = {
+        r["seg"]: (r["n_samples"], r["sum_sq"], r["max_amp"])
+        for r in multimodal_audio_energy(spark, sf).collect()
+    }
+    assert got == want, (got, want)
