@@ -164,6 +164,10 @@ from etl_pipeline_example_spark.plans.groupreg import (
     GROUPREG_QUERIES,
     GROUPREG_ORACLES,
 )
+from etl_pipeline_example_spark.plans.diversity import (
+    DIVERSITY_QUERIES,
+    DIVERSITY_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -252,6 +256,8 @@ __all__ = [
     "TRANSITIONS_ORACLES",
     "GROUPREG_QUERIES",
     "GROUPREG_ORACLES",
+    "DIVERSITY_QUERIES",
+    "DIVERSITY_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -851,3 +851,32 @@ def test_multimodal_audio_energy_matches_planted_formula(spark, tmp_path):
         for r in multimodal_audio_energy(spark, sf).collect()
     }
     assert got == want, (got, want)
+
+
+def test_q_user_diversity_hand_computed(spark, tmp_path):
+    """User 1: 2 views + 1 click + 1 purchase (n=4, ssq=6, simpson =
+    1 - 6/16 = 0.625); user 2: 3 clicks only (simpson 0)."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.diversity import q_user_diversity
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0, 1, "view", 1.0, "{}"),
+        (3, t0, 1, "click", 1.0, "{}"),
+        (4, t0, 1, "purchase", 1.0, "{}"),
+        (5, t0, 2, "click", 1.0, "{}"),
+        (6, t0, 2, "click", 1.0, "{}"),
+        (7, t0, 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["simpson"])
+        for r in q_user_diversity(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: (4, 3, 0.625), 2: (3, 1, 0.0)}, got
