@@ -168,6 +168,10 @@ from etl_pipeline_example_spark.plans.diversity import (
     DIVERSITY_QUERIES,
     DIVERSITY_ORACLES,
 )
+from etl_pipeline_example_spark.plans.volumez import (
+    VOLUMEZ_QUERIES,
+    VOLUMEZ_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -258,6 +262,8 @@ __all__ = [
     "GROUPREG_ORACLES",
     "DIVERSITY_QUERIES",
     "DIVERSITY_ORACLES",
+    "VOLUMEZ_QUERIES",
+    "VOLUMEZ_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

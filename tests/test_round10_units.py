@@ -880,3 +880,36 @@ def test_q_user_diversity_hand_computed(spark, tmp_path):
         for r in q_user_diversity(spark, str(tmp_path)).collect()
     }
     assert got == {1: (4, 3, 0.625), 2: (3, 1, 0.0)}, got
+
+
+def test_dq_volume_zscore_hand_computed(spark, tmp_path):
+    """view volumes 10/10/40 across three days: mean 20, pop-var 200,
+    z = (40-20)/sqrt(200) ≈ 1.414 (unflagged), the two 10-days at
+    ≈ -0.707."""
+    import datetime as dt
+    import math
+
+    from etl_pipeline_example_spark.plans.volumez import dq_volume_zscore
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 10), (2, 10), (3, 40)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 9), 1, "view", 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        str(r["day"]): (r["n_events"], r["z"], r["flagged"])
+        for r in dq_volume_zscore(spark, str(tmp_path)).collect()
+    }
+    z_hi = 20.0 / math.sqrt(200.0)
+    z_lo = -10.0 / math.sqrt(200.0)
+    assert got["2024-01-03"][0] == 40 and abs(got["2024-01-03"][1] - z_hi) < 1e-12
+    assert got["2024-01-01"][0] == 10 and abs(got["2024-01-01"][1] - z_lo) < 1e-12
+    assert all(f == 0 for _, _, f in got.values()), got
