@@ -1,0 +1,64 @@
+"""Versioned tables: time travel, history-preserving upsert, atomic
+pointer, retention that never deletes the live version."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_example_spark.pipeline.versioned import (
+    expire_versions,
+    read_versioned,
+    upsert_versioned,
+    write_versioned,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, ver int")
+
+
+def test_write_read_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1 = write_versioned(spark, _df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+    assert v1 == 1
+    v2 = upsert_versioned(
+        spark, path, _df(spark, [(2, "B", 2), (3, "c", 2)]), "k", "ver"
+    )
+    assert v2 == 2
+    # latest follows the pointer: merged state
+    latest = {
+        r["k"]: r["val"] for r in read_versioned(spark, path).collect()
+    }
+    assert latest == {1: "a", 2: "B", 3: "c"}, latest
+    # time travel: version 1 is untouched history
+    old = {
+        r["k"]: r["val"]
+        for r in read_versioned(spark, path, version=1).collect()
+    }
+    assert old == {1: "a", 2: "b"}, old
+
+
+def test_upsert_tie_prefers_update_side(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "old", 5)]), path)
+    upsert_versioned(spark, path, _df(spark, [(1, "new", 5)]), "k", "ver")
+    got = read_versioned(spark, path).collect()
+    assert [(r["k"], r["val"]) for r in got] == [(1, "new")], got
+
+
+def test_expire_keeps_newest_and_never_the_live_version(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    for i in range(1, 5):
+        write_versioned(spark, _df(spark, [(1, f"v{i}", i)]), path)
+    deleted = expire_versions(spark, path, keep=2)
+    assert deleted == [1, 2], deleted
+    # survivors: 3 and 4; 4 is live
+    assert read_versioned(spark, path).collect()[0]["val"] == "v4"
+    assert read_versioned(spark, path, version=3).collect()[0]["val"] == "v3"
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, path, version=1)
+
+
+def test_missing_pointer_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_versioned(spark, str(tmp_path / "absent"))
