@@ -154,3 +154,41 @@ def expire_versions(
     for v in doomed:
         fs.delete(_jpath(spark, f"{path}/v={v:06d}"), True)
     return doomed
+
+
+def diff_versions(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    data_format: str = "parquet",
+) -> DataFrame:
+    """(key, change): the audit diff between two retained versions —
+    ``added`` / ``removed`` / ``changed`` (any non-key column differs;
+    unchanged rows are omitted). One co-partitioned full-outer
+    sort-merge join on the key; rows compare by a whole-row struct
+    equality, so adding columns never changes this code."""
+    a = read_versioned(spark, path, version=v_from, data_format=data_format)
+    b = read_versioned(spark, path, version=v_to, data_format=data_format)
+    cols = [c for c in a.columns if c != key]
+    left = a.select(
+        F.col(key).alias("__k"), F.struct(*cols).alias("__va")
+    )
+    right = b.select(
+        F.col(key).alias("__k2"), F.struct(*cols).alias("__vb")
+    )
+    joined = left.join(right, left["__k"] == right["__k2"], "full_outer")
+    return (
+        joined.select(
+            F.coalesce("__k", "__k2").alias(key),
+            F.expr(
+                "CASE WHEN __k IS NULL THEN 'added'"
+                " WHEN __k2 IS NULL THEN 'removed'"
+                " WHEN __va != __vb THEN 'changed'"
+                " ELSE NULL END"
+            ).alias("change"),
+        )
+        .filter("change IS NOT NULL")
+        .orderBy(key)
+    )

@@ -62,3 +62,22 @@ def test_expire_keeps_newest_and_never_the_live_version(spark, tmp_path):
 def test_missing_pointer_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_versioned(spark, str(tmp_path / "absent"))
+
+
+def test_diff_versions_classifies_changes(spark, tmp_path):
+    """v1 {1:a, 2:b, 4:d} → v2 {1:a, 2:B, 3:c}: 2 changed, 3 added,
+    4 removed, 1 (identical) omitted."""
+    from etl_pipeline_example_spark.pipeline.versioned import diff_versions
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1), (4, "d", 1)]), path
+    )
+    write_versioned(
+        spark, _df(spark, [(1, "a", 1), (2, "B", 2), (3, "c", 2)]), path
+    )
+    got = [
+        (r["k"], r["change"])
+        for r in diff_versions(spark, path, 1, 2, "k").collect()
+    ]
+    assert got == [(2, "changed"), (3, "added"), (4, "removed")], got
