@@ -98,3 +98,59 @@ def test_backfill_crash_resume_reruns_unmarked_date(tmp_path):
     # and the produce task was SKIPPED by its done probe (output intact)
     with open(out / "2024-01-02.txt") as f:
         assert f.read() == "2024-01-02"
+
+
+def test_backfill_properties_hold_for_any_failure_pattern(tmp_path):
+    """Hypothesis over (date count, failing subset): statuses partition
+    the range correctly, the ledger is exactly the completed set, and a
+    clean re-run completes precisely the holes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(min_value=1, max_value=8),
+        fail_mask=st.lists(st.booleans(), min_size=8, max_size=8),
+        blocking=st.booleans(),
+    )
+    @settings(max_examples=40, deadline=None)
+    def prop(n, fail_mask, blocking):
+        import os
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(dir=tmp_path)
+        try:
+            out = os.path.join(work, "out")
+            os.makedirs(out)
+            ledger = os.path.join(work, "ledger")
+            dates = [f"2024-01-{d + 1:02d}" for d in range(n)]
+            flaky = {d for d, f in zip(dates, fail_mask) if f}
+            got = backfill(
+                _builder(out, flaky), dates, ledger, depends_on_past=blocking
+            )
+            assert set(got) == set(dates)
+            first_fail = min(
+                (dates.index(d) for d in flaky), default=None
+            )
+            for i, d in enumerate(dates):
+                if blocking and first_fail is not None and i > first_fail:
+                    assert got[d] == "blocked", got
+                elif d in flaky:
+                    assert got[d] == "failed", got
+                else:
+                    assert got[d] == "complete", got
+            # ledger holds exactly the completed dates
+            marked = {
+                f.split("__")[1].removesuffix(".complete")
+                for f in os.listdir(ledger)
+            }
+            assert marked == {d for d in dates if got[d] == "complete"}
+            # a clean re-run completes exactly the holes
+            rerun = backfill(_builder(out, set()), dates, ledger)
+            for d in dates:
+                want = "skipped" if got[d] == "complete" else "complete"
+                assert rerun[d] == want, (got, rerun)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    prop()

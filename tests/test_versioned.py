@@ -81,3 +81,69 @@ def test_diff_versions_classifies_changes(spark, tmp_path):
         for r in diff_versions(spark, path, 1, 2, "k").collect()
     ]
     assert got == [(2, "changed"), (3, "added"), (4, "removed")], got
+
+
+def test_versioned_random_op_sequence_invariants(spark, tmp_path):
+    """A fixed-seed randomized sequence of write/upsert/expire ops: the
+    pointer always resolves to the newest version, version numbers are
+    strictly increasing, every retained version time-travels to exactly
+    the frame that produced it, and expiry never deletes the live one."""
+    import random
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_pointer,
+        _versions,
+    )
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "tbl")
+    recorded: dict[int, dict[int, str]] = {}
+
+    def snapshot_state(version):
+        recorded[version] = {
+            r["k"]: r["val"]
+            for r in read_versioned(spark, path, version=version).collect()
+        }
+
+    state: dict[int, tuple[str, int]] = {}
+    v = write_versioned(spark, _df(spark, [(1, "init", 1)]), path)
+    state = {1: ("init", 1)}
+    snapshot_state(v)
+    for step in range(8):
+        op = rng.choice(["upsert", "upsert", "expire"])
+        if op == "upsert":
+            k = rng.randint(1, 4)
+            ver = rng.randint(1, 9)
+            val = f"s{step}"
+            v2 = upsert_versioned(
+                spark, path, _df(spark, [(k, val, ver)]), "k", "ver"
+            )
+            assert v2 == v + 1, (v, v2)
+            v = v2
+            cur = state.get(k)
+            if cur is None or ver >= cur[1]:
+                state[k] = (val, ver)
+            snapshot_state(v)
+            # latest must equal the model
+            latest = {
+                r["k"]: (r["val"], r["ver"])
+                for r in read_versioned(spark, path).collect()
+            }
+            assert latest == state, (latest, state)
+        else:
+            expire_versions(spark, path, keep=2)
+            live = _read_pointer(spark, path)
+            assert live == v
+            recorded_alive = {
+                w: rec for w, rec in recorded.items()
+                if w in _versions(spark, path)
+            }
+            recorded.clear()
+            recorded.update(recorded_alive)
+        # every retained version still reads back exactly as written
+        for w, want in recorded.items():
+            got = {
+                r["k"]: r["val"]
+                for r in read_versioned(spark, path, version=w).collect()
+            }
+            assert got == want, (w, got, want)
