@@ -275,6 +275,8 @@ from etl_pipeline_example_spark.plans import (
     DIVERSITY_QUERIES,
     VOLUMEZ_ORACLES,
     VOLUMEZ_QUERIES,
+    NULLSAFE_ORACLES,
+    NULLSAFE_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -332,7 +334,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q_numeric_corr, q_event_transitions, multimodal_phash,
 #      multimodal_phash_dups, q_group_regression, vocab_growth,
 #      multimodal_resize, multimodal_audio_energy, q_user_diversity,
-#      dq_volume_zscore — 27 entries), plus any
+#      dq_volume_zscore, q_null_safe_join — 28 entries), plus any
 #      entry round-11 churn pulls out of the freeze (displacing tail
 #      slots below if needed);
 #   2. the 11 remaining r6-stale TPC-H-extra plans (q8_mktshare,
@@ -340,10 +342,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q16_supplier_cnt, q17_small_quantity, q18_large_orders,
 #      q19_disjunctive, q21_sole_fault, q22_idle_rich — byte-frozen
 #      since their r6 green rows);
-#   3. the 12 oldest r7-stale entries: scd2_merge, q_window_funnel,
+#   3. the 11 oldest r7-stale entries: scd2_merge, q_window_funnel,
 #      q_retention, q_event_path, q_sequence_match, anomaly_mad,
 #      q_basket_pairs, q_funnel_lag, q_full_outer_recon, q_rfm,
-#      q_seasonality, li_shipping_lag (supplier_scorecard,
+#      q_seasonality (li_shipping_lag, supplier_scorecard,
 #      q_revenue_concentration, q_events_heatmap, corpus_stats,
 #      dup_rate_by_source, dedup_incremental, dedup_savings and the
 #      rest of the r7 cohort roll to round 12).
@@ -532,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(GROUPREG_QUERIES)
     out.update(DIVERSITY_QUERIES)
     out.update(VOLUMEZ_QUERIES)
+    out.update(NULLSAFE_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -664,6 +667,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(GROUPREG_ORACLES)
     out.update(DIVERSITY_ORACLES)
     out.update(VOLUMEZ_ORACLES)
+    out.update(NULLSAFE_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

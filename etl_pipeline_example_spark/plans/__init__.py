@@ -172,6 +172,10 @@ from etl_pipeline_example_spark.plans.volumez import (
     VOLUMEZ_QUERIES,
     VOLUMEZ_ORACLES,
 )
+from etl_pipeline_example_spark.plans.nullsafe import (
+    NULLSAFE_QUERIES,
+    NULLSAFE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -264,6 +268,8 @@ __all__ = [
     "DIVERSITY_ORACLES",
     "VOLUMEZ_QUERIES",
     "VOLUMEZ_ORACLES",
+    "NULLSAFE_QUERIES",
+    "NULLSAFE_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

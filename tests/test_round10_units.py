@@ -913,3 +913,30 @@ def test_dq_volume_zscore_hand_computed(spark, tmp_path):
     assert got["2024-01-03"][0] == 40 and abs(got["2024-01-03"][1] - z_hi) < 1e-12
     assert got["2024-01-01"][0] == 10 and abs(got["2024-01-01"][1] - z_lo) < 1e-12
     assert all(f == 0 for _, _, f in got.values()), got
+
+
+def test_q_null_safe_join_keeps_the_null_bucket(spark, tmp_path):
+    """props k ∈ {7, 7, 3, 3} split across the parity feeds: k=7 maps
+    to the NULL bucket, which must survive the null-safe join with
+    counts 1/1 — a plain = join would drop it."""
+    import datetime as dt
+
+    from etl_pipeline_example_spark.plans.nullsafe import q_null_safe_join
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    rows = [
+        (0, t0, 1, "view", 1.0, '{"k": 7}'),   # feed 0, NULL bucket
+        (1, t0, 1, "view", 1.0, '{"k": 7}'),   # feed 1, NULL bucket
+        (2, t0, 1, "view", 1.0, '{"k": 3}'),   # feed 0, bucket 3
+        (3, t0, 1, "view", 1.0, '{"k": 3}'),   # feed 1, bucket 3
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = [
+        (r["bucket"], r["n_feed_a"], r["n_feed_b"], r["delta"])
+        for r in q_null_safe_join(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(None, 1, 1, 0), (3, 1, 1, 0)], got
