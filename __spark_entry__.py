@@ -205,6 +205,8 @@ from etl_pipeline_example_spark.operators import (
     MEDIARESIZE_QUERIES,
     AUDIOFEAT_ORACLES,
     AUDIOFEAT_QUERIES,
+    CHARSIMPSON_ORACLES,
+    CHARSIMPSON_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -334,7 +336,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q_numeric_corr, q_event_transitions, multimodal_phash,
 #      multimodal_phash_dups, q_group_regression, vocab_growth,
 #      multimodal_resize, multimodal_audio_energy, q_user_diversity,
-#      dq_volume_zscore, q_null_safe_join — 28 entries), plus any
+#      dq_volume_zscore, q_null_safe_join, text_char_simpson —
+#      29 entries), plus any
 #      entry round-11 churn pulls out of the freeze (displacing tail
 #      slots below if needed);
 #   2. the 11 remaining r6-stale TPC-H-extra plans (q8_mktshare,
@@ -342,10 +345,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q16_supplier_cnt, q17_small_quantity, q18_large_orders,
 #      q19_disjunctive, q21_sole_fault, q22_idle_rich — byte-frozen
 #      since their r6 green rows);
-#   3. the 11 oldest r7-stale entries: scd2_merge, q_window_funnel,
+#   3. the 10 oldest r7-stale entries: scd2_merge, q_window_funnel,
 #      q_retention, q_event_path, q_sequence_match, anomaly_mad,
-#      q_basket_pairs, q_funnel_lag, q_full_outer_recon, q_rfm,
-#      q_seasonality (li_shipping_lag, supplier_scorecard,
+#      q_basket_pairs, q_funnel_lag, q_full_outer_recon, q_rfm
+#      (q_seasonality, li_shipping_lag, supplier_scorecard,
 #      q_revenue_concentration, q_events_heatmap, corpus_stats,
 #      dup_rate_by_source, dedup_incremental, dedup_savings and the
 #      rest of the r7 cohort roll to round 12).
@@ -531,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(VOCABGROWTH_QUERIES)
     out.update(MEDIARESIZE_QUERIES)
     out.update(AUDIOFEAT_QUERIES)
+    out.update(CHARSIMPSON_QUERIES)
     out.update(GROUPREG_QUERIES)
     out.update(DIVERSITY_QUERIES)
     out.update(VOLUMEZ_QUERIES)
@@ -664,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(VOCABGROWTH_ORACLES)
     out.update(MEDIARESIZE_ORACLES)
     out.update(AUDIOFEAT_ORACLES)
+    out.update(CHARSIMPSON_ORACLES)
     out.update(GROUPREG_ORACLES)
     out.update(DIVERSITY_ORACLES)
     out.update(VOLUMEZ_ORACLES)

@@ -180,6 +180,10 @@ from etl_pipeline_example_spark.operators.audiofeat import (
     AUDIOFEAT_QUERIES,
     AUDIOFEAT_ORACLES,
 )
+from etl_pipeline_example_spark.operators.charsimpson import (
+    CHARSIMPSON_QUERIES,
+    CHARSIMPSON_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -402,4 +406,6 @@ __all__ = [
     "MEDIARESIZE_ORACLES",
     "AUDIOFEAT_QUERIES",
     "AUDIOFEAT_ORACLES",
+    "CHARSIMPSON_QUERIES",
+    "CHARSIMPSON_ORACLES",
 ]

@@ -940,3 +940,34 @@ def test_q_null_safe_join_keeps_the_null_bucket(spark, tmp_path):
         for r in q_null_safe_join(spark, str(tmp_path)).collect()
     ]
     assert got == [(None, 1, 1, 0), (3, 1, 1, 0)], got
+
+
+def test_text_char_simpson_hand_computed(spark, tmp_path):
+    """'aaab' → counts a=3, b=1, n=4, ssq=10, simpson = 1 − 10/16 =
+    0.375; 'zzzz' is a zero-diversity flood; case folds ('Ab' ≡ 'ab')."""
+    from etl_pipeline_example_spark.operators.charsimpson import (
+        text_char_simpson,
+    )
+
+    sf = _write_docs_survivor(
+        spark,
+        tmp_path,
+        [
+            (1, "aaab", "en", "sA"),
+            (2, "zzzz", "en", "sA"),
+            (3, "Ab", "en", "sA"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars_counted"],
+            r["n_distinct_chars"],
+            r["simpson"],
+        )
+        for r in text_char_simpson(spark, sf).collect()
+    }
+    assert got == {
+        1: (4, 2, 0.375),
+        2: (4, 1, 0.0),
+        3: (2, 2, 0.5),
+    }, got
