@@ -290,124 +290,96 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. ROUND 10 executes the rotation
-# committed in round 9 (no no-oracle entries in the window —
-# dq_profile_approx / embed_pca / quality_compress can only return
-# `err: no_oracle`; their pytest contracts are the designated evidence,
-# so every slot below is gradable):
+# entries that most need fresh evidence. ROUND 11 executes the rotation
+# committed at round-10 end (and pre-verified strict bit-exact by the
+# round-10 judge for the 29 first-evidence entries — no no-oracle
+# entries in the window, every slot gradable):
 #
-#   (a) first-evidence cohort — every full-oracle entry never yet
-#       driver-graded: the round-9-late additions registered after the
-#       round-9 window froze (dq_rules, stream_dq_quarantine,
-#       join_skew_profile, length_drift_ks, ann_recall_matrix,
-#       q_cohort_ltv, q_quantile_counting, q_range_frame,
-#       q_value_window, q_unpivot_measures, q_interval_merge,
-#       quality_agreement, q_sql_shared_dialect, q_growth_accounting,
-#       dq_benford, dedup_prefix, agg_salted, lexicon_stats, q_ab_chi2,
-#       q_rolling_actives, q_scd2_asof, contamination_bloom,
-#       q_period_balance, stream_sliding, sample_weighted, q_dim_lift,
-#       q_attribution — 27 entries).
-#   (b) the standing-exception entry: `q_active_users` (kept its r7
-#       evidence through the round-8 engagement.py edit by the
-#       documented byte-untouched-plan argument; the round-8 verdict
-#       accepted that but scheduled it for a fresh row here).
-#   (c) r6-stale refresh, oldest evidence first — the families the
-#       round-9 plan named: ANN (ann_bruteforce, ann_lsh, ann_ivf,
-#       ann_int8_rerank, ann_pq_adc, ann_ivfpq, embed_quantize,
-#       dedup_embedding_lsh), semdedup (semdedup_prune_2l,
-#       semdedup_canonical), kmeans_assign, multimodal (multimodal_meta,
-#       multimodal_framesample), pii_scrub, the quality pair
-#       (quality_charlm, quality_repetition), boilerplate_chunks,
-#       domain_cap, and four relational plans (q_distinct_agg,
-#       q_percentiles, q2_argmin, q7_volume) — 22 entries.
+#   (a) first-evidence cohort — the 29 round-10 additions never yet
+#       driver-graded, registration order (cdc_apply ... text_char_simpson);
+#   (b) the 11 remaining r6-stale TPC-H-extra plans (byte-frozen since
+#       their r6 green rows);
+#   (c) the 10 oldest r7-stale entries, q_rfm included: its three global
+#       ntile windows were re-expressed this round via the
+#       q_decile_lift broadcast-quantile-cut pattern (round-10 verdict
+#       "What's wrong #1"), so it needs fresh driver evidence anyway.
 #
 # Everything else rides the freeze manifest (tools/frozen_hashes.json,
-# enforced by tests/test_freeze.py): r7/r8/r9-green entries keep their
+# enforced by tests/test_freeze.py): r7-r10-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# ROUND-11 PLAN (committed at round-10 end, execute next round):
-# _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence: the round-10 additions, registration order
-#      (cdc_apply, agg_merge_states, q_order_gap_dist, q_yoy_growth,
-#      q_skyline_2d, q_mode_per_group, q_behavior_segments,
-#      dedup_survivor_policy, lang_confusion, ngram_lang_profile,
-#      stream_topk, dq_freshness, q_decile_lift, q_active_streak,
-#      q_distinct_cube, bpe_fertility, q_group_percentiles,
-#      q_numeric_corr, q_event_transitions, multimodal_phash,
-#      multimodal_phash_dups, q_group_regression, vocab_growth,
-#      multimodal_resize, multimodal_audio_energy, q_user_diversity,
-#      dq_volume_zscore, q_null_safe_join, text_char_simpson —
-#      29 entries), plus any
-#      entry round-11 churn pulls out of the freeze (displacing tail
-#      slots below if needed);
-#   2. the 11 remaining r6-stale TPC-H-extra plans (q8_mktshare,
-#      q9_profit, q10_returns, q11_part_value, q15_top_supplier,
-#      q16_supplier_cnt, q17_small_quantity, q18_large_orders,
-#      q19_disjunctive, q21_sole_fault, q22_idle_rich — byte-frozen
-#      since their r6 green rows);
-#   3. the 10 oldest r7-stale entries: scd2_merge, q_window_funnel,
-#      q_retention, q_event_path, q_sequence_match, anomaly_mad,
-#      q_basket_pairs, q_funnel_lag, q_full_outer_recon, q_rfm
-#      (q_seasonality, li_shipping_lag, supplier_scorecard,
+# ROUND-12 PLAN (committed at round-11 end, execute next round):
+# _REGISTER_FIRST := in this order —
+#   1. first evidence: every full-oracle entry registered during
+#      round 11 beyond this window (run_sql shared-dialect additions,
+#      bpe_encode_indexed/bpe_fertility_indexed persisted-artifact
+#      entries, and the round-11 new-operator cohort), registration
+#      order; plus any entry round-12 churn pulls out of the freeze;
+#   2. the remaining r7-stale entries, oldest first: q_seasonality,
+#      lang_mismatch, li_shipping_lag, supplier_scorecard,
 #      q_revenue_concentration, q_events_heatmap, corpus_stats,
-#      dup_rate_by_source, dedup_incremental, dedup_savings and the
-#      rest of the r7 cohort roll to round 12).
+#      dup_rate_by_source, dedup_incremental, dedup_savings,
+#      dedup_containment, cluster_topics, ann_rp_rerank, embed_outliers,
+#      embed_dim_stats, cluster_purity, text_normalize, quality_buckets,
+#      quality_c4, source_quality_matrix, token_len_hist, vocab_zipf,
+#      bpe_train, bpe_encode, sample_split, dsir_weights,
+#      boilerplate_strip, curation_funnel, domain_chi2, ngram_novelty,
+#      pmi_bigrams, stream_c4_gate (fill to 50; overflow rolls to r13);
+#   3. any remaining r8-stale entries by age.
 _REGISTER_FIRST = [
-    # (a) first evidence: round-9-late additions, registration order
-    "dq_rules",
-    "stream_dq_quarantine",
-    "join_skew_profile",
-    "length_drift_ks",
-    "ann_recall_matrix",
-    "q_cohort_ltv",
-    "q_quantile_counting",
-    "q_range_frame",
-    "q_value_window",
-    "q_unpivot_measures",
-    "q_interval_merge",
-    "quality_agreement",
-    "q_sql_shared_dialect",
-    "q_growth_accounting",
-    "dq_benford",
-    "dedup_prefix",
-    "agg_salted",
-    "lexicon_stats",
-    "q_ab_chi2",
-    "q_rolling_actives",
-    "q_scd2_asof",
-    "contamination_bloom",
-    "q_period_balance",
-    "stream_sliding",
-    "sample_weighted",
-    "q_dim_lift",
-    "q_attribution",
-    # (b) standing-exception regrade
-    "q_active_users",
-    # (c) r6-stale refresh: ANN / semdedup / kmeans family
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "ann_int8_rerank",
-    "ann_pq_adc",
-    "ann_ivfpq",
-    "embed_quantize",
-    "dedup_embedding_lsh",
-    "semdedup_prune_2l",
-    "semdedup_canonical",
-    "kmeans_assign",
-    # (c) r6-stale refresh: multimodal / pii / quality / corpus
-    "multimodal_meta",
-    "multimodal_framesample",
-    "pii_scrub",
-    "quality_charlm",
-    "quality_repetition",
-    "boilerplate_chunks",
-    "domain_cap",
-    # (c) r6-stale refresh: relational
-    "q_distinct_agg",
-    "q_percentiles",
-    "q2_argmin",
-    "q7_volume",
+    # (a) first evidence: round-10 additions, registration order
+    "cdc_apply",
+    "agg_merge_states",
+    "q_order_gap_dist",
+    "q_yoy_growth",
+    "q_skyline_2d",
+    "q_mode_per_group",
+    "q_behavior_segments",
+    "dedup_survivor_policy",
+    "lang_confusion",
+    "ngram_lang_profile",
+    "stream_topk",
+    "dq_freshness",
+    "q_decile_lift",
+    "q_active_streak",
+    "q_distinct_cube",
+    "bpe_fertility",
+    "q_group_percentiles",
+    "q_numeric_corr",
+    "q_event_transitions",
+    "multimodal_phash",
+    "multimodal_phash_dups",
+    "q_group_regression",
+    "vocab_growth",
+    "multimodal_resize",
+    "multimodal_audio_energy",
+    "q_user_diversity",
+    "dq_volume_zscore",
+    "q_null_safe_join",
+    "text_char_simpson",
+    # (b) r6-stale TPC-H-extra refresh (byte-frozen since r6)
+    "q8_mktshare",
+    "q9_profit",
+    "q10_returns",
+    "q11_part_value",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_sole_fault",
+    "q22_idle_rich",
+    # (c) 10 oldest r7-stale entries (q_rfm rewritten this round)
+    "scd2_merge",
+    "q_window_funnel",
+    "q_retention",
+    "q_event_path",
+    "q_sequence_match",
+    "anomaly_mad",
+    "q_basket_pairs",
+    "q_funnel_lag",
+    "q_full_outer_recon",
+    "q_rfm",
 ]
 
 
