@@ -11,9 +11,10 @@
   q_rfm               the classic RFM customer segmentation: recency
                       (days from last order to the corpus max date),
                       frequency (order count), monetary (exact decimal
-                      revenue), each cut into quintiles with ntile —
-                      ties broken by custkey so the banding is
-                      deterministic — plus the combined RFM code.
+                      revenue), each cut into quintiles by VALUE against
+                      exact percentile boundaries (the q_decile_lift
+                      broadcast-quantile-cut pattern — no global window
+                      anywhere), plus the combined RFM code.
 
 No reference counterpart (the reference is a 305-LoC ETL example);
 general query-engine surface, SURVEY.md §2 rows 20z6–20z7.
@@ -23,12 +24,45 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 RFM_TOP = 50
+
+# Quintile boundaries (20th/40th/60th/80th percentile). Banding
+# convention, identical in Spark and the oracle:
+#   ascending metric (recency — smaller is better):
+#     band 1 iff x <= c1, band 2 iff x <= c2, ... else band 5
+#   descending metric (frequency, monetary — larger is better):
+#     band 1 iff x >  c4, band 2 iff x >  c3, ... else band 5
+# Value-based cuts make the banding deterministic with no tiebreak:
+# equal values always land in the same band (unlike ntile, which splits
+# ties across the boundary by row position).
+_Q_CUTS = [0.2, 0.4, 0.6, 0.8]
+
+
+def _band_asc(col: str, pfx: str) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN {col} <= {pfx}{i} THEN {i}" for i in range(1, 5))
+        + " ELSE 5 END"
+    )
+
+
+def _band_desc(col: str, pfx: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} > {pfx}{5 - i} THEN {i}" for i in range(1, 5)
+        )
+        + " ELSE 5 END"
+    )
 
 
 def q_full_outer_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,8 +124,22 @@ FROM o FULL OUTER JOIN e ON o.day = e.day
 
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_custkey, recency_days, frequency, monetary, r, f, m, rfm):
-    top-``RFM_TOP`` customers by rfm code (then custkey)."""
+    top-``RFM_TOP`` customers by rfm code (then custkey).
+
+    Scale shape: the ntile form this replaces (round-10 verdict "What's
+    wrong #1") sorted the FULL customer dimension through one reducer
+    three times. Here the only corpus-scale shuffle is the
+    groupBy(custkey) rollup; all twelve quintile boundaries come from
+    ONE exact percentile aggregate over the customer-bounded rollup
+    (computed partial+merge, no global sort), broadcast back, and each
+    customer bands itself with four comparisons per metric — fully
+    parallel. The trailing top-50 is a TakeOrderedAndProject, not a
+    sort. Cross-engine: Spark percentile(x, p) and DuckDB
+    percentile_cont are both linear-interpolation and bit-identical
+    (pinned by q_percentiles/q_decile_lift since round 6).
+    """
     orders = read_table(spark, sf_dir, "orders")
+    release_similarity_caches()
     base = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
@@ -100,30 +148,55 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("monetary"),
     )
     max_day = orders.agg(F.max("o_orderdate").alias("max_day"))
-    scored = base.crossJoin(F.broadcast(max_day)).select(
-        "c_custkey",
-        F.expr("datediff(max_day, last_order)").alias("recency_days"),
-        "frequency",
-        "monetary",
-    )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc())
-    return (
-        scored.withColumn("r", F.ntile(5).over(r_w))
-        .withColumn("f", F.ntile(5).over(f_w))
-        .withColumn("m", F.ntile(5).over(m_w))
-        .withColumn("rfm", F.expr("r * 100 + f * 10 + m"))
-        .select(
-            "c_custkey", "recency_days", "frequency", "monetary",
-            "r", "f", "m", "rfm",
+    # persisted: the percentile aggregate AND the banding pass both
+    # consume the per-customer frame — one orders scan instead of two
+    scored = tracked_persist(
+        base.crossJoin(F.broadcast(max_day)).select(
+            "c_custkey",
+            F.expr("datediff(max_day, last_order)").alias("recency_days"),
+            "frequency",
+            "monetary",
         )
+    )
+    cuts = scored.agg(
+        *[
+            F.expr(f"percentile({m}, {c})").alias(f"{p}{i}")
+            for m, p in (
+                ("recency_days", "rc"),
+                ("frequency", "fc"),
+                ("monetary", "mc"),
+            )
+            for i, c in enumerate(_Q_CUTS, start=1)
+        ]
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "c_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.expr(_band_asc("recency_days", "rc")).alias("r"),
+            F.expr(_band_desc("frequency", "fc")).alias("f"),
+            F.expr(_band_desc("monetary", "mc")).alias("m"),
+        )
+        .withColumn("rfm", F.expr("r * 100 + f * 10 + m"))
         .orderBy(F.col("rfm").asc(), F.col("c_custkey").asc())
         .limit(RFM_TOP)
     )
 
 
-Q_RFM_SQL = f"""
+def _rfm_sql() -> str:
+    cut_cols = ",\n         ".join(
+        f"percentile_cont({c}) WITHIN GROUP (ORDER BY {m}) AS {p}{i}"
+        for m, p in (
+            ("recency_days", "rc"),
+            ("frequency", "fc"),
+            ("monetary", "mc"),
+        )
+        for i, c in enumerate(_Q_CUTS, start=1)
+    )
+    return f"""
 WITH base AS (
   SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_order,
          count(*) AS frequency,
@@ -137,12 +210,16 @@ scored AS (
          frequency, monetary
   FROM base, mx
 ),
+cuts AS (
+  SELECT {cut_cols}
+  FROM scored
+),
 banded AS (
   SELECT c_custkey, recency_days, frequency, monetary,
-         ntile(5) OVER (ORDER BY recency_days, c_custkey) AS r,
-         ntile(5) OVER (ORDER BY frequency DESC, c_custkey) AS f,
-         ntile(5) OVER (ORDER BY monetary DESC, c_custkey) AS m
-  FROM scored
+         {_band_asc("recency_days", "rc")} AS r,
+         {_band_desc("frequency", "fc")} AS f,
+         {_band_desc("monetary", "mc")} AS m
+  FROM scored CROSS JOIN cuts
 )
 SELECT c_custkey, cast(recency_days AS int) AS recency_days, frequency,
        monetary, r, f, m, r * 100 + f * 10 + m AS rfm
@@ -150,6 +227,9 @@ FROM banded
 ORDER BY rfm, c_custkey
 LIMIT {RFM_TOP}
 """
+
+
+Q_RFM_SQL = _rfm_sql()
 
 
 RECON_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

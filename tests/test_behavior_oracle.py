@@ -365,6 +365,41 @@ def test_rfm_quintiles_are_deterministic_and_complete(spark, sf_dir):
         assert r["rfm"] == r["r"] * 100 + r["f"] * 10 + r["m"]
 
 
+def test_rfm_bands_hand_computed(spark, tmp_path):
+    """10 customers, one order each on day 2020-01-i at price 100*i:
+    recency bands follow the 1.8/3.6/5.4/7.2 cuts, frequency is an
+    all-tie (every f = 5 under the strict-> descending convention),
+    monetary bands follow the 280/460/640/820 cuts."""
+    from etl_pipeline_example_spark.plans.recon import q_rfm
+
+    rows = [
+        (i, i, "O", 100.0 * i, f"2020-01-{i:02d}") for i in range(1, 11)
+    ]
+    df = spark.createDataFrame(
+        [(ok, ck, st, tp, od, "p", "c", 0, "x") for ok, ck, st, tp, od in rows],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string,"
+        " o_clerk string, o_shippriority int, o_comment string",
+    ).selectExpr("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "cast(o_orderdate as date) o_orderdate", "o_orderpriority",
+                 "o_clerk", "o_shippriority", "o_comment")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [
+        (r["c_custkey"], r["r"], r["f"], r["m"], r["rfm"])
+        for r in q_rfm(spark, str(tmp_path)).collect()
+    ]
+    band = {10: 1, 9: 1, 8: 2, 7: 2, 6: 3, 5: 3, 4: 4, 3: 4, 2: 5, 1: 5}
+    mband = {9: 1, 10: 1, 7: 2, 8: 2, 5: 3, 6: 3, 3: 4, 4: 4, 1: 5, 2: 5}
+    want = sorted(
+        (
+            (c, band[c], 5, mband[c], band[c] * 100 + 50 + mband[c])
+            for c in range(1, 11)
+        ),
+        key=lambda t: (t[4], t[0]),
+    )
+    assert got == want, got
+
+
 def test_seasonality_yoy_matches_hand_ratio(spark, tmp_path):
     """Two Januaries a year apart with revenues 100 and 150 → the later
     month's yoy is exactly 1.5 and the earlier's is null."""

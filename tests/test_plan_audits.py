@@ -953,6 +953,20 @@ def test_decile_lift_has_no_global_sort_or_window(spark, sf_dir):
     ), plan
 
 
+def test_rfm_has_no_window(spark, sf_dir):
+    """q_rfm's round-11 rewrite replaced three global ntile windows with
+    broadcast percentile cuts: the physical plan must contain no Window
+    at all, and the only range exchange is the top-50 presentation sort
+    (TakeOrderedAndProject renders as no rangepartitioning at all)."""
+    from etl_pipeline_example_spark.plans.recon import q_rfm
+
+    plan = plan_str(q_rfm(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan or plan.count(
+        "rangepartitioning"
+    ) <= 1, plan
+
+
 def test_survivor_policy_single_hash_exchange(spark, sf_dir):
     """dedup_survivor_policy's window pair (row_number + count + first)
     must share ONE content-hash exchange — a second hashpartitioning on
