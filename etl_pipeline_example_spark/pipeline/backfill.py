@@ -56,11 +56,15 @@ def backfill(
     for ds in sorted(dates):
         pipe = build_pipeline(ds)
         mark = _marker(ledger_dir, pipe.name, ds)
-        if blocked:
-            statuses[ds] = "blocked"
-            continue
+        # ledger first: a date that already completed in a prior run
+        # reports 'skipped' even when an earlier date just failed —
+        # Airflow shows previously-succeeded runs as success, not
+        # blocked (depends_on_past only gates NEW work)
         if os.path.exists(mark):
             statuses[ds] = "skipped"
+            continue
+        if blocked:
+            statuses[ds] = "blocked"
             continue
         try:
             pipe.run()

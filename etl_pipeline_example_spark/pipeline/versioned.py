@@ -1,78 +1,128 @@
-"""Versioned tables with time travel: snapshot-isolation at the file
-layout level.
+"""Versioned tables with time travel: manifest-based snapshot isolation.
 
 ``upsert_snapshot`` (maintain.py:91) merges IN PLACE — correct for a
 serving table, but it destroys history. This layer keeps every
-version: writes land under ``<path>/v=NNNNNN`` and a ``_latest``
-pointer file names the current one, so
+version, and (since round 11) a version is a MANIFEST — a JSON list of
+immutable data files — not a full snapshot directory:
 
-- readers of "latest" follow the pointer (one tiny file read — never a
-  directory-mtime race);
-- readers of ``version=N`` TIME-TRAVEL to any retained snapshot — the
-  reproducibility primitive every training-data pipeline needs ("which
-  exact corpus trained run 47?");
+- data files live under ``<path>/data/v=NNNNNN/__b=K/`` hash-bucket
+  dirs and are immutable once a manifest references them;
+- ``_manifests/v=NNNNNN.json`` lists each version's (bucket, file)
+  entries plus the schema, the bucket key, and the bucket count —
+  unchanged files are SHARED across versions, so a 1-row upsert into a
+  K-bucket table writes ~1/K of the bytes and zero redundant storage
+  (the Iceberg/Delta manifest contract, re-expressed on plain
+  parquet + JSON with no table-format dependency);
+- a ``_latest`` pointer file names the current version; readers of
+  "latest" follow the pointer, readers of ``version=N`` TIME-TRAVEL to
+  any retained manifest — the reproducibility primitive every
+  training-data pipeline needs ("which exact corpus trained run 47?");
 - ``upsert_versioned`` merges updates against the current version into
-  version N+1 WITHOUT touching N — write once, swap the pointer
-  atomically (tmp + rename), so a concurrent reader sees either N or
-  N+1, never a half-written table;
-- ``expire_versions`` is the retention half (keep the newest K, never
-  the pointer's target).
+  version N+1 WITHOUT touching N: only the buckets containing updated
+  keys are re-read, merged, and rewritten (copy-on-write at bucket
+  granularity); every other file rides into the new manifest by
+  reference;
+- ``expire_versions`` is the retention half: it drops old manifests
+  (never the pointer's target) and garbage-collects data files no
+  retained manifest references — shared files survive as long as any
+  retained version needs them.
 
-This is the Iceberg/Delta snapshot-isolation contract re-expressed on
-plain parquet directories — no table-format dependency, same
-guarantees at the granularity the engine needs. The pointer update is
-the ONLY coordination point, and it is a single atomic rename.
+Concurrency contract (round-10 ADVICE hardening):
+- the pointer swap is a single FileContext rename with
+  ``Options.Rename.OVERWRITE`` — atomic on HDFS/local, no
+  delete-then-rename gap; and ``_read_pointer`` falls back to the
+  newest committed manifest if the pointer file is momentarily absent
+  (crash recovery), so a reader NEVER sees a missing table;
+- version-number allocation is coordinated by the manifest create
+  itself: the manifest file is created with ``overwrite=false``
+  (create-exclusive), so two racing writers cannot both commit the
+  same version — the loser gets a clear ``ConcurrentWriteError`` and
+  retries against the new head. Data-file names are version-scoped,
+  so the loser's orphaned files are invisible (no manifest references
+  them) and the next ``expire_versions`` sweeps them.
 
-Scale: version dirs are full snapshots (storage trades for O(1)
-time travel — the same trade Delta's checkpoint files make); the merge
-is the one keyed window + overwrite any MERGE costs; expiry is
-metadata-only deletes.
+Scale: an upsert costs O(affected buckets), not O(table); storage is
+shared across versions at file granularity; ``nbuckets`` is the
+caller's scale knob (16 for tests, thousands for a 100 TB table —
+bucket count bounds both the copy-on-write unit and the upsert's
+shuffle width). Expiry is a driver-side metadata diff plus unreferenced
+-file deletes.
 
-Reference: the 305-LoC Glue ETL re-lands full snapshots with no
-version pointer at all; engine surface, SURVEY.md §2.
+Reference: the 305-LoC Glue ETL (glue_jobs/example_job/job.py) re-lands
+full snapshots with no version pointer at all; engine surface,
+SURVEY.md §2.
 """
 
 from __future__ import annotations
 
+import json
+import posixpath
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window
 
 from etl_pipeline_example_spark.fsutil import hadoop_fs
 
 _PTR = "_latest"
+_MANIFESTS = "_manifests"
+_DATA = "data"
+_BUCKET_COL = "__b"
+DEFAULT_BUCKETS = 16
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version number first."""
 
 
 def _jpath(spark: SparkSession, p: str):
     return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(p)
 
 
+def _bucket_expr(key: str, nbuckets: int):
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets))
+
+
 def _versions(spark: SparkSession, path: str) -> list[int]:
-    fs, hpath = hadoop_fs(spark, path)
-    if not fs.exists(hpath):
+    fs, _ = hadoop_fs(spark, path)
+    mdir = _jpath(spark, f"{path}/{_MANIFESTS}")
+    if not fs.exists(mdir):
         return []
     return sorted(
-        int(st.getPath().getName().split("=")[1])
-        for st in fs.listStatus(hpath)
-        if st.isDirectory() and st.getPath().getName().startswith("v=")
+        int(st.getPath().getName()[2:-5])
+        for st in fs.listStatus(mdir)
+        if st.getPath().getName().startswith("v=")
+        and st.getPath().getName().endswith(".json")
     )
 
 
 def _read_pointer(spark: SparkSession, path: str) -> int:
+    """Pointer read with crash recovery: if the pointer file is absent
+    but committed manifests exist, the newest manifest IS the latest
+    version (manifests commit create-exclusive in increasing order, and
+    expiry never deletes the newest)."""
     fs, _ = hadoop_fs(spark, path)
     ptr = _jpath(spark, f"{path}/{_PTR}")
-    if not fs.exists(ptr):
-        raise FileNotFoundError(f"no {_PTR} pointer under {path}")
-    stream = fs.open(ptr)
-    try:
-        raw = bytes(stream.readAllBytes()).decode().strip()
-    finally:
-        stream.close()
-    return int(raw)
+    if fs.exists(ptr):
+        stream = fs.open(ptr)
+        try:
+            raw = bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+        return int(raw)
+    committed = _versions(spark, path)
+    if committed:
+        return committed[-1]
+    raise FileNotFoundError(f"no {_PTR} pointer under {path}")
 
 
 def _write_pointer(spark: SparkSession, path: str, version: int) -> None:
-    """Atomic: write a tmp pointer, rename over the live one."""
+    """Atomic: write a tmp pointer, rename OVER the live one in one
+    FileContext op (Options.Rename.OVERWRITE) — no delete-then-rename
+    gap for a concurrent reader to fall into."""
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
     fs, _ = hadoop_fs(spark, path)
     tmp = _jpath(spark, f"{path}/.{_PTR}.tmp")
     out = fs.create(tmp, True)
@@ -81,9 +131,105 @@ def _write_pointer(spark: SparkSession, path: str, version: int) -> None:
     finally:
         out.close()
     live = _jpath(spark, f"{path}/{_PTR}")
-    if fs.exists(live):
-        fs.delete(live, False)
-    fs.rename(tmp, live)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        live.toUri(), conf
+    )
+    overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+    fc.rename(tmp, live, overwrite)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path}/{_MANIFESTS}/v={version:06d}.json"
+
+
+def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    fs, _ = hadoop_fs(spark, path)
+    mp = _jpath(spark, _manifest_path(path, version))
+    if not fs.exists(mp):
+        raise FileNotFoundError(f"version {version} not retained under {path}")
+    stream = fs.open(mp)
+    try:
+        return json.loads(bytes(stream.readAllBytes()).decode())
+    finally:
+        stream.close()
+
+
+def _commit_manifest(
+    spark: SparkSession, path: str, version: int, manifest: dict
+) -> None:
+    """Create-exclusive manifest write: the version-allocation lock.
+    Two writers racing to version N both try this create; exactly one
+    wins, the other raises ConcurrentWriteError (its data files are
+    unreferenced orphans the next expire_versions sweeps)."""
+    fs, _ = hadoop_fs(spark, path)
+    mp = _jpath(spark, _manifest_path(path, version))
+    try:
+        out = fs.create(mp, False)  # overwrite=false: exclusive
+    except Exception as exc:  # py4j wraps FileAlreadyExistsException
+        raise ConcurrentWriteError(
+            f"version {version} already committed under {path}"
+        ) from exc
+    try:
+        out.write(json.dumps(manifest).encode())
+    finally:
+        out.close()
+
+
+def _list_written_files(
+    spark: SparkSession, path: str, version: int
+) -> list[dict]:
+    """(bucket, relative-path) entries for every data file Spark wrote
+    under this version's data dir (bucket parsed from the __b= dir)."""
+    fs, _ = hadoop_fs(spark, path)
+    vdir = _jpath(spark, f"{path}/{_DATA}/v={version:06d}")
+    entries: list[dict] = []
+    it = fs.listFiles(vdir, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        rel = p[p.index(f"{_DATA}/v=") :]
+        bucket = 0
+        for part in rel.split("/"):
+            if part.startswith(f"{_BUCKET_COL}="):
+                bucket = int(part.split("=")[1])
+        entries.append({"bucket": bucket, "path": rel})
+    return entries
+
+
+def _write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    version: int,
+    key: str | None,
+    nbuckets: int,
+    data_format: str,
+    width: int | None = None,
+) -> list[dict]:
+    """Write ``df`` hash-bucketed by ``key`` under this version's data
+    dir; returns the manifest file entries. ``width`` caps the
+    repartition so a b-bucket partial rewrite doesn't fan out to the
+    full bucket count."""
+    vdir = f"{path}/{_DATA}/v={version:06d}"
+    if key is None:
+        df.write.mode("errorifexists").format(data_format).save(
+            f"{vdir}/{_BUCKET_COL}=0"
+        )
+    else:
+        bucketed = df.withColumn(_BUCKET_COL, _bucket_expr(key, nbuckets))
+        (
+            bucketed.repartition(width or nbuckets, F.col(_BUCKET_COL))
+            .write.mode("errorifexists")
+            .partitionBy(_BUCKET_COL)
+            .format(data_format)
+            .save(vdir)
+        )
+    return _list_written_files(spark, path, version)
 
 
 def write_versioned(
@@ -91,13 +237,41 @@ def write_versioned(
     df: DataFrame,
     path: str,
     data_format: str = "parquet",
+    key: str | None = None,
+    nbuckets: int = DEFAULT_BUCKETS,
 ) -> int:
     """Write ``df`` as the next version of ``path`` and swing the
-    pointer to it; returns the new version number."""
+    pointer to it; returns the new version number.
+
+    ``key``/``nbuckets`` choose the hash-bucket layout that makes later
+    upserts partial rewrites; an existing table's layout is reused
+    (bucket function must stay stable across versions). With no key the
+    data lands in a single bucket and the first keyed upsert re-buckets
+    it (self-healing — see upsert_versioned).
+    """
     existing = _versions(spark, path)
     version = (existing[-1] + 1) if existing else 1
-    df.write.mode("overwrite").format(data_format).save(
-        f"{path}/v={version:06d}"
+    if existing:
+        prev = _read_manifest(spark, path, existing[-1])
+        if prev.get("key") is not None and (
+            key is None or key == prev["key"]
+        ):
+            key, nbuckets = prev["key"], prev["nbuckets"]
+    files = _write_bucketed(
+        spark, df, path, version, key, nbuckets, data_format
+    )
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {
+            "version": version,
+            "key": key,
+            "nbuckets": nbuckets if key is not None else 1,
+            "schema": df.schema.json(),
+            "format": data_format,
+            "files": files,
+        },
     )
     _write_pointer(spark, path, version)
     return version
@@ -111,9 +285,20 @@ def read_versioned(
 ) -> DataFrame:
     """Read the pointed-to version, or TIME-TRAVEL to ``version``."""
     v = _read_pointer(spark, path) if version is None else version
-    if v not in _versions(spark, path):
-        raise FileNotFoundError(f"version {v} not retained under {path}")
-    return spark.read.format(data_format).load(f"{path}/v={v:06d}")
+    manifest = _read_manifest(spark, path, v)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [
+        posixpath.join(path, entry["path"]) for entry in manifest["files"]
+    ]
+    # select by the manifest schema: partition discovery over the
+    # v=/__b= dir components would otherwise surface layout columns
+    return (
+        spark.read.format(manifest.get("format", data_format))
+        .load(paths)
+        .select(*schema.fieldNames())
+    )
 
 
 def upsert_versioned(
@@ -124,35 +309,129 @@ def upsert_versioned(
     version_col: str,
     data_format: str = "parquet",
 ) -> int:
-    """Latest-wins merge against the CURRENT version, written as a NEW
-    version (history untouched); returns the new version number. Ties
-    on ``version_col`` prefer the update side."""
-    current = read_versioned(spark, path, data_format=data_format)
-    tagged = current.withColumn("__src", F.lit(0)).unionByName(
-        updates.withColumn("__src", F.lit(1))
+    """Latest-wins merge against the CURRENT version, committed as a
+    NEW version (history untouched); returns the new version number.
+    Ties on ``version_col`` prefer the update side.
+
+    Copy-on-write at bucket granularity: only buckets containing an
+    updated key are re-read, merged, and rewritten — every other file
+    enters the new manifest by reference, so the write cost is
+    O(affected buckets), not O(table). If the table wasn't bucketed by
+    ``key`` yet, this merge rewrites it bucketed (one-time full cost;
+    every later upsert is partial).
+    """
+    current_v = _read_pointer(spark, path)
+    manifest = _read_manifest(spark, path, current_v)
+    version = _versions(spark, path)[-1] + 1
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    fmt = manifest.get("format", data_format)
+
+    def merge(base: DataFrame) -> DataFrame:
+        tagged = base.withColumn("__src", F.lit(0)).unionByName(
+            updates.withColumn("__src", F.lit(1))
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col(version_col).desc(), F.col("__src").desc()
+        )
+        return (
+            tagged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__src")
+        )
+
+    if manifest.get("key") == key and manifest["nbuckets"] > 1:
+        nbuckets = manifest["nbuckets"]
+        affected = {
+            r[0]
+            for r in updates.select(
+                _bucket_expr(key, nbuckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        keep = [e for e in manifest["files"] if e["bucket"] not in affected]
+        touched = [e for e in manifest["files"] if e["bucket"] in affected]
+        if touched:
+            base = (
+                spark.read.format(fmt)
+                .load([posixpath.join(path, e["path"]) for e in touched])
+                .select(*schema.fieldNames())
+            )
+        else:
+            base = spark.createDataFrame([], schema)
+        new_files = _write_bucketed(
+            spark,
+            merge(base),
+            path,
+            version,
+            key,
+            nbuckets,
+            fmt,
+            width=max(len(affected), 1),
+        )
+        files = keep + new_files
+    else:
+        # not bucketed by this key: one-time full rewrite, bucketed
+        nbuckets = manifest["nbuckets"] if manifest.get("key") == key else (
+            DEFAULT_BUCKETS
+        )
+        current = read_versioned(spark, path, version=current_v)
+        files = _write_bucketed(
+            spark, merge(current), path, version, key, nbuckets, fmt
+        )
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {
+            "version": version,
+            "key": key,
+            "nbuckets": nbuckets,
+            "schema": manifest["schema"],
+            "format": fmt,
+            "files": files,
+        },
     )
-    w = Window.partitionBy(key).orderBy(
-        F.col(version_col).desc(), F.col("__src").desc()
-    )
-    merged = (
-        tagged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
-    return write_versioned(spark, merged, path, data_format)
+    _write_pointer(spark, path, version)
+    return version
 
 
 def expire_versions(
     spark: SparkSession, path: str, keep: int
 ) -> list[int]:
-    """Retention: delete all but the newest ``keep`` versions — but
-    never the pointer's current target. Returns deleted versions."""
+    """Retention: drop all but the newest ``keep`` manifests — never
+    the pointer's current target — then garbage-collect every data file
+    no retained manifest references (files shared with a retained
+    version survive). Returns the expired version numbers."""
     fs, _ = hadoop_fs(spark, path)
     live = _read_pointer(spark, path)
     versions = _versions(spark, path)
     doomed = [v for v in versions[:-keep] if v != live] if keep > 0 else []
     for v in doomed:
-        fs.delete(_jpath(spark, f"{path}/v={v:06d}"), True)
+        fs.delete(_jpath(spark, _manifest_path(path, v)), False)
+    retained = set(_versions(spark, path)) - set(doomed)
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(
+            e["path"] for e in _read_manifest(spark, path, v)["files"]
+        )
+    data_root = _jpath(spark, f"{path}/{_DATA}")
+    if fs.exists(data_root):
+        it = fs.listFiles(data_root, True)
+        orphans = []
+        while it.hasNext():
+            p = it.next().getPath().toString()
+            rel = p[p.index(f"{_DATA}/v=") :]
+            if rel not in referenced:
+                orphans.append(p)
+        for p in orphans:
+            fs.delete(_jpath(spark, p), False)
+        # sweep version dirs that emptied out
+        for st in fs.listStatus(data_root):
+            if st.isDirectory() and not fs.listFiles(
+                st.getPath(), True
+            ).hasNext():
+                fs.delete(st.getPath(), True)
     return doomed
 
 
@@ -163,32 +442,40 @@ def diff_versions(
     v_to: int,
     key: str,
     data_format: str = "parquet",
+    sort: bool = False,
 ) -> DataFrame:
     """(key, change): the audit diff between two retained versions —
     ``added`` / ``removed`` / ``changed`` (any non-key column differs;
-    unchanged rows are omitted). One co-partitioned full-outer
-    sort-merge join on the key; rows compare by a whole-row struct
-    equality, so adding columns never changes this code."""
+    unchanged rows are omitted). One co-partitioned full-outer join on
+    the key; rows compare by struct equality over the UNION of both
+    versions' non-key columns (a column only one side has is
+    null-padded, so schema evolution reads as 'changed' where the new
+    column is non-null, never silently ignored).
+
+    ``sort=False`` by default: the changed-row set can be corpus-sized
+    and a global sort buys the audit consumer nothing; pass sort=True
+    for small presentation reads.
+    """
     a = read_versioned(spark, path, version=v_from, data_format=data_format)
     b = read_versioned(spark, path, version=v_to, data_format=data_format)
-    cols = [c for c in a.columns if c != key]
-    left = a.select(
-        F.col(key).alias("__k"), F.struct(*cols).alias("__va")
-    )
-    right = b.select(
-        F.col(key).alias("__k2"), F.struct(*cols).alias("__vb")
-    )
+    a_cols = [c for c in a.columns if c != key]
+    b_cols = [c for c in b.columns if c != key]
+    cols = a_cols + [c for c in b_cols if c not in a_cols]
+    for c in cols:
+        if c not in a.columns:
+            a = a.withColumn(c, F.lit(None).cast(b.schema[c].dataType))
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None).cast(a.schema[c].dataType))
+    left = a.select(F.col(key).alias("__k"), F.struct(*cols).alias("__va"))
+    right = b.select(F.col(key).alias("__k2"), F.struct(*cols).alias("__vb"))
     joined = left.join(right, left["__k"] == right["__k2"], "full_outer")
-    return (
-        joined.select(
-            F.coalesce("__k", "__k2").alias(key),
-            F.expr(
-                "CASE WHEN __k IS NULL THEN 'added'"
-                " WHEN __k2 IS NULL THEN 'removed'"
-                " WHEN __va != __vb THEN 'changed'"
-                " ELSE NULL END"
-            ).alias("change"),
-        )
-        .filter("change IS NOT NULL")
-        .orderBy(key)
-    )
+    out = joined.select(
+        F.coalesce("__k", "__k2").alias(key),
+        F.expr(
+            "CASE WHEN __k IS NULL THEN 'added'"
+            " WHEN __k2 IS NULL THEN 'removed'"
+            " WHEN __va != __vb THEN 'changed'"
+            " ELSE NULL END"
+        ).alias("change"),
+    ).filter("change IS NOT NULL")
+    return out.orderBy(key) if sort else out

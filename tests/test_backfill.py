@@ -82,6 +82,27 @@ def test_backfill_depends_on_past_blocks_later_dates(tmp_path):
     assert not os.path.exists(out / "2024-01-03.txt")
 
 
+def test_backfill_ledger_complete_dates_skip_even_when_blocked(tmp_path):
+    """Airflow parity (round-10 ADVICE): with depends_on_past=True, a
+    date that completed in a PRIOR run reports 'skipped', not
+    'blocked', when an earlier date fails in this run — the blocked
+    status only gates new work."""
+    out = tmp_path / "out"
+    out.mkdir()
+    ledger = str(tmp_path / "ledger")
+    # prior run completes date 2 only
+    backfill(_builder(str(out), set()), ["2024-01-02"], ledger)
+    got = backfill(
+        _builder(str(out), {"2024-01-01"}), DATES, ledger,
+        depends_on_past=True,
+    )
+    assert got == {
+        "2024-01-01": "failed",
+        "2024-01-02": "skipped",
+        "2024-01-03": "blocked",
+    }, got
+
+
 def test_backfill_crash_resume_reruns_unmarked_date(tmp_path):
     """A missing marker (crash between run() and rename) re-runs the
     date; the pipeline's done-probe absorbs the repeat without

@@ -78,9 +78,170 @@ def test_diff_versions_classifies_changes(spark, tmp_path):
     )
     got = [
         (r["k"], r["change"])
-        for r in diff_versions(spark, path, 1, 2, "k").collect()
+        for r in diff_versions(spark, path, 1, 2, "k", sort=True).collect()
     ]
     assert got == [(2, "changed"), (3, "added"), (4, "removed")], got
+
+
+def _data_bytes(root, version):
+    """Total bytes and file count of the data files written FOR a
+    specific version (pyarrow-free: plain os.walk over the local dir)."""
+    import os
+
+    vdir = os.path.join(root, "data", f"v={version:06d}")
+    total, n = 0, 0
+    for dirpath, _dirs, files in os.walk(vdir):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(dirpath, f))
+            n += 1
+    return total, n
+
+
+def test_upsert_rewrites_only_affected_buckets(spark, tmp_path):
+    """The manifest contract at the byte level: a 1-key upsert into an
+    8-bucket table writes ~1/8 of the v1 bytes (one bucket dir), and
+    the v2 manifest re-references 7 of v1's files unchanged."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    big = spark.createDataFrame(
+        [(k, "x" * 50, 1) for k in range(800)], "k bigint, val string, ver int"
+    )
+    write_versioned(spark, big, path, key="k", nbuckets=8)
+    upsert_versioned(
+        spark, path, _df(spark, [(3, "NEW", 2)]), "k", "ver"
+    )
+    v1_bytes, v1_files = _data_bytes(path, 1)
+    v2_bytes, v2_files = _data_bytes(path, 2)
+    assert v1_files >= 8, v1_files
+    assert v2_files < v1_files / 4, (v1_files, v2_files)
+    assert v2_bytes < v1_bytes / 3, (v1_bytes, v2_bytes)
+    m1 = _read_manifest(spark, path, 1)
+    m2 = _read_manifest(spark, path, 2)
+    shared = {e["path"] for e in m1["files"]} & {
+        e["path"] for e in m2["files"]
+    }
+    assert len(shared) == len(m1["files"]) - sum(
+        1 for e in m1["files"] if e["bucket"] == _bucket_of(spark, 3, 8)
+    ), (m1["files"], m2["files"])
+    # and the merged content is right: key 3 updated, neighbors intact
+    latest = {
+        r["k"]: r["val"] for r in read_versioned(spark, path).collect()
+    }
+    assert latest[3] == "NEW" and latest[2] == "x" * 50 and len(latest) == 800
+
+
+def _bucket_of(spark, k, nbuckets):
+    from etl_pipeline_example_spark.pipeline.versioned import _bucket_expr
+
+    return (
+        spark.range(1)
+        .select(_bucket_expr("id", nbuckets).alias("b"))
+        .selectExpr(f"pmod(xxhash64(cast({k} as bigint)), {nbuckets}) as b")
+        .collect()[0]["b"]
+    )
+
+
+def test_expire_gc_keeps_files_shared_with_retained_versions(
+    spark, tmp_path
+):
+    """After expiring v1, v1-era files still referenced by the v2/v3
+    manifests must survive GC; truly unreferenced ones are deleted."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    big = spark.createDataFrame(
+        [(k, "x" * 50, 1) for k in range(800)], "k bigint, val string, ver int"
+    )
+    write_versioned(spark, big, path, key="k", nbuckets=8)
+    upsert_versioned(spark, path, _df(spark, [(3, "A", 2)]), "k", "ver")
+    upsert_versioned(spark, path, _df(spark, [(3, "B", 3)]), "k", "ver")
+    deleted = expire_versions(spark, path, keep=2)
+    assert deleted == [1], deleted
+    # v2 still reads in full: its manifest shares v1-era bucket files
+    v2 = {r["k"]: r["val"] for r in read_versioned(spark, path, version=2).collect()}
+    assert len(v2) == 800 and v2[3] == "A"
+    # every file on disk is referenced by a retained manifest
+    referenced = set()
+    for v in (2, 3):
+        referenced.update(
+            e["path"] for e in _read_manifest(spark, path, v)["files"]
+        )
+    on_disk = set()
+    for dirpath, _dirs, files in os.walk(os.path.join(path, "data")):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                rel = os.path.relpath(os.path.join(dirpath, f), path)
+                on_disk.add(rel)
+    assert on_disk == referenced, (on_disk - referenced, referenced - on_disk)
+
+
+def test_concurrent_version_commit_raises(spark, tmp_path):
+    """The create-exclusive manifest is the writer lock: committing the
+    same version twice raises ConcurrentWriteError."""
+    import pytest as _pytest
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        ConcurrentWriteError,
+        _commit_manifest,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path)
+    with _pytest.raises(ConcurrentWriteError):
+        _commit_manifest(spark, path, 1, {"files": []})
+
+
+def test_read_pointer_falls_back_to_newest_manifest(spark, tmp_path):
+    """Crash recovery: with the pointer file gone, latest reads resolve
+    to the newest committed manifest instead of failing."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path)
+    write_versioned(spark, _df(spark, [(1, "b", 2)]), path)
+    os.remove(os.path.join(path, "_latest"))
+    got = read_versioned(spark, path).collect()
+    assert [(r["k"], r["val"]) for r in got] == [(1, "b")], got
+
+
+def test_diff_versions_sees_added_column(spark, tmp_path):
+    """Schema evolution: a column present only in v_to participates in
+    the diff (null-padded on the v_from side), so rows differing only
+    there report 'changed' — the round-10 ADVICE fix."""
+    from etl_pipeline_example_spark.pipeline.versioned import diff_versions
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark,
+        spark.createDataFrame([(1, "a")], "k bigint, val string"),
+        path,
+    )
+    write_versioned(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", "extra")], "k bigint, val string, note string"
+        ),
+        path,
+    )
+    got = [
+        (r["k"], r["change"])
+        for r in diff_versions(spark, path, 1, 2, "k", sort=True).collect()
+    ]
+    assert got == [(1, "changed")], got
 
 
 def test_versioned_random_op_sequence_invariants(spark, tmp_path):
