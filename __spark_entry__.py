@@ -195,6 +195,8 @@ from etl_pipeline_example_spark.operators import (
     CHARTRIGRAM_QUERIES,
     FERTILITY_ORACLES,
     FERTILITY_QUERIES,
+    BPEINDEX_ORACLES,
+    BPEINDEX_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -515,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
     out.update(FERTILITY_QUERIES)
+    out.update(BPEINDEX_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -649,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)
     out.update(FERTILITY_ORACLES)
+    out.update(BPEINDEX_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -160,6 +160,10 @@ from etl_pipeline_example_spark.operators.fertility import (
     FERTILITY_QUERIES,
     FERTILITY_ORACLES,
 )
+from etl_pipeline_example_spark.operators.bpeindex import (
+    BPEINDEX_QUERIES,
+    BPEINDEX_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -396,6 +400,8 @@ __all__ = [
     "CHARTRIGRAM_ORACLES",
     "FERTILITY_QUERIES",
     "FERTILITY_ORACLES",
+    "BPEINDEX_QUERIES",
+    "BPEINDEX_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",
