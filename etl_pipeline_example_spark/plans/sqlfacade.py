@@ -78,10 +78,80 @@ def q_sql_shared_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, SHARED_NATION_REVENUE_SQL)
 
 
+# Three more shared-dialect shapes (round-10 verdict ask #6): the ad-hoc
+# facade exercised over a PARTITIONED window, a correlated-EXISTS
+# semi-join, and GROUPING SETS — each one constant, executed verbatim by
+# both engines. Dialect notes: ROW_NUMBER/GROUPING render as different
+# integer widths per engine, so both are CAST to INTEGER in-text; money
+# goes through the repo-wide DECIMAL-sum-then-DOUBLE contract; the
+# window carries the o_orderkey tiebreak so top-3 is a total order.
+
+SHARED_TOP_ORDERS_SQL = """
+SELECT priority, o_orderkey, totalprice, rn
+FROM (
+  SELECT o_orderpriority AS priority, o_orderkey,
+         CAST(o_totalprice AS DOUBLE) AS totalprice,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS INTEGER) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+SHARED_SEMI_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c.c_mktsegment
+"""
+
+
+SHARED_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       count(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def q_sql_shared_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(priority, o_orderkey, totalprice, rn): top-3 orders per
+    priority — a PARTITIONED window (never global) through the facade."""
+    return run_sql(spark, sf_dir, SHARED_TOP_ORDERS_SQL)
+
+
+def q_sql_shared_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment, n_customers): customers with ≥1 urgent order, by
+    segment — Catalyst plans the EXISTS as a left-semi hash join."""
+    return run_sql(spark, sf_dir, SHARED_SEMI_JOIN_SQL)
+
+
+def q_sql_shared_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_returnflag, l_linestatus, g_flag, g_status, n_items, revenue):
+    GROUPING SETS rollout with grouping indicators through the facade."""
+    return run_sql(spark, sf_dir, SHARED_GROUPING_SETS_SQL)
+
+
 SQLFACADE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_shared_dialect": q_sql_shared_dialect,
+    "q_sql_shared_window": q_sql_shared_window,
+    "q_sql_shared_semijoin": q_sql_shared_semijoin,
+    "q_sql_shared_grouping": q_sql_shared_grouping,
 }
 
 SQLFACADE_ORACLES: dict[str, str] = {
     "q_sql_shared_dialect": SHARED_NATION_REVENUE_SQL,
+    "q_sql_shared_window": SHARED_TOP_ORDERS_SQL,
+    "q_sql_shared_semijoin": SHARED_SEMI_JOIN_SQL,
+    "q_sql_shared_grouping": SHARED_GROUPING_SETS_SQL,
 }
