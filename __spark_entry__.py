@@ -281,6 +281,14 @@ from etl_pipeline_example_spark.plans import (
     VOLUMEZ_QUERIES,
     NULLSAFE_ORACLES,
     NULLSAFE_QUERIES,
+    REFERENTIAL_ORACLES,
+    REFERENTIAL_QUERIES,
+    RANGEJOIN_ORACLES,
+    RANGEJOIN_QUERIES,
+    IQR_ORACLES,
+    IQR_QUERIES,
+    WMEDIAN_ORACLES,
+    WMEDIAN_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -513,6 +521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DIVERSITY_QUERIES)
     out.update(VOLUMEZ_QUERIES)
     out.update(NULLSAFE_QUERIES)
+    out.update(REFERENTIAL_QUERIES)
+    out.update(RANGEJOIN_QUERIES)
+    out.update(IQR_QUERIES)
+    out.update(WMEDIAN_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -648,6 +660,10 @@ def oracle_sql() -> dict[str, str]:
     out.update(DIVERSITY_ORACLES)
     out.update(VOLUMEZ_ORACLES)
     out.update(NULLSAFE_ORACLES)
+    out.update(REFERENTIAL_ORACLES)
+    out.update(RANGEJOIN_ORACLES)
+    out.update(IQR_ORACLES)
+    out.update(WMEDIAN_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

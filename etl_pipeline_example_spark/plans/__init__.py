@@ -176,6 +176,22 @@ from etl_pipeline_example_spark.plans.nullsafe import (
     NULLSAFE_QUERIES,
     NULLSAFE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.referential import (
+    REFERENTIAL_QUERIES,
+    REFERENTIAL_ORACLES,
+)
+from etl_pipeline_example_spark.plans.rangejoin import (
+    RANGEJOIN_QUERIES,
+    RANGEJOIN_ORACLES,
+)
+from etl_pipeline_example_spark.plans.iqr import (
+    IQR_QUERIES,
+    IQR_ORACLES,
+)
+from etl_pipeline_example_spark.plans.wmedian import (
+    WMEDIAN_QUERIES,
+    WMEDIAN_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -270,6 +286,14 @@ __all__ = [
     "VOLUMEZ_ORACLES",
     "NULLSAFE_QUERIES",
     "NULLSAFE_ORACLES",
+    "REFERENTIAL_QUERIES",
+    "REFERENTIAL_ORACLES",
+    "RANGEJOIN_QUERIES",
+    "RANGEJOIN_ORACLES",
+    "IQR_QUERIES",
+    "IQR_ORACLES",
+    "WMEDIAN_QUERIES",
+    "WMEDIAN_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -9,6 +9,139 @@ in-op-training forms.
 from __future__ import annotations
 
 
+def _write(spark, tmp_path, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{name}.parquet")
+
+
+def test_dq_referential_counts_planted_orphans(spark, tmp_path):
+    """Planted warehouse: lineitem rows with an unknown orderkey and an
+    unknown partkey, one order with an unknown custkey — each shows up
+    on exactly its edge."""
+    from etl_pipeline_example_spark.plans.referential import dq_referential
+
+    _write(spark, tmp_path, "region", [(1,)], "r_regionkey bigint")
+    _write(spark, tmp_path, "nation", [(1, 1)],
+           "n_nationkey bigint, n_regionkey bigint")
+    _write(spark, tmp_path, "customer", [(1, 1), (2, 1)],
+           "c_custkey bigint, c_nationkey bigint")
+    _write(spark, tmp_path, "supplier", [(1, 1)],
+           "s_suppkey bigint, s_nationkey bigint")
+    _write(spark, tmp_path, "part", [(1,)], "p_partkey bigint")
+    _write(spark, tmp_path, "orders", [(10, 1), (11, 3)],
+           "o_orderkey bigint, o_custkey bigint")
+    _write(spark, tmp_path, "lineitem",
+           [(10, 1, 1), (12, 1, 1), (10, 2, 1)],
+           "l_orderkey bigint, l_partkey bigint, l_suppkey bigint")
+    got = [
+        (r["edge"], r["n_child"], r["n_orphans"])
+        for r in dq_referential(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("customer.c_nationkey->nation.n_nationkey", 2, 0),
+        ("lineitem.l_orderkey->orders.o_orderkey", 3, 1),
+        ("lineitem.l_partkey->part.p_partkey", 3, 1),
+        ("lineitem.l_suppkey->supplier.s_suppkey", 3, 0),
+        ("nation.n_regionkey->region.r_regionkey", 1, 0),
+        ("orders.o_custkey->customer.c_custkey", 2, 1),
+    ], got
+
+
+def test_interval_overlap_counts_window_hits(spark, tmp_path):
+    """Order windows are 3 days inclusive: an order on Jan 1 catches
+    events on Jan 1-3 only; a priority with no events in any window
+    reports 0 through the left join."""
+    from etl_pipeline_example_spark.plans.rangejoin import (
+        q_interval_event_overlap,
+    )
+
+    _write(spark, tmp_path, "orders",
+           [(1, "1-URGENT", "2020-01-01"), (2, "2-HIGH", "2020-01-10"),
+            (3, "3-MEDIUM", "2020-06-01")],
+           "o_orderkey bigint, o_orderpriority string, o_orderdate string")
+    spark.read.parquet(f"{tmp_path}/orders.parquet").selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "cast(o_orderdate as timestamp) o_orderdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders2.parquet")
+    import shutil
+
+    shutil.rmtree(f"{tmp_path}/orders.parquet")
+    shutil.move(f"{tmp_path}/orders2.parquet", f"{tmp_path}/orders.parquet")
+    ev = [("2020-01-02", 2), ("2020-01-03", 1), ("2020-01-12", 1),
+          ("2020-01-20", 5)]
+    rows = []
+    eid = 0
+    for day, n in ev:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{day} 12:00:00"))
+    _write(spark, tmp_path, "events_raw", rows, "event_id bigint, ts string")
+    spark.read.parquet(f"{tmp_path}/events_raw.parquet").selectExpr(
+        "event_id", "cast(ts as timestamp) ts"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = [
+        (r["priority"], r["n_orders"], r["n_event_hits"],
+         r["events_per_order"])
+        for r in q_interval_event_overlap(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("1-URGENT", 1, 3, 3.0),
+        ("2-HIGH", 1, 1, 1.0),
+        ("3-MEDIUM", 1, 0, 0.0),
+    ], got
+
+
+def test_iqr_flags_only_the_planted_spike(spark, tmp_path):
+    """Four 10-event days and one 100-event day: Q1=Q3=10 so the fences
+    collapse to [10,10] and exactly the spike reads 'high'."""
+    from etl_pipeline_example_spark.plans.iqr import events_anomaly_iqr
+
+    rows = []
+    eid = 0
+    for day, n in [("2020-01-01", 10), ("2020-01-02", 10),
+                   ("2020-01-03", 10), ("2020-01-04", 10),
+                   ("2020-01-05", 100)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{day} 00:30:00"))
+    _write(spark, tmp_path, "events_raw", rows, "event_id bigint, ts string")
+    spark.read.parquet(f"{tmp_path}/events_raw.parquet").selectExpr(
+        "event_id", "cast(ts as timestamp) ts"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        str(r["day"]): r["status"]
+        for r in events_anomaly_iqr(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "2020-01-01": "normal", "2020-01-02": "normal",
+        "2020-01-03": "normal", "2020-01-04": "normal",
+        "2020-01-05": "high",
+    }, got
+
+
+def test_weighted_median_respects_quantity_mass(spark, tmp_path):
+    """Supplier 1: a qty-10 line at price 3 outweighs two qty-1 lines
+    below it → weighted median 3.0 (the PLAIN median of line prices is
+    2.0 — the distinction the operator exists for). Supplier 2: the
+    qty-3 line at price 5 already holds half the mass."""
+    from etl_pipeline_example_spark.plans.wmedian import q_weighted_median
+
+    rows = [
+        (1, 100, 1, 1.0, 1.0), (1, 100, 2, 2.0, 1.0), (1, 101, 1, 3.0, 10.0),
+        (2, 102, 1, 5.0, 3.0), (2, 102, 2, 7.0, 1.0),
+    ]
+    _write(spark, tmp_path, "lineitem",
+           [(s, o, ln, p, q) for s, o, ln, p, q in rows],
+           "l_suppkey bigint, l_orderkey bigint, l_linenumber int,"
+           " l_extendedprice double, l_quantity double")
+    got = [
+        (r["l_suppkey"], r["total_qty"], r["wmedian_price"])
+        for r in q_weighted_median(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 12.0, 3.0), (2, 4.0, 5.0)], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
