@@ -197,6 +197,8 @@ from etl_pipeline_example_spark.operators import (
     FERTILITY_QUERIES,
     BPEINDEX_ORACLES,
     BPEINDEX_QUERIES,
+    EPOCHS_ORACLES,
+    EPOCHS_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -289,6 +291,10 @@ from etl_pipeline_example_spark.plans import (
     IQR_QUERIES,
     WMEDIAN_ORACLES,
     WMEDIAN_QUERIES,
+    PKAUDIT_ORACLES,
+    PKAUDIT_QUERIES,
+    SPINE_ORACLES,
+    SPINE_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -525,11 +531,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RANGEJOIN_QUERIES)
     out.update(IQR_QUERIES)
     out.update(WMEDIAN_QUERIES)
+    out.update(PKAUDIT_QUERIES)
+    out.update(SPINE_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
     out.update(FERTILITY_QUERIES)
     out.update(BPEINDEX_QUERIES)
+    out.update(EPOCHS_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -664,11 +673,14 @@ def oracle_sql() -> dict[str, str]:
     out.update(RANGEJOIN_ORACLES)
     out.update(IQR_ORACLES)
     out.update(WMEDIAN_ORACLES)
+    out.update(PKAUDIT_ORACLES)
+    out.update(SPINE_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)
     out.update(FERTILITY_ORACLES)
     out.update(BPEINDEX_ORACLES)
+    out.update(EPOCHS_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

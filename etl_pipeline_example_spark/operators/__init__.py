@@ -164,6 +164,10 @@ from etl_pipeline_example_spark.operators.bpeindex import (
     BPEINDEX_QUERIES,
     BPEINDEX_ORACLES,
 )
+from etl_pipeline_example_spark.operators.epochs import (
+    EPOCHS_QUERIES,
+    EPOCHS_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -402,6 +406,8 @@ __all__ = [
     "FERTILITY_ORACLES",
     "BPEINDEX_QUERIES",
     "BPEINDEX_ORACLES",
+    "EPOCHS_QUERIES",
+    "EPOCHS_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

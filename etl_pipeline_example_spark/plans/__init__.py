@@ -192,6 +192,14 @@ from etl_pipeline_example_spark.plans.wmedian import (
     WMEDIAN_QUERIES,
     WMEDIAN_ORACLES,
 )
+from etl_pipeline_example_spark.plans.pkaudit import (
+    PKAUDIT_QUERIES,
+    PKAUDIT_ORACLES,
+)
+from etl_pipeline_example_spark.plans.spine import (
+    SPINE_QUERIES,
+    SPINE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -294,6 +302,10 @@ __all__ = [
     "IQR_ORACLES",
     "WMEDIAN_QUERIES",
     "WMEDIAN_ORACLES",
+    "PKAUDIT_QUERIES",
+    "PKAUDIT_ORACLES",
+    "SPINE_QUERIES",
+    "SPINE_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -47,9 +47,18 @@ WAREHOUSE_TABLES = [
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
-    """Publish every warehouse table as a temp view (idempotent)."""
+    """Publish every warehouse table as a temp view (idempotent).
+    Tables absent from the directory are skipped — partial warehouses
+    (scratch extracts, unit-test fixtures) query the views they have."""
+    import os
+
     for name in WAREHOUSE_TABLES:
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        else:
+            # never let a stale view from a previous directory serve a
+            # table this directory doesn't have
+            spark.catalog.dropTempView(name)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

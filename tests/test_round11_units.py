@@ -142,6 +142,86 @@ def test_weighted_median_respects_quantity_mass(spark, tmp_path):
     assert got == [(1, 12.0, 3.0), (2, 4.0, 5.0)], got
 
 
+def test_mix_epochs_waterfills_capped_surplus(spark, tmp_path):
+    """Two sources, 100 and 10 tokens; budget = 2×110 = 220, cap = 3
+    epochs. Uniform split gives each 110; the small source caps at 30
+    and its 80-token surplus waterfalls to the big one: A plans
+    110+80=190 (1.9 epochs), B plans 30 (3.0). Σ = budget exactly."""
+    from etl_pipeline_example_spark.operators.epochs import mix_epochs
+
+    docs = [
+        (1, " ".join(["tok"] * 100), "en", "A"),
+        (2, " ".join(["tok"] * 10), "en", "B"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = [
+        (r["source"], r["n_tokens"], r["planned_tokens"], r["epochs"])
+        for r in mix_epochs(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A", 100, 190, 1.9), ("B", 10, 30, 3.0)], got
+    assert sum(p for _, _, p, _ in got) == 220
+
+
+def test_pk_uniqueness_flags_planted_duplicate_key(spark, tmp_path):
+    """lineitem with a repeated (orderkey, linenumber) pair reports one
+    dup key at multiplicity 2; every other table is clean."""
+    from etl_pipeline_example_spark.plans.pkaudit import dq_pk_uniqueness
+
+    _write(spark, tmp_path, "region", [(1,)], "r_regionkey bigint")
+    _write(spark, tmp_path, "nation", [(1,)], "n_nationkey bigint")
+    _write(spark, tmp_path, "customer", [(1,)], "c_custkey bigint")
+    _write(spark, tmp_path, "supplier", [(1,)], "s_suppkey bigint")
+    _write(spark, tmp_path, "part", [(1,)], "p_partkey bigint")
+    _write(spark, tmp_path, "orders", [(1,), (2,)], "o_orderkey bigint")
+    _write(spark, tmp_path, "lineitem", [(1, 1), (1, 1), (1, 2)],
+           "l_orderkey bigint, l_linenumber int")
+    _write(spark, tmp_path, "events", [(1,)], "event_id bigint")
+    _write(spark, tmp_path, "documents", [(1,)], "doc_id bigint")
+    _write(spark, tmp_path, "embeddings", [(1,)], "vec_id bigint")
+    got = {
+        r["table_key"]: (r["n_rows"], r["n_keys"], r["n_dup_keys"],
+                         r["max_multiplicity"])
+        for r in dq_pk_uniqueness(spark, str(tmp_path)).collect()
+    }
+    assert got["lineitem(l_orderkey, l_linenumber)"] == (3, 2, 1, 2), got
+    assert got["orders(o_orderkey)"] == (2, 2, 0, 1), got
+    assert all(v[2] == 0 for k, v in got.items()
+               if not k.startswith("lineitem")), got
+
+
+def test_month_spine_zero_fills_empty_months(spark, tmp_path):
+    """Orders in Jan and Apr 2020 only: the recursive spine emits Feb
+    and Mar as explicit zero rows."""
+    from etl_pipeline_example_spark.plans.spine import (
+        q_month_spine_recursive,
+    )
+
+    _write(spark, tmp_path, "orders_raw",
+           [(1, "2020-01-15", 100.0), (2, "2020-04-02", 50.0),
+            (3, "2020-04-20", 25.0)],
+           "o_orderkey bigint, o_orderdate string, o_totalprice double")
+    spark.read.parquet(f"{tmp_path}/orders_raw.parquet").selectExpr(
+        "o_orderkey", "cast(o_orderdate as timestamp) o_orderdate",
+        "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [
+        (str(r["month"]), r["n_orders"], r["revenue"])
+        for r in q_month_spine_recursive(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2020-01-01", 1, 100.0),
+        ("2020-02-01", 0, 0.0),
+        ("2020-03-01", 0, 0.0),
+        ("2020-04-01", 2, 75.0),
+    ], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
