@@ -295,6 +295,10 @@ from etl_pipeline_example_spark.plans import (
     PKAUDIT_QUERIES,
     SPINE_ORACLES,
     SPINE_QUERIES,
+    INTERP_ORACLES,
+    INTERP_QUERIES,
+    CHECKSUM_ORACLES,
+    CHECKSUM_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -533,6 +537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(WMEDIAN_QUERIES)
     out.update(PKAUDIT_QUERIES)
     out.update(SPINE_QUERIES)
+    out.update(INTERP_QUERIES)
+    out.update(CHECKSUM_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -675,6 +681,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(WMEDIAN_ORACLES)
     out.update(PKAUDIT_ORACLES)
     out.update(SPINE_ORACLES)
+    out.update(INTERP_ORACLES)
+    out.update(CHECKSUM_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

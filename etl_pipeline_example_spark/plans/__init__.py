@@ -200,6 +200,14 @@ from etl_pipeline_example_spark.plans.spine import (
     SPINE_QUERIES,
     SPINE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.interp import (
+    INTERP_QUERIES,
+    INTERP_ORACLES,
+)
+from etl_pipeline_example_spark.plans.checksum import (
+    CHECKSUM_QUERIES,
+    CHECKSUM_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -306,6 +314,10 @@ __all__ = [
     "PKAUDIT_ORACLES",
     "SPINE_QUERIES",
     "SPINE_ORACLES",
+    "INTERP_QUERIES",
+    "INTERP_ORACLES",
+    "CHECKSUM_QUERIES",
+    "CHECKSUM_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

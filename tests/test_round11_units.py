@@ -222,6 +222,85 @@ def test_month_spine_zero_fills_empty_months(spark, tmp_path):
     ], got
 
 
+def test_gapfill_interp_hand_computed(spark, tmp_path):
+    """Urgent orders on Jan 1 (100) and Jan 4 (400): Jan 2 fills to
+    100 + 300·(1/3) = 200, Jan 3 to 300; observed days pass through."""
+    from etl_pipeline_example_spark.plans.interp import q_gapfill_interp
+
+    _write(spark, tmp_path, "orders_raw",
+           [(1, "2020-01-01", 100.0, "1-URGENT"),
+            (2, "2020-01-04", 400.0, "1-URGENT"),
+            (3, "2020-01-02", 999.0, "5-LOW")],
+           "o_orderkey bigint, o_orderdate string, o_totalprice double,"
+           " o_orderpriority string")
+    spark.read.parquet(f"{tmp_path}/orders_raw.parquet").selectExpr(
+        "o_orderkey", "cast(o_orderdate as timestamp) o_orderdate",
+        "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [
+        (str(r["day"]), r["observed"], r["filled"])
+        for r in q_gapfill_interp(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2020-01-01", 100.0, 100.0),
+        ("2020-01-02", None, 200.0),
+        ("2020-01-03", None, 300.0),
+        ("2020-01-04", 400.0, 400.0),
+    ], got
+
+
+def _mini_warehouse(spark, base, orders_rows):
+    _write(spark, base, "region", [(1,)], "r_regionkey bigint")
+    _write(spark, base, "nation", [(1, "GERMANY", 1)],
+           "n_nationkey bigint, n_name string, n_regionkey bigint")
+    _write(spark, base, "customer", [(1, "Cust#1", 1, "BUILDING")],
+           "c_custkey bigint, c_name string, c_nationkey bigint,"
+           " c_mktsegment string")
+    _write(spark, base, "supplier", [(1, "Supp#1", 1)],
+           "s_suppkey bigint, s_name string, s_nationkey bigint")
+    _write(spark, base, "part", [(1, "widget", "B#1", "TIN", 5)],
+           "p_partkey bigint, p_name string, p_brand string,"
+           " p_type string, p_size int")
+    _write(spark, base, "orders", orders_rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string")
+    _write(spark, base, "lineitem", [(1, 1, "N", "O")],
+           "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+           " l_linestatus string")
+    _write(spark, base, "events", [(1, 7, "view")],
+           "event_id bigint, user_id bigint, event_type string")
+    _write(spark, base, "documents", [(1, "web", 42)],
+           "doc_id bigint, source string, n_chars bigint")
+    _write(spark, base, "embeddings", [(1, 3)],
+           "vec_id bigint, label int")
+
+
+def test_table_checksum_is_order_independent_and_content_sensitive(
+    spark, tmp_path
+):
+    """Same orders rows in reversed physical order → identical
+    checksums; one mutated value → that table's checksum (and only
+    that table's) changes."""
+    from etl_pipeline_example_spark.plans.checksum import table_checksum
+
+    rows = [(1, 1, "1-URGENT"), (2, 1, "5-LOW"), (3, 1, "3-MEDIUM")]
+    a, b, c = tmp_path / "a", tmp_path / "b", tmp_path / "c"
+    _mini_warehouse(spark, a, rows)
+    _mini_warehouse(spark, b, list(reversed(rows)))
+    _mini_warehouse(spark, c, [(1, 1, "1-URGENT"), (2, 1, "5-LOW"),
+                               (3, 1, "2-HIGH")])
+    cks_a = {r["table_name"]: (r["n_rows"], r["checksum"])
+             for r in table_checksum(spark, str(a)).collect()}
+    cks_b = {r["table_name"]: (r["n_rows"], r["checksum"])
+             for r in table_checksum(spark, str(b)).collect()}
+    cks_c = {r["table_name"]: (r["n_rows"], r["checksum"])
+             for r in table_checksum(spark, str(c)).collect()}
+    assert cks_a == cks_b
+    assert cks_a["orders"] != cks_c["orders"]
+    assert {k: v for k, v in cks_a.items() if k != "orders"} == {
+        k: v for k, v in cks_c.items() if k != "orders"
+    }
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
