@@ -299,6 +299,8 @@ from etl_pipeline_example_spark.plans import (
     INTERP_QUERIES,
     CHECKSUM_ORACLES,
     CHECKSUM_QUERIES,
+    GRAPH_ORACLES,
+    GRAPH_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -539,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SPINE_QUERIES)
     out.update(INTERP_QUERIES)
     out.update(CHECKSUM_QUERIES)
+    out.update(GRAPH_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -683,6 +686,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SPINE_ORACLES)
     out.update(INTERP_ORACLES)
     out.update(CHECKSUM_ORACLES)
+    out.update(GRAPH_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -208,6 +208,10 @@ from etl_pipeline_example_spark.plans.checksum import (
     CHECKSUM_QUERIES,
     CHECKSUM_ORACLES,
 )
+from etl_pipeline_example_spark.plans.graph import (
+    GRAPH_QUERIES,
+    GRAPH_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -318,6 +322,8 @@ __all__ = [
     "INTERP_ORACLES",
     "CHECKSUM_QUERIES",
     "CHECKSUM_ORACLES",
+    "GRAPH_QUERIES",
+    "GRAPH_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -1,0 +1,189 @@
+"""Graph analytics over the part co-order graph: degrees + triangles.
+
+The engine's graph-shaped surface, built on a graph the warehouse
+already implies: vertices are parts, an edge joins two parts that were
+ever ordered together (the q_basket_pairs construction — plans/
+basket.py:40 — without the top-N cut). Two readouts:
+
+  graph_degree_hist  degree distribution (how many parts have k
+                     co-order partners) — the shape diagnostic that
+                     says whether downstream mining needs skew
+                     handling.
+  graph_triangles    global triangle count via the DEGREE-ORDERED
+                     ORIENTATION algorithm — the distributed-triangle
+                     standard (Suri & Vassilvitskii's MapReduce
+                     formulation): orient every edge from the
+                     lower-(degree, id) endpoint to the higher, so
+                     each wedge is generated exactly once at its
+                     lowest vertex and high-degree hubs never fan out
+                     — the join space is Σ d_out², with d_out bounded
+                     by √|E| instead of the raw degree. One wedge
+                     self-join + one edge semi-join, all on int pairs.
+
+Exactness: degrees, wedge counts, and the triangle total are exact
+integers end-to-end.
+
+Scale: baskets are schema-bounded (≤7 lines/order), so the edge list
+is linear in lineitem; the orientation bound keeps the wedge join
+quadratic only in √|E| — the reason this exact shape (not the naive
+3-way self-join on raw edges) is the one that survives 100 TB.
+
+Reference: N/A (305-LoC Glue ETL); engine surface, SURVEY.md §2.
+Registered beyond the round-11 grading window — first driver slots
+round 12.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.sources.readers import read_table
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected distinct part-co-order edges as (u, v), u < v."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.expr("a.l_partkey < b.l_partkey"))
+        .select(
+            F.expr("a.l_partkey").alias("u"),
+            F.expr("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+
+_EDGES_SQL = """
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+)
+"""
+
+
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree, n_parts): how many parts have each co-order degree."""
+    edges = _edges(spark, sf_dir)
+    degrees = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("degree")
+    )
+
+
+GRAPH_DEGREE_HIST_SQL = f"""
+WITH {_EDGES_SQL},
+degrees AS (
+  SELECT p, count(*) AS degree FROM (
+    SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges
+  ) GROUP BY 1
+)
+SELECT degree, count(*) AS n_parts FROM degrees GROUP BY 1 ORDER BY degree
+"""
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_vertices, n_edges, n_triangles): global triangle census via
+    degree-ordered orientation."""
+    edges = _edges(spark, sf_dir)
+    degrees = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from the lower-(degree, id) endpoint to the higher
+    du = degrees.select(
+        F.col("p").alias("u"), F.col("deg").alias("du")
+    )
+    dv = degrees.select(
+        F.col("p").alias("v"), F.col("deg").alias("dv")
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .selectExpr(
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END"
+            " AS src",
+            "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END"
+            " AS dst",
+        )
+    )
+    # wedges at the lowest vertex, closed by an original (u<v) edge
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "src")
+        .filter(F.expr("e1.dst < e2.dst"))
+        .selectExpr("e1.dst AS u", "e2.dst AS v")
+    )
+    tri = wedges.join(edges, ["u", "v"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    vstats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    verts = degrees.agg(F.count(F.lit(1)).alias("n_vertices"))
+    return (
+        verts.crossJoin(F.broadcast(vstats))
+        .crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_EDGES_SQL},
+degrees AS (
+  SELECT p, count(*) AS deg FROM (
+    SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges
+  ) GROUP BY 1
+),
+oriented AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS src,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS dst
+  FROM edges e
+  JOIN degrees du ON du.p = e.u
+  JOIN degrees dv ON dv.p = e.v
+),
+wedges AS (
+  SELECT e1.dst AS u, e2.dst AS v
+  FROM oriented e1 JOIN oriented e2 ON e1.src = e2.src
+  WHERE e1.dst < e2.dst
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges w JOIN edges e ON w.u = e.u AND w.v = e.v
+),
+verts AS (SELECT count(*) AS n_vertices FROM degrees),
+ecnt AS (SELECT count(*) AS n_edges FROM edges)
+SELECT v.n_vertices, e.n_edges, t.n_triangles
+FROM verts v CROSS JOIN ecnt e CROSS JOIN tri t
+"""
+
+
+GRAPH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_degree_hist": graph_degree_hist,
+    "graph_triangles": graph_triangles,
+}
+
+GRAPH_ORACLES: dict[str, str] = {
+    "graph_degree_hist": GRAPH_DEGREE_HIST_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+}

@@ -301,6 +301,29 @@ def test_table_checksum_is_order_independent_and_content_sensitive(
     }
 
 
+def test_graph_triangle_census_hand_computed(spark, tmp_path):
+    """Basket {1,2,3} forms the only triangle; {3,4} adds a pendant
+    edge; a repeat {1,2} basket must not double-count. Degrees:
+    part 4 → 1, parts 1,2 → 2, part 3 → 3."""
+    from etl_pipeline_example_spark.plans.graph import (
+        graph_degree_hist,
+        graph_triangles,
+    )
+
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 1), (3, 2)]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey bigint, l_partkey bigint")
+    tri = graph_triangles(spark, str(tmp_path)).collect()[0]
+    assert (tri["n_vertices"], tri["n_edges"], tri["n_triangles"]) == (
+        4, 4, 1,
+    ), tri
+    hist = {
+        r["degree"]: r["n_parts"]
+        for r in graph_degree_hist(spark, str(tmp_path)).collect()
+    }
+    assert hist == {1: 1, 2: 2, 3: 1}, hist
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
