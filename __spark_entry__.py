@@ -199,6 +199,8 @@ from etl_pipeline_example_spark.operators import (
     BPEINDEX_QUERIES,
     EPOCHS_ORACLES,
     EPOCHS_QUERIES,
+    SPANCORRUPT_ORACLES,
+    SPANCORRUPT_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -548,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(FERTILITY_QUERIES)
     out.update(BPEINDEX_QUERIES)
     out.update(EPOCHS_QUERIES)
+    out.update(SPANCORRUPT_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -693,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(FERTILITY_ORACLES)
     out.update(BPEINDEX_ORACLES)
     out.update(EPOCHS_ORACLES)
+    out.update(SPANCORRUPT_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -168,6 +168,10 @@ from etl_pipeline_example_spark.operators.epochs import (
     EPOCHS_QUERIES,
     EPOCHS_ORACLES,
 )
+from etl_pipeline_example_spark.operators.spancorrupt import (
+    SPANCORRUPT_QUERIES,
+    SPANCORRUPT_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -408,6 +412,8 @@ __all__ = [
     "BPEINDEX_ORACLES",
     "EPOCHS_QUERIES",
     "EPOCHS_ORACLES",
+    "SPANCORRUPT_QUERIES",
+    "SPANCORRUPT_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

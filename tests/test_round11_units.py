@@ -324,6 +324,52 @@ def test_graph_triangle_census_hand_computed(spark, tmp_path):
     assert hist == {1: 1, 2: 2, 3: 1}, hist
 
 
+def test_span_corruption_plan_matches_python_reference(spark, tmp_path):
+    """The mask is a pure function of (doc_id, position): recompute it
+    in Python over the same md5 rule and the census must agree,
+    including the span (maximal-run) count."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.spancorrupt import (
+        MASK_PCT,
+        span_corruption_plan,
+    )
+
+    docs = [(1, " ".join(f"w{j}" for j in range(40)), "en", "A"),
+            (2, " ".join(f"w{j}" for j in range(25)), "en", "B")]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    def mask(doc_id, n):
+        flags = []
+        for i in range(n):
+            h = int(hashlib.md5(f"{doc_id}:{i}".encode())
+                    .hexdigest()[:15], 16)
+            flags.append(1 if h % 100 < MASK_PCT else 0)
+        return flags
+
+    want = {}
+    for doc_id, text, _, src in docs:
+        n = len(text.split())
+        m = mask(doc_id, n)
+        spans = sum(
+            1 for i in range(n) if m[i] == 1 and (i == 0 or m[i - 1] == 0)
+        )
+        want[src] = (1, n, sum(m), spans)
+    got = {
+        r["source"]: (r["n_docs"], r["n_tokens"], r["n_masked"],
+                      r["n_spans"])
+        for r in span_corruption_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == want, (got, want)
+    assert any(v[2] > 0 for v in got.values())  # the mask actually fires
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
