@@ -333,22 +333,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round evidence because their backing closures are byte-identical.
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
-# _REGISTER_FIRST := in this order —
-#   1. first evidence: every full-oracle entry registered during
-#      round 11 beyond this window (run_sql shared-dialect additions,
-#      bpe_encode_indexed/bpe_fertility_indexed persisted-artifact
-#      entries, and the round-11 new-operator cohort), registration
-#      order; plus any entry round-12 churn pulls out of the freeze;
-#   2. the remaining r7-stale entries, oldest first: q_seasonality,
-#      lang_mismatch, li_shipping_lag, supplier_scorecard,
-#      q_revenue_concentration, q_events_heatmap, corpus_stats,
-#      dup_rate_by_source, dedup_incremental, dedup_savings,
-#      dedup_containment, cluster_topics, ann_rp_rerank, embed_outliers,
-#      embed_dim_stats, cluster_purity, text_normalize, quality_buckets,
-#      quality_c4, source_quality_matrix, token_len_hist, vocab_zipf,
-#      bpe_train, bpe_encode, sample_split, dsir_weights,
-#      boilerplate_strip, curation_funnel, domain_chi2, ngram_novelty,
-#      pmi_bigrams, stream_c4_gate (fill to 50; overflow rolls to r13);
+# _REGISTER_FIRST := exactly these 50, in this order —
+#   1. first evidence — the 17 round-11 additions, registration order:
+#      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
+#      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
+#      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
+#      dq_pk_uniqueness, q_month_spine_recursive, q_gapfill_interp,
+#      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
+#      span_corruption_plan; plus any entry round-12 churn pulls out of
+#      the freeze (displacing tail slots below);
+#   2. 33 oldest r7-stale entries: q_seasonality, lang_mismatch,
+#      li_shipping_lag, supplier_scorecard, q_revenue_concentration,
+#      q_events_heatmap, corpus_stats, dup_rate_by_source,
+#      dedup_incremental, dedup_savings, dedup_containment,
+#      cluster_topics, ann_rp_rerank, embed_outliers, embed_dim_stats,
+#      cluster_purity, text_normalize, quality_buckets, quality_c4,
+#      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
+#      bpe_encode, sample_split, dsir_weights, boilerplate_strip,
+#      curation_funnel, domain_chi2, ngram_novelty, pmi_bigrams,
+#      stream_c4_gate, minhash_calibration (overflow and the rest of
+#      the r7 cohort — minhash_tune, q_window_funnel-family regrades —
+#      roll to r13);
 #   3. any remaining r8-stale entries by age.
 _REGISTER_FIRST = [
     # (a) first evidence: round-10 additions, registration order
