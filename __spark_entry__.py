@@ -201,6 +201,8 @@ from etl_pipeline_example_spark.operators import (
     EPOCHS_QUERIES,
     SPANCORRUPT_ORACLES,
     SPANCORRUPT_QUERIES,
+    ANNFILTERED_ORACLES,
+    ANNFILTERED_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -334,14 +336,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 17 round-11 additions, registration order:
+#   1. first evidence — the 18 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
 #      dq_pk_uniqueness, q_month_spine_recursive, q_gapfill_interp,
 #      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
-#      span_corruption_plan; plus any entry round-12 churn pulls out of
-#      the freeze (displacing tail slots below);
+#      span_corruption_plan, ann_filtered (18); plus any entry round-12
+#      churn pulls out of the freeze (displacing tail slots below);
 #   2. 33 oldest r7-stale entries: q_seasonality, lang_mismatch,
 #      li_shipping_lag, supplier_scorecard, q_revenue_concentration,
 #      q_events_heatmap, corpus_stats, dup_rate_by_source,
@@ -351,7 +353,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
 #      bpe_encode, sample_split, dsir_weights, boilerplate_strip,
 #      curation_funnel, domain_chi2, ngram_novelty, pmi_bigrams,
-#      stream_c4_gate, minhash_calibration (overflow and the rest of
+#      stream_c4_gate (32 — fill to 50; minhash_calibration and the rest of
 #      the r7 cohort — minhash_tune, q_window_funnel-family regrades —
 #      roll to r13);
 #   3. any remaining r8-stale entries by age.
@@ -556,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BPEINDEX_QUERIES)
     out.update(EPOCHS_QUERIES)
     out.update(SPANCORRUPT_QUERIES)
+    out.update(ANNFILTERED_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -702,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BPEINDEX_ORACLES)
     out.update(EPOCHS_ORACLES)
     out.update(SPANCORRUPT_ORACLES)
+    out.update(ANNFILTERED_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

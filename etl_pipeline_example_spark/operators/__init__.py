@@ -172,6 +172,10 @@ from etl_pipeline_example_spark.operators.spancorrupt import (
     SPANCORRUPT_QUERIES,
     SPANCORRUPT_ORACLES,
 )
+from etl_pipeline_example_spark.operators.annfiltered import (
+    ANNFILTERED_QUERIES,
+    ANNFILTERED_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -414,6 +418,8 @@ __all__ = [
     "EPOCHS_ORACLES",
     "SPANCORRUPT_QUERIES",
     "SPANCORRUPT_ORACLES",
+    "ANNFILTERED_QUERIES",
+    "ANNFILTERED_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

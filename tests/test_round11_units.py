@@ -370,6 +370,37 @@ def test_span_corruption_plan_matches_python_reference(spark, tmp_path):
     assert any(v[2] > 0 for v in got.values())  # the mask actually fires
 
 
+def test_ann_filtered_restricts_to_query_label(spark, tmp_path):
+    """Vectors 0..1 are queries. Query 0 (label 1) must only retrieve
+    label-1 corpus vectors even though a label-2 vector is an exact
+    duplicate of it (global rank 1 — the search-then-filter trap)."""
+    from etl_pipeline_example_spark.operators.annfiltered import ann_filtered
+
+    rows = [
+        (0, [1.0, 0.0], 1),   # query, label 1
+        (1, [0.0, 1.0], 2),   # query, label 2
+        (2, [1.0, 0.0], 2),   # exact dup of query 0, WRONG label
+        (3, [0.9, 0.1], 1),   # same label, near
+        (4, [0.1, 0.9], 1),   # same label, far
+        (5, [0.0, 1.0], 2),   # exact dup of query 1, right label
+    ]
+    spark.createDataFrame(
+        [(i, v, lb) for i, v, lb in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = {}
+    for r in ann_filtered(spark, str(tmp_path)).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"])
+        )
+    # query 0: label-1 corpus = {3, 4}; vector 2 (dup, label 2) excluded
+    assert [n for _, n, _ in sorted(got[0])] == [3, 4], got
+    # query 1: label-2 corpus = {2, 5}; 5 is the exact dup -> rank 1
+    assert sorted(got[1])[0][1] == 5 and sorted(got[1])[0][2] == 1.0, got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
