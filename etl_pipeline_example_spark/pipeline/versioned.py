@@ -292,10 +292,13 @@ def read_versioned(
     paths = [
         posixpath.join(path, entry["path"]) for entry in manifest["files"]
     ]
-    # select by the manifest schema: partition discovery over the
-    # v=/__b= dir components would otherwise surface layout columns
+    # read under the MANIFEST schema: columns a file predates (added by
+    # add_columns_versioned after it was written) come back null — the
+    # zero-rewrite evolution contract; the select drops any layout
+    # columns partition discovery surfaces from the v=/__b= dirs
     return (
-        spark.read.format(manifest.get("format", data_format))
+        spark.read.schema(schema)
+        .format(manifest.get("format", data_format))
         .load(paths)
         .select(*schema.fieldNames())
     )
@@ -391,6 +394,87 @@ def upsert_versioned(
             "format": fmt,
             "files": files,
         },
+    )
+    _write_pointer(spark, path, version)
+    return version
+
+
+def add_columns_versioned(
+    spark: SparkSession, path: str, columns: dict[str, str]
+) -> int:
+    """Zero-rewrite schema evolution: commit a new version whose
+    manifest references the SAME data files with an EXTENDED schema
+    (``columns`` maps name → Spark DDL type, e.g. ``{"note":
+    "string"}``). Readers null-pad the new columns for every file that
+    predates them (read_versioned reads under the manifest schema) —
+    no data bytes move, the Iceberg metadata-only ALTER. Returns the
+    new version number."""
+    current_v = _read_pointer(spark, path)
+    manifest = _read_manifest(spark, path, current_v)
+    version = _versions(spark, path)[-1] + 1
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    existing = set(schema.fieldNames())
+    for name, ddl in columns.items():
+        if name in existing:
+            raise ValueError(f"column {name} already exists")
+        schema = schema.add(name, ddl)
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {**manifest, "version": version, "schema": schema.json()},
+    )
+    _write_pointer(spark, path, version)
+    return version
+
+
+def compact_versioned(
+    spark: SparkSession, path: str, data_format: str | None = None
+) -> int:
+    """Small-file OPTIMIZE at bucket granularity: commit a new version
+    where every bucket holding more than one file is rewritten as one
+    file; single-file buckets ride into the new manifest by reference
+    (zero bytes). Content is unchanged — only the layout. History is
+    untouched; the superseded small files stay on disk until no
+    retained manifest references them (expire_versions GC). Returns
+    the new version number."""
+    current_v = _read_pointer(spark, path)
+    manifest = _read_manifest(spark, path, current_v)
+    version = _versions(spark, path)[-1] + 1
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    fmt = data_format or manifest.get("format", "parquet")
+    by_bucket: dict[int, list[str]] = {}
+    for e in manifest["files"]:
+        by_bucket.setdefault(e["bucket"], []).append(e["path"])
+    keep = [
+        e
+        for e in manifest["files"]
+        if len(by_bucket[e["bucket"]]) == 1
+    ]
+    vdir = f"{path}/{_DATA}/v={version:06d}"
+    for bucket, rels in sorted(by_bucket.items()):
+        if len(rels) == 1:
+            continue
+        (
+            spark.read.schema(schema)
+            .format(fmt)
+            .load([posixpath.join(path, r) for r in rels])
+            .select(*schema.fieldNames())
+            .coalesce(1)
+            .write.mode("errorifexists")
+            .format(fmt)
+            .save(f"{vdir}/{_BUCKET_COL}={bucket}")
+        )
+    new_files = (
+        _list_written_files(spark, path, version)
+        if any(len(r) > 1 for r in by_bucket.values())
+        else []
+    )
+    _commit_manifest(
+        spark,
+        path,
+        version,
+        {**manifest, "version": version, "files": keep + new_files},
     )
     _write_pointer(spark, path, version)
     return version

@@ -244,6 +244,101 @@ def test_diff_versions_sees_added_column(spark, tmp_path):
     assert got == [(1, "changed")], got
 
 
+def test_add_columns_is_metadata_only_and_null_pads(spark, tmp_path):
+    """add_columns_versioned writes NO data files: the new manifest
+    references v1's files byte-for-byte, old rows read back with the
+    new column null, and a subsequent upsert carries real values."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        add_columns_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    v2 = add_columns_versioned(spark, path, {"note": "string"})
+    assert v2 == 2
+    m1 = _read_manifest(spark, path, 1)
+    m2 = _read_manifest(spark, path, 2)
+    assert m1["files"] == m2["files"]  # zero data bytes moved
+    assert not os.path.exists(os.path.join(path, "data", "v=000002"))
+    got = read_versioned(spark, path).collect()
+    assert [(r["k"], r["val"], r["note"]) for r in got] == [(1, "a", None)]
+    # v1 time travel still reads the ORIGINAL schema
+    assert "note" not in read_versioned(spark, path, version=1).columns
+    # an upsert after the alter carries the new column end-to-end
+    upd = spark.createDataFrame(
+        [(2, "b", 2, "hello")], "k bigint, val string, ver int, note string"
+    )
+    upsert_versioned(spark, path, upd, "k", "ver")
+    latest = {r["k"]: r["note"] for r in read_versioned(spark, path).collect()}
+    assert latest == {1: None, 2: "hello"}, latest
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        add_columns_versioned(spark, path, {"val": "string"})
+
+
+def test_compact_coalesces_fragmented_bucket(spark, tmp_path):
+    """An unkeyed multi-partition write fragments bucket 0 into many
+    files (the layer's one fragmentation source — keyed upserts always
+    rewrite whole buckets); compaction coalesces it to one file and
+    preserves content + history."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        compact_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, "x", 1) for k in range(200)], "k bigint, val string, ver int"
+    ).repartition(6)
+    write_versioned(spark, base, path)
+    m1 = _read_manifest(spark, path, 1)
+    assert len(m1["files"]) > 1, m1["files"]  # actually fragmented
+    before = {
+        r["k"]: r["val"] for r in read_versioned(spark, path).collect()
+    }
+    v2 = compact_versioned(spark, path)
+    m2 = _read_manifest(spark, path, v2)
+    assert len(m2["files"]) == 1, m2["files"]
+    after = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert after == before and len(after) == 200
+    # history intact: v1 still reads through its original small files
+    assert {
+        r["k"]: r["val"]
+        for r in read_versioned(spark, path, version=1).collect()
+    } == before
+
+
+def test_compact_on_tidy_table_is_metadata_noop(spark, tmp_path):
+    """A keyed table where every bucket already holds one file:
+    compaction commits a new version whose manifest is the same file
+    list — no data dir is written at all."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        compact_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, "x", 1) for k in range(200)], "k bigint, val string, ver int"
+    )
+    write_versioned(spark, base, path, key="k", nbuckets=4)
+    v2 = compact_versioned(spark, path)
+    assert _read_manifest(spark, path, v2)["files"] == _read_manifest(
+        spark, path, 1
+    )["files"]
+    assert not os.path.exists(os.path.join(path, "data", "v=000002"))
+
+
 def test_versioned_random_op_sequence_invariants(spark, tmp_path):
     """A fixed-seed randomized sequence of write/upsert/expire ops: the
     pointer always resolves to the newest version, version numbers are
