@@ -305,6 +305,8 @@ from etl_pipeline_example_spark.plans import (
     CHECKSUM_QUERIES,
     GRAPH_ORACLES,
     GRAPH_QUERIES,
+    WILSON_ORACLES,
+    WILSON_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -336,15 +338,17 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 18 round-11 additions, registration order:
+#   1. first evidence — the 20 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
 #      dq_pk_uniqueness, q_month_spine_recursive, q_gapfill_interp,
 #      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
-#      span_corruption_plan, ann_filtered (18); plus any entry round-12
-#      churn pulls out of the freeze (displacing tail slots below);
-#   2. 33 oldest r7-stale entries: q_seasonality, lang_mismatch,
+#      span_corruption_plan, ann_filtered, q_sql_shared_except,
+#      q_ab_wilson (20); plus any entry round-12 churn pulls out of the
+#      freeze (displacing tail slots below);
+#   2. the oldest r7-stale entries, oldest first, FILL TO 50:
+#      q_seasonality, lang_mismatch,
 #      li_shipping_lag, supplier_scorecard, q_revenue_concentration,
 #      q_events_heatmap, corpus_stats, dup_rate_by_source,
 #      dedup_incremental, dedup_savings, dedup_containment,
@@ -353,9 +357,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
 #      bpe_encode, sample_split, dsir_weights, boilerplate_strip,
 #      curation_funnel, domain_chi2, ngram_novelty, pmi_bigrams,
-#      stream_c4_gate (32 — fill to 50; minhash_calibration and the rest of
-#      the r7 cohort — minhash_tune, q_window_funnel-family regrades —
-#      roll to r13);
+#      stream_c4_gate, minhash_calibration, ... (overflow and the rest
+#      of the r7 cohort roll to r13);
 #   3. any remaining r8-stale entries by age.
 _REGISTER_FIRST = [
     # (a) first evidence: round-10 additions, registration order
@@ -551,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(INTERP_QUERIES)
     out.update(CHECKSUM_QUERIES)
     out.update(GRAPH_QUERIES)
+    out.update(WILSON_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -698,6 +702,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(INTERP_ORACLES)
     out.update(CHECKSUM_ORACLES)
     out.update(GRAPH_ORACLES)
+    out.update(WILSON_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

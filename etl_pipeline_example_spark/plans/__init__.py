@@ -212,6 +212,10 @@ from etl_pipeline_example_spark.plans.graph import (
     GRAPH_QUERIES,
     GRAPH_ORACLES,
 )
+from etl_pipeline_example_spark.plans.wilson import (
+    WILSON_QUERIES,
+    WILSON_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -324,6 +328,8 @@ __all__ = [
     "CHECKSUM_ORACLES",
     "GRAPH_QUERIES",
     "GRAPH_ORACLES",
+    "WILSON_QUERIES",
+    "WILSON_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -151,11 +151,28 @@ def q_sql_shared_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, SHARED_GROUPING_SETS_SQL)
 
 
+SHARED_EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+ORDER BY c_custkey
+"""
+
+
+def q_sql_shared_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey): BUILDING-segment customers with no urgent order —
+    ANSI EXCEPT (set difference with dedup) through the facade."""
+    return run_sql(spark, sf_dir, SHARED_EXCEPT_SQL)
+
+
 SQLFACADE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_shared_dialect": q_sql_shared_dialect,
     "q_sql_shared_window": q_sql_shared_window,
     "q_sql_shared_semijoin": q_sql_shared_semijoin,
     "q_sql_shared_grouping": q_sql_shared_grouping,
+    "q_sql_shared_except": q_sql_shared_except,
 }
 
 SQLFACADE_ORACLES: dict[str, str] = {
@@ -163,4 +180,5 @@ SQLFACADE_ORACLES: dict[str, str] = {
     "q_sql_shared_window": SHARED_TOP_ORDERS_SQL,
     "q_sql_shared_semijoin": SHARED_SEMI_JOIN_SQL,
     "q_sql_shared_grouping": SHARED_GROUPING_SETS_SQL,
+    "q_sql_shared_except": SHARED_EXCEPT_SQL,
 }

@@ -401,6 +401,49 @@ def test_ann_filtered_restricts_to_query_label(spark, tmp_path):
     assert sorted(got[1])[0][1] == 5 and sorted(got[1])[0][2] == 1.0, got
 
 
+def test_wilson_interval_matches_python_reference(spark, tmp_path):
+    """Planted events: 4 users convert out of the assigned pool; the
+    bounds must equal the closed-form Wilson formula computed in
+    Python (same doubles, IEEE sqrt), and always bracket the rate."""
+    import math
+
+    from etl_pipeline_example_spark.plans.wilson import (
+        q_ab_wilson,
+    )
+    from etl_pipeline_example_spark.plans.abtest import CONV_MIN_PURCHASES
+
+    rows = []
+    eid = 0
+    for uid in range(1, 21):
+        n_purch = CONV_MIN_PURCHASES if uid <= 4 else 1
+        for _ in range(n_purch):
+            eid += 1
+            rows.append((eid, "2024-01-01 00:00:00", uid, "purchase"))
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 0.0, "{}") for i, ts, u, et in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = q_ab_wilson(spark, str(tmp_path)).collect()
+    assert len(got) == 2 and sum(r["n_users"] for r in got) == 20
+    z = 1.96
+    for r in got:
+        n, p = float(r["n_users"]), r["n_converted"] / r["n_users"]
+        center = (p + z * z / (2 * n)) / (1 + z * z / n)
+        half = (
+            z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            / (1 + z * z / n)
+        )
+        assert r["wilson_lo"] == center - half, (r, center - half)
+        assert r["wilson_hi"] == center + half, (r, center + half)
+        assert r["wilson_lo"] <= r["rate"] <= r["wilson_hi"]
+        assert 0.0 <= r["wilson_lo"] and r["wilson_hi"] <= 1.0
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
