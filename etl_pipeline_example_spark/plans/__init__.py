@@ -216,6 +216,14 @@ from etl_pipeline_example_spark.plans.wilson import (
     WILSON_QUERIES,
     WILSON_ORACLES,
 )
+from etl_pipeline_example_spark.plans.decay import (
+    DECAY_QUERIES,
+    DECAY_ORACLES,
+)
+from etl_pipeline_example_spark.plans.backlog import (
+    BACKLOG_QUERIES,
+    BACKLOG_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -330,6 +338,10 @@ __all__ = [
     "GRAPH_ORACLES",
     "WILSON_QUERIES",
     "WILSON_ORACLES",
+    "DECAY_QUERIES",
+    "DECAY_ORACLES",
+    "BACKLOG_QUERIES",
+    "BACKLOG_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

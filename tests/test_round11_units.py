@@ -444,6 +444,60 @@ def test_wilson_interval_matches_python_reference(spark, tmp_path):
         assert 0.0 <= r["wilson_lo"] and r["wilson_hi"] <= 1.0
 
 
+def test_decayed_engagement_uses_exact_dyadic_weights(spark, tmp_path):
+    """Events 0, 7, and 70+ days before the anchor weigh 1, 0.5, and
+    the 0.5^10 cap: score = 2·1 + 3·0.5 + 4·0.0009765625 exactly."""
+    from etl_pipeline_example_spark.plans.decay import q_decayed_engagement
+
+    rows = []
+    eid = 0
+    for day, n in [("2024-03-01", 2), ("2024-02-23", 3), ("2023-01-01", 4)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, f"{day} 10:00:00"))
+    df = spark.createDataFrame(
+        [(i, ts, 1, "view", 0.0, "{}") for i, ts in rows],
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value", "props")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = q_decayed_engagement(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 9
+    assert r["decayed_score"] == 2 * 1.0 + 3 * 0.5 + 4 * 0.0009765625, r
+
+
+def test_order_backlog_counts_open_intervals(spark, tmp_path):
+    """Order 1 open Jan 1-3, order 2 open Jan 2-5: the daily open
+    count is 1,2,2,1,1 and drops to the spine's end."""
+    from etl_pipeline_example_spark.plans.backlog import q_order_backlog
+
+    _write(spark, tmp_path, "orders_raw",
+           [(1, "2020-01-01"), (2, "2020-01-02")],
+           "o_orderkey bigint, o_orderdate string")
+    spark.read.parquet(f"{tmp_path}/orders_raw.parquet").selectExpr(
+        "o_orderkey", "cast(o_orderdate as timestamp) o_orderdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    _write(spark, tmp_path, "lineitem_raw",
+           [(1, "2020-01-02"), (1, "2020-01-03"), (2, "2020-01-05")],
+           "l_orderkey bigint, l_shipdate string")
+    spark.read.parquet(f"{tmp_path}/lineitem_raw.parquet").selectExpr(
+        "l_orderkey", "cast(l_shipdate as timestamp) l_shipdate"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = [
+        (str(r["day"]), r["n_open"])
+        for r in q_order_backlog(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2020-01-01", 1), ("2020-01-02", 2), ("2020-01-03", 2),
+        ("2020-01-04", 1), ("2020-01-05", 1),
+    ], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
