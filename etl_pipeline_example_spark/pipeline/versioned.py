@@ -428,6 +428,22 @@ def add_columns_versioned(
     return version
 
 
+def restore_versioned(spark: SparkSession, path: str, version: int) -> int:
+    """Roll the table BACK to ``version`` as a NEW version (the Delta
+    RESTORE shape): the new manifest is the old version's file list —
+    zero data bytes move, history after the restore point is preserved
+    (an audit can still read the bad versions until expiry), and the
+    restore itself is one create-exclusive manifest commit + pointer
+    swap. Returns the new version number."""
+    manifest = _read_manifest(spark, path, version)  # raises if expired
+    new_version = _versions(spark, path)[-1] + 1
+    _commit_manifest(
+        spark, path, new_version, {**manifest, "version": new_version}
+    )
+    _write_pointer(spark, path, new_version)
+    return new_version
+
+
 def compact_versioned(
     spark: SparkSession, path: str, data_format: str | None = None
 ) -> int:

@@ -339,6 +339,43 @@ def test_compact_on_tidy_table_is_metadata_noop(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, "data", "v=000002"))
 
 
+def test_restore_rolls_back_as_new_version(spark, tmp_path):
+    """Restore to v1 after a bad upsert: latest reads v1's content, the
+    bad v2 stays readable for audit, the restore moved zero data bytes
+    (same file list), and GC keeps files shared by the restore."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        restore_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "good", 1)]), path, key="k")
+    upsert_versioned(spark, path, _df(spark, [(1, "BAD", 2)]), "k", "ver")
+    v3 = restore_versioned(spark, path, 1)
+    assert v3 == 3
+    assert [
+        (r["k"], r["val"]) for r in read_versioned(spark, path).collect()
+    ] == [(1, "good")]
+    assert [
+        (r["k"], r["val"])
+        for r in read_versioned(spark, path, version=2).collect()
+    ] == [(1, "BAD")]
+    assert _read_manifest(spark, path, 3)["files"] == _read_manifest(
+        spark, path, 1
+    )["files"]
+    assert not os.path.exists(os.path.join(path, "data", "v=000003"))
+    # expire down to 2 versions: v1 goes, but its files survive because
+    # the live restore (v3) references them
+    expire_versions(spark, path, keep=2)
+    assert [
+        (r["k"], r["val"]) for r in read_versioned(spark, path).collect()
+    ] == [(1, "good")]
+
+
 def test_versioned_random_op_sequence_invariants(spark, tmp_path):
     """A fixed-seed randomized sequence of write/upsert/expire ops: the
     pointer always resolves to the newest version, version numbers are
