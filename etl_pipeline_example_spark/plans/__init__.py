@@ -224,6 +224,10 @@ from etl_pipeline_example_spark.plans.backlog import (
     BACKLOG_QUERIES,
     BACKLOG_ORACLES,
 )
+from etl_pipeline_example_spark.plans.drawdown import (
+    DRAWDOWN_QUERIES,
+    DRAWDOWN_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -342,6 +346,8 @@ __all__ = [
     "DECAY_ORACLES",
     "BACKLOG_QUERIES",
     "BACKLOG_ORACLES",
+    "DRAWDOWN_QUERIES",
+    "DRAWDOWN_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

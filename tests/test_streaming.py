@@ -151,6 +151,60 @@ def test_stream_upsert_merges_and_replays_idempotently(spark, tmp_path):
     assert again == got, again
 
 
+def test_stream_versioned_sink_commits_versions_exactly_once(
+    spark, tmp_path
+):
+    """Two staged micro-batch files drain into a versioned table; each
+    non-empty batch commits ONE version (ledger-recorded), latest
+    reads the merged state, version 1 time-travels to the first
+    batch's state, and a re-drain (durable checkpoint: no new input)
+    commits ZERO new versions (the exactly-once contract)."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _versions,
+        read_versioned,
+    )
+    from etl_pipeline_example_spark.streaming.versionedsink import (
+        committed_batches,
+        stream_versioned_upsert,
+    )
+
+    target = f"{tmp_path}/vtable"
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    import glob as _glob
+    import shutil as _shutil
+
+    def stage(name, rows):
+        spark.createDataFrame(
+            rows, "k bigint, ver bigint, val string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/stage")
+        part = _glob.glob(f"{tmp_path}/stage/part-*.parquet")[0]
+        _shutil.copy(part, src_dir / name)
+
+    def drain():
+        src = spark.readStream.schema(
+            "k bigint, ver bigint, val string"
+        ).parquet(str(src_dir))
+        stream_versioned_upsert(spark, src, target, "k", "ver")
+
+    stage("b1.parquet", [(1, 1, "a"), (2, 1, "b")])
+    drain()
+    assert _versions(spark, target) == [1]
+    stage("b2.parquet", [(1, 2, "A"), (3, 1, "c")])
+    drain()
+    assert _versions(spark, target) == [1, 2]
+    latest = {r["k"]: r["val"] for r in read_versioned(spark, target).collect()}
+    assert latest == {1: "A", 2: "b", 3: "c"}, latest
+    v1 = {r["k"]: r["val"]
+          for r in read_versioned(spark, target, version=1).collect()}
+    assert v1 == {1: "a", 2: "b"}, v1
+    n_batches = len(committed_batches(target))
+    # full replay, fresh checkpoint: every batch id is in the ledger
+    drain()
+    assert _versions(spark, target) == [1, 2]
+    assert len(committed_batches(target)) == n_batches
+
+
 def test_stream_sliding_matches_batch_oracle(spark, duck, sf_dir):
     df = STREAM_QUERIES["stream_sliding"](spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_sliding"])
