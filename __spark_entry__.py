@@ -203,6 +203,8 @@ from etl_pipeline_example_spark.operators import (
     SPANCORRUPT_QUERIES,
     ANNFILTERED_ORACLES,
     ANNFILTERED_QUERIES,
+    DATACARD_ORACLES,
+    DATACARD_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -344,7 +346,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 23 round-11 additions, registration order:
+#   1. first evidence — the 24 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
@@ -352,7 +354,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
 #      span_corruption_plan, ann_filtered, q_sql_shared_except,
 #      q_ab_wilson, q_decayed_engagement, q_order_backlog,
-#      q_max_drawdown (23); plus any
+#      q_max_drawdown, dataset_card (24); plus any
 #      entry round-12 churn pulls out of the freeze (displacing tail
 #      slots below);
 #   2. the oldest r7-stale entries, oldest first, FILL TO 50:
@@ -574,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EPOCHS_QUERIES)
     out.update(SPANCORRUPT_QUERIES)
     out.update(ANNFILTERED_QUERIES)
+    out.update(DATACARD_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -725,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(EPOCHS_ORACLES)
     out.update(SPANCORRUPT_ORACLES)
     out.update(ANNFILTERED_ORACLES)
+    out.update(DATACARD_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -176,6 +176,10 @@ from etl_pipeline_example_spark.operators.annfiltered import (
     ANNFILTERED_QUERIES,
     ANNFILTERED_ORACLES,
 )
+from etl_pipeline_example_spark.operators.datacard import (
+    DATACARD_QUERIES,
+    DATACARD_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -420,6 +424,8 @@ __all__ = [
     "SPANCORRUPT_ORACLES",
     "ANNFILTERED_QUERIES",
     "ANNFILTERED_ORACLES",
+    "DATACARD_QUERIES",
+    "DATACARD_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

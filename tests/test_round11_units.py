@@ -498,6 +498,42 @@ def test_order_backlog_counts_open_intervals(spark, tmp_path):
     ], got
 
 
+def test_dataset_card_hand_computed(spark, tmp_path):
+    """4 docs (one empty, one duplicate text, one zh, sources 3:1):
+    every card scalar is checkable by hand."""
+    from etl_pipeline_example_spark.operators.datacard import dataset_card
+
+    docs = [
+        (1, "alpha beta", "en", "A"),
+        (2, "alpha beta", "en", "A"),   # exact dup of doc 1
+        (3, "", "zh", "A"),             # empty + non-en
+        (4, "gamma", "en", "B"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in dataset_card(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "n_docs": 4.0,
+        "n_sources": 2.0,
+        "n_langs": 2.0,
+        "n_tokens": 5.0,
+        "n_chars": 25.0,
+        "mean_doc_tokens": 1.25,
+        "empty_doc_share": 0.25,
+        "non_en_share": 0.25,
+        "exact_dup_rate": 0.25,
+        "top_source_share": 0.75,
+    }, got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
