@@ -40,17 +40,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected distinct part-co-order edges as (u, v), u < v."""
+    """Undirected distinct part-co-order edges as (u, v), u < v.
+    PERSISTED (tracked): the edge list is a self-join and every
+    consumer below reads it at least twice (degrees union, orientation,
+    wedge closure) — without the persist Spark re-runs the join per
+    consumer."""
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
-    return (
+    release_similarity_caches()
+    return tracked_persist(
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")
         .filter(F.expr("a.l_partkey < b.l_partkey"))
@@ -104,7 +113,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_vertices, n_edges, n_triangles): global triangle census via
     degree-ordered orientation."""
     edges = _edges(spark, sf_dir)
-    degrees = (
+    # persisted (|V| rows): consumed by both endpoint joins below
+    degrees = tracked_persist(
         edges.select(F.col("u").alias("p"))
         .unionAll(edges.select(F.col("v").alias("p")))
         .groupBy("p")
@@ -117,7 +127,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = degrees.select(
         F.col("p").alias("v"), F.col("deg").alias("dv")
     )
-    oriented = (
+    # persisted (|E| rows, two ints): the wedge self-join reads it twice
+    oriented = tracked_persist(
         edges.join(du, "u")
         .join(dv, "v")
         .selectExpr(
