@@ -53,9 +53,15 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer below reads it at least twice (degrees union, orientation,
     wedge closure) — without the persist Spark re-runs the join per
     consumer."""
+    dp = spark.sparkContext.defaultParallelism
+    # ONE dp-wide exchange on the order key serves the whole chain:
+    # partitioning by a subset of (l_orderkey, l_partkey) satisfies the
+    # distinct's clustering AND co-locates the self-join, so neither
+    # re-shuffles (and nothing runs at the session's default width)
     li = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
+        .repartition(dp, "l_orderkey")
         .distinct()
     )
     release_similarity_caches()
@@ -67,6 +73,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("a.l_partkey").alias("u"),
             F.expr("b.l_partkey").alias("v"),
         )
+        .repartition(dp, "u")
         .distinct()
     )
 
@@ -82,14 +89,21 @@ edges AS (
 """
 
 
-def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(degree, n_parts): how many parts have each co-order degree."""
-    edges = _edges(spark, sf_dir)
-    degrees = (
+def _degrees(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    dp = spark.sparkContext.defaultParallelism
+    return (
         edges.select(F.col("u").alias("p"))
         .unionAll(edges.select(F.col("v").alias("p")))
+        .repartition(dp, "p")
         .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("degree"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree, n_parts): how many parts have each co-order degree."""
+    degrees = _degrees(spark, _edges(spark, sf_dir)).withColumnRenamed(
+        "deg", "degree"
     )
     return (
         degrees.groupBy("degree")
@@ -112,14 +126,10 @@ SELECT degree, count(*) AS n_parts FROM degrees GROUP BY 1 ORDER BY degree
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_vertices, n_edges, n_triangles): global triangle census via
     degree-ordered orientation."""
+    dp = spark.sparkContext.defaultParallelism
     edges = _edges(spark, sf_dir)
     # persisted (|V| rows): consumed by both endpoint joins below
-    degrees = tracked_persist(
-        edges.select(F.col("u").alias("p"))
-        .unionAll(edges.select(F.col("v").alias("p")))
-        .groupBy("p")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    degrees = tracked_persist(_degrees(spark, edges))
     # orient each edge from the lower-(degree, id) endpoint to the higher
     du = degrees.select(
         F.col("p").alias("u"), F.col("deg").alias("du")
@@ -127,7 +137,8 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = degrees.select(
         F.col("p").alias("v"), F.col("deg").alias("dv")
     )
-    # persisted (|E| rows, two ints): the wedge self-join reads it twice
+    # persisted (|E| rows, two ints): the wedge self-join reads it
+    # twice; pre-partitioned on src so the self-join shares one exchange
     oriented = tracked_persist(
         edges.join(du, "u")
         .join(dv, "v")
@@ -137,6 +148,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END"
             " AS dst",
         )
+        .repartition(dp, "src")
     )
     # wedges at the lowest vertex, closed by an original (u<v) edge
     wedges = (
@@ -144,6 +156,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(oriented.alias("e2"), "src")
         .filter(F.expr("e1.dst < e2.dst"))
         .selectExpr("e1.dst AS u", "e2.dst AS v")
+        .repartition(dp, "u")
     )
     tri = wedges.join(edges, ["u", "v"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
