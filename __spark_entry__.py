@@ -315,6 +315,8 @@ from etl_pipeline_example_spark.plans import (
     BACKLOG_QUERIES,
     DRAWDOWN_ORACLES,
     DRAWDOWN_QUERIES,
+    BANDJOIN_ORACLES,
+    BANDJOIN_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -346,7 +348,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 24 round-11 additions, registration order:
+#   1. first evidence — the 25 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
@@ -354,7 +356,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
 #      span_corruption_plan, ann_filtered, q_sql_shared_except,
 #      q_ab_wilson, q_decayed_engagement, q_order_backlog,
-#      q_max_drawdown, dataset_card (24); plus any
+#      q_max_drawdown, dataset_card, q_band_join (25); plus any
 #      entry round-12 churn pulls out of the freeze (displacing tail
 #      slots below);
 #   2. the oldest r7-stale entries, oldest first, FILL TO 50:
@@ -568,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DECAY_QUERIES)
     out.update(BACKLOG_QUERIES)
     out.update(DRAWDOWN_QUERIES)
+    out.update(BANDJOIN_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -720,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DECAY_ORACLES)
     out.update(BACKLOG_ORACLES)
     out.update(DRAWDOWN_ORACLES)
+    out.update(BANDJOIN_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -228,6 +228,10 @@ from etl_pipeline_example_spark.plans.drawdown import (
     DRAWDOWN_QUERIES,
     DRAWDOWN_ORACLES,
 )
+from etl_pipeline_example_spark.plans.bandjoin import (
+    BANDJOIN_QUERIES,
+    BANDJOIN_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -348,6 +352,8 @@ __all__ = [
     "BACKLOG_ORACLES",
     "DRAWDOWN_QUERIES",
     "DRAWDOWN_ORACLES",
+    "BANDJOIN_QUERIES",
+    "BANDJOIN_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

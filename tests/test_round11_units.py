@@ -534,6 +534,24 @@ def test_dataset_card_hand_computed(spark, tmp_path):
     }, got
 
 
+def test_band_join_bucket_decomposition_hand_computed(spark, tmp_path):
+    """Balances 10.0/11.5 (cust) vs 10.8/99.0 (supp), ε=1: only the
+    10.8 supplier pairs, with BOTH customers — including the 11.5 one
+    whose match lives in the ADJACENT bucket (the case a same-bucket-
+    only join would drop)."""
+    from etl_pipeline_example_spark.plans.bandjoin import q_band_join
+
+    _write(spark, tmp_path, "customer", [(1, 5, 10.0), (2, 5, 11.5)],
+           "c_custkey bigint, c_nationkey bigint, c_acctbal double")
+    _write(spark, tmp_path, "supplier", [(1, 7, 10.8), (2, 7, 99.0)],
+           "s_suppkey bigint, s_nationkey bigint, s_acctbal double")
+    got = [
+        (r["c_nationkey"], r["s_nationkey"], r["n_pairs"])
+        for r in q_band_join(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(5, 7, 2)], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
