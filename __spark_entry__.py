@@ -348,7 +348,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 25 round-11 additions, registration order:
+#   1. first evidence — the 26 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
@@ -356,7 +356,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
 #      span_corruption_plan, ann_filtered, q_sql_shared_except,
 #      q_ab_wilson, q_decayed_engagement, q_order_backlog,
-#      q_max_drawdown, dataset_card, q_band_join (25); plus any
+#      q_max_drawdown, dataset_card, q_band_join,
+#      q_sql_shared_intersect (26); plus any
 #      entry round-12 churn pulls out of the freeze (displacing tail
 #      slots below);
 #   2. the oldest r7-stale entries, oldest first, FILL TO 50:

@@ -167,12 +167,29 @@ def q_sql_shared_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, SHARED_EXCEPT_SQL)
 
 
+SHARED_INTERSECT_SQL = """
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority = '5-LOW'
+ORDER BY c_custkey
+"""
+
+
+def q_sql_shared_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey): customers with BOTH an urgent and a low-priority
+    order — ANSI INTERSECT (deduplicating) through the facade."""
+    return run_sql(spark, sf_dir, SHARED_INTERSECT_SQL)
+
+
 SQLFACADE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_shared_dialect": q_sql_shared_dialect,
     "q_sql_shared_window": q_sql_shared_window,
     "q_sql_shared_semijoin": q_sql_shared_semijoin,
     "q_sql_shared_grouping": q_sql_shared_grouping,
     "q_sql_shared_except": q_sql_shared_except,
+    "q_sql_shared_intersect": q_sql_shared_intersect,
 }
 
 SQLFACADE_ORACLES: dict[str, str] = {
@@ -181,4 +198,5 @@ SQLFACADE_ORACLES: dict[str, str] = {
     "q_sql_shared_semijoin": SHARED_SEMI_JOIN_SQL,
     "q_sql_shared_grouping": SHARED_GROUPING_SETS_SQL,
     "q_sql_shared_except": SHARED_EXCEPT_SQL,
+    "q_sql_shared_intersect": SHARED_INTERSECT_SQL,
 }
