@@ -337,10 +337,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #       driver-graded, registration order (cdc_apply ... text_char_simpson);
 #   (b) the 11 remaining r6-stale TPC-H-extra plans (byte-frozen since
 #       their r6 green rows);
-#   (c) the 10 oldest r7-stale entries, q_rfm included: its three global
-#       ntile windows were re-expressed this round via the
-#       q_decile_lift broadcast-quantile-cut pattern (round-10 verdict
-#       "What's wrong #1"), so it needs fresh driver evidence anyway.
+#   (c) 9 of the 10 oldest r7-stale entries (q_funnel_lag displaced by
+#       churn, rolls to r12), q_rfm included: its three global ntile
+#       windows were re-expressed this round via the q_decile_lift
+#       broadcast-quantile-cut pattern (round-10 verdict "What's wrong
+#       #1"), so it needs fresh driver evidence anyway; plus the one
+#       churn entry, q_sql_shared_dialect (sqlfacade.py changed).
 #
 # Everything else rides the freeze manifest (tools/frozen_hashes.json,
 # enforced by tests/test_freeze.py): r7-r10-green entries keep their
@@ -370,8 +372,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
 #      bpe_encode, sample_split, dsir_weights, boilerplate_strip,
 #      curation_funnel, domain_chi2, ngram_novelty, pmi_bigrams,
-#      stream_c4_gate, minhash_calibration, ... (overflow and the rest
-#      of the r7 cohort roll to r13);
+#      stream_c4_gate, minhash_calibration, ... (q_funnel_lag — the
+#      r11 churn displacement — takes the first stale slot; overflow
+#      and the rest of the r7 cohort roll to r13);
 #   3. any remaining r8-stale entries by age.
 _REGISTER_FIRST = [
     # (a) first evidence: round-10 additions, registration order
@@ -424,9 +427,14 @@ _REGISTER_FIRST = [
     "q_sequence_match",
     "anomaly_mad",
     "q_basket_pairs",
-    "q_funnel_lag",
     "q_full_outer_recon",
     "q_rfm",
+    # churn re-window (rotation rule: a freeze-frozen entry whose
+    # backing file changed this round loses its prior evidence):
+    # sqlfacade.py gained entries + absent-table skip, so the r10-green
+    # q_sql_shared_dialect regrades here; q_funnel_lag (displaced tail
+    # slot, file unchanged) rolls to the round-12 window
+    "q_sql_shared_dialect",
 ]
 
 
