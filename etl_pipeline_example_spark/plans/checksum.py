@@ -13,7 +13,10 @@ Per table: render a canonical projection (stable non-null columns,
 dedup operator uses), and accumulate as DECIMAL(38,0): 2^60-sized
 terms would overflow a BIGINT sum after ~2^3 rows, while decimal
 holds exact sums past 10^18 rows of headroom — and decimal addition
-is associative, so partial aggregation stays exact.
+is associative, so partial aggregation stays exact. The checksum is
+RENDERED as a digit string (scale-0 decimal → identical text in both
+engines): the repo's output-type policy bans decimal columns, whose
+Arrow representation hashes differently than DuckDB's.
 
 Scale: one map-side-combined aggregate per table, no shuffle wider
 than a single row of state; ten tables union to a 10-row grid.
@@ -76,9 +79,9 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(table).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
                 F.expr(
-                    "sum(cast("
+                    "cast(sum(cast("
                     + spark_hexint(_render(cols))
-                    + " as decimal(38,0)))"
+                    + " as decimal(38,0))) as string)"
                 ).alias("checksum"),
             )
         )
@@ -91,8 +94,8 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _table_sql(table: str, cols: list[str]) -> str:
     return f"""
 SELECT '{table}' AS table_name, count(*) AS n_rows,
-       cast(sum({duck_hexint(_duck_render(cols))}) AS decimal(38,0))
-         AS checksum
+       cast(cast(sum({duck_hexint(_duck_render(cols))}) AS decimal(38,0))
+            AS varchar) AS checksum
 FROM {table}
 """
 
