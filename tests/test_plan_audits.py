@@ -953,6 +953,39 @@ def test_decile_lift_has_no_global_sort_or_window(spark, sf_dir):
     ), plan
 
 
+def test_band_join_is_equi_not_cartesian(spark, sf_dir):
+    """q_band_join exists to AVOID the cartesian-filter band join: the
+    physical plan must contain no CartesianProduct and no
+    BroadcastNestedLoopJoin — the ε-bucket id is an equi-join key."""
+    from etl_pipeline_example_spark.plans.bandjoin import q_band_join
+
+    plan = plan_str(q_band_join(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_overlap_is_equi_not_cartesian(spark, sf_dir):
+    """q_interval_event_overlap's day-explode decomposition must plan
+    as an equi-join on the day grain — never a cartesian range probe."""
+    from etl_pipeline_example_spark.plans.rangejoin import (
+        q_interval_event_overlap,
+    )
+
+    plan = plan_str(q_interval_event_overlap(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_weighted_median_window_is_partitioned(spark, sf_dir):
+    """q_weighted_median's cumulative window must partition by
+    l_suppkey — an empty partition spec would serialize lineitem
+    through one reducer."""
+    from etl_pipeline_example_spark.plans.wmedian import q_weighted_median
+
+    plan = plan_str(q_weighted_median(spark, sf_dir), mode="simple")
+    assert "windowspecdefinition(l_suppkey" in plan, plan
+
+
 def test_rfm_has_no_window(spark, sf_dir):
     """q_rfm's round-11 rewrite replaced three global ntile windows with
     broadcast percentile cuts: the physical plan must contain no Window
