@@ -180,6 +180,14 @@ from etl_pipeline_example_spark.operators.datacard import (
     DATACARD_QUERIES,
     DATACARD_ORACLES,
 )
+from etl_pipeline_example_spark.operators.cdchunk import (
+    CDCHUNK_QUERIES,
+    CDCHUNK_ORACLES,
+)
+from etl_pipeline_example_spark.operators.oov import (
+    OOV_QUERIES,
+    OOV_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -426,6 +434,10 @@ __all__ = [
     "ANNFILTERED_ORACLES",
     "DATACARD_QUERIES",
     "DATACARD_ORACLES",
+    "CDCHUNK_QUERIES",
+    "CDCHUNK_ORACLES",
+    "OOV_QUERIES",
+    "OOV_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

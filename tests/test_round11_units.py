@@ -552,6 +552,80 @@ def test_band_join_bucket_decomposition_hand_computed(spark, tmp_path):
     assert got == [(5, 7, 2)], got
 
 
+def test_cdc_chunks_match_python_reference(spark, tmp_path):
+    """Boundaries are a pure content function: the same window text
+    cuts identically in a Python re-implementation of the md5 rule —
+    and a doc shorter than the window is exactly one chunk."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.cdchunk import (
+        CDC_MOD,
+        CDC_WINDOW,
+        doc_cdc_chunks,
+    )
+
+    texts = {
+        "A": "the quick brown fox jumps over the lazy dog " * 8,
+        "B": "tiny",
+    }
+    docs = [(i + 1, t, "en", s) for i, (s, t) in enumerate(texts.items())]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    def chunks(text):
+        if len(text) == 0:
+            return 0
+        if len(text) < CDC_WINDOW:
+            return 1
+        cuts = 0
+        for i in range(CDC_WINDOW, len(text) + 1):
+            win = text[i - CDC_WINDOW:i]
+            h = int(hashlib.md5(win.encode()).hexdigest()[:15], 16)
+            if h % CDC_MOD == 0:
+                cuts += 1
+        return cuts + 1
+
+    got = {
+        r["source"]: (r["n_chars"], r["n_chunks"])
+        for r in doc_cdc_chunks(spark, str(tmp_path)).collect()
+    }
+    want = {s: (len(t), chunks(t)) for s, t in texts.items()}
+    assert got == want, (got, want)
+    assert got["A"][1] > 1  # the rule actually cuts
+    assert got["B"][1] == 1
+
+
+def test_vocab_oov_split_hand_computed(spark, tmp_path):
+    """Train half teaches {alpha, beta}; the eval half's 'gamma' is
+    OOV both by token mass (2 of 5) and by type (1 of 3)."""
+    from etl_pipeline_example_spark.operators.incremental import INCR_SPLIT
+    from etl_pipeline_example_spark.operators.oov import vocab_oov_split
+
+    docs = [
+        (1, "alpha beta alpha", "en", "A"),            # train
+        (INCR_SPLIT + 1, "alpha gamma beta gamma alpha", "en", "A"),
+    ]
+    spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in docs],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = [
+        (r["source"], r["n_eval_tokens"], r["n_oov_tokens"],
+         r["token_oov_rate"], r["n_eval_types"], r["n_oov_types"],
+         r["type_oov_rate"])
+        for r in vocab_oov_split(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A", 5, 2, 0.4, 3, 1, 1 / 3)], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
