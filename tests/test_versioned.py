@@ -376,6 +376,79 @@ def test_restore_rolls_back_as_new_version(spark, tmp_path):
     ] == [(1, "good")]
 
 
+def test_versioned_random_ops_with_maintenance_invariants(spark, tmp_path):
+    """Fixed-seed random sequence over the FULL op set — upsert,
+    expire, compact, restore, add_columns — with a model of every
+    version's (k → val) content: the pointer always resolves newest,
+    every retained version time-travels to exactly the content that
+    committed it (maintenance ops never change content), restore
+    replays an old state as the new head, and expiry never breaks a
+    shared-file reader."""
+    import random
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_pointer,
+        _versions,
+        add_columns_versioned,
+        compact_versioned,
+        restore_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    rng = random.Random(20260816)
+    path = str(tmp_path / "tbl")
+    v = write_versioned(
+        spark, _df(spark, [(1, "init", 1)]), path, key="k", nbuckets=4
+    )
+    state = {1: "init"}
+    recorded = {v: dict(state)}
+    added_cols = 0
+    for step in range(10):
+        op = rng.choice(["upsert", "upsert", "compact", "restore",
+                         "expire", "addcol"])
+        if op == "upsert":
+            k, ver = rng.randint(1, 5), step + 2
+            val = f"s{step}"
+            v = upsert_versioned(
+                spark, path, _df(spark, [(k, val, ver)]), "k", "ver"
+            )
+            state[k] = val
+        elif op == "compact":
+            v = compact_versioned(spark, path)
+        elif op == "restore":
+            target = rng.choice(_versions(spark, path))
+            v = restore_versioned(spark, path, target)
+            state = dict(recorded[target])
+        elif op == "expire":
+            expire_versions(spark, path, keep=3)
+            recorded = {
+                w: c for w, c in recorded.items()
+                if w in _versions(spark, path)
+            }
+            assert _read_pointer(spark, path) == v
+        else:
+            added_cols += 1
+            v = add_columns_versioned(
+                spark, path, {f"extra{added_cols}": "string"}
+            )
+        if op != "expire":
+            recorded[v] = dict(state)
+            assert _read_pointer(spark, path) == v
+            latest = {
+                r["k"]: r["val"]
+                for r in read_versioned(spark, path).collect()
+            }
+            assert latest == state, (step, op, latest, state)
+        # every retained recorded version reads back exactly
+        for w, want in recorded.items():
+            got = {
+                r["k"]: r["val"]
+                for r in read_versioned(spark, path, version=w).collect()
+            }
+            assert got == want, (step, op, w, got, want)
+
+
 def test_versioned_random_op_sequence_invariants(spark, tmp_path):
     """A fixed-seed randomized sequence of write/upsert/expire ops: the
     pointer always resolves to the newest version, version numbers are
