@@ -209,6 +209,8 @@ from etl_pipeline_example_spark.operators import (
     CDCHUNK_QUERIES,
     OOV_ORACLES,
     OOV_QUERIES,
+    PIXELDIVERSITY_ORACLES,
+    PIXELDIVERSITY_QUERIES,
     PHASH_ORACLES,
     PHASH_QUERIES,
     PHASHDUP_ORACLES,
@@ -354,7 +356,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 28 round-11 additions, registration order:
+#   1. first evidence — the 29 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
@@ -363,8 +365,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      span_corruption_plan, ann_filtered, q_sql_shared_except,
 #      q_ab_wilson, q_decayed_engagement, q_order_backlog,
 #      q_max_drawdown, dataset_card, q_band_join,
-#      q_sql_shared_intersect, doc_cdc_chunks, vocab_oov_split (28);
-#      plus any
+#      q_sql_shared_intersect, doc_cdc_chunks, vocab_oov_split,
+#      multimodal_pixel_diversity (29); plus any
 #      entry round-12 churn pulls out of the freeze (displacing tail
 #      slots below);
 #   2. the oldest r7-stale entries, oldest first, FILL TO 50:
@@ -596,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DATACARD_QUERIES)
     out.update(CDCHUNK_QUERIES)
     out.update(OOV_QUERIES)
+    out.update(PIXELDIVERSITY_QUERIES)
     out.update(STREAM_QUERIES)
     out.update(ANALYTIC_QUERIES)
     out.update(SCALE_QUERIES)
@@ -751,6 +754,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DATACARD_ORACLES)
     out.update(CDCHUNK_ORACLES)
     out.update(OOV_ORACLES)
+    out.update(PIXELDIVERSITY_ORACLES)
     out.update(STREAM_ORACLES)
     out.update(ANALYTIC_ORACLES)
     out.update(SCALE_ORACLES)

@@ -188,6 +188,10 @@ from etl_pipeline_example_spark.operators.oov import (
     OOV_QUERIES,
     OOV_ORACLES,
 )
+from etl_pipeline_example_spark.operators.pixeldiversity import (
+    PIXELDIVERSITY_QUERIES,
+    PIXELDIVERSITY_ORACLES,
+)
 from etl_pipeline_example_spark.operators.phash import (
     PHASH_QUERIES,
     PHASH_ORACLES,
@@ -438,6 +442,8 @@ __all__ = [
     "CDCHUNK_ORACLES",
     "OOV_QUERIES",
     "OOV_ORACLES",
+    "PIXELDIVERSITY_QUERIES",
+    "PIXELDIVERSITY_ORACLES",
     "PHASH_QUERIES",
     "PHASH_ORACLES",
     "PHASHDUP_QUERIES",

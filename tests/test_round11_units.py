@@ -626,6 +626,43 @@ def test_vocab_oov_split_hand_computed(spark, tmp_path):
     assert got == [("A", 5, 2, 0.4, 3, 1, 1 / 3)], got
 
 
+def test_pixel_diversity_matches_numpy_reference(spark, tmp_path):
+    """The Gini–Simpson of each decoded image equals the value computed
+    straight from the planted pattern in numpy — and is strictly
+    between 0 (constant image) and 1."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        planted_pixels,
+    )
+    from etl_pipeline_example_spark.operators.pixeldiversity import (
+        multimodal_pixel_diversity,
+    )
+
+    doc_ids = [2, 4, 6]
+    spark.createDataFrame(
+        [(d, "t", "en", "A", 1) for d in doc_ids],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+    got = {
+        r["doc_id"]: (r["n_px"], r["sum_sq"], r["pixel_gini"])
+        for r in multimodal_pixel_diversity(spark, str(tmp_path)).collect()
+    }
+    for d in doc_ids:
+        img = planted_pixels(d)
+        counts = np.bincount(img.reshape(-1), minlength=256).astype(
+            np.int64
+        )
+        n = int(img.size)
+        ssq = int((counts * counts).sum())
+        want = (n, ssq, float(n * n - ssq) / float(n * n))
+        assert got[d] == want, (d, got[d], want)
+        assert 0.0 < got[d][2] < 1.0
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
