@@ -323,6 +323,10 @@ from etl_pipeline_example_spark.plans import (
     DRAWDOWN_QUERIES,
     BANDJOIN_ORACLES,
     BANDJOIN_QUERIES,
+    EQUIDEPTH_ORACLES,
+    EQUIDEPTH_QUERIES,
+    HHI_ORACLES,
+    HHI_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -356,7 +360,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-12 PLAN (committed at round-11 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 29 round-11 additions, registration order:
+#   1. first evidence — the 31 round-11 additions, registration order:
 #      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
 #      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
 #      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
@@ -366,7 +370,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q_ab_wilson, q_decayed_engagement, q_order_backlog,
 #      q_max_drawdown, dataset_card, q_band_join,
 #      q_sql_shared_intersect, doc_cdc_chunks, vocab_oov_split,
-#      multimodal_pixel_diversity (29); plus any
+#      multimodal_pixel_diversity, q_histogram_equi_depth,
+#      q_market_hhi (31); plus any
 #      entry round-12 churn pulls out of the freeze (displacing tail
 #      slots below);
 #   2. the oldest r7-stale entries, oldest first, FILL TO 50:
@@ -587,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BACKLOG_QUERIES)
     out.update(DRAWDOWN_QUERIES)
     out.update(BANDJOIN_QUERIES)
+    out.update(EQUIDEPTH_QUERIES)
+    out.update(HHI_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -743,6 +750,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(BACKLOG_ORACLES)
     out.update(DRAWDOWN_ORACLES)
     out.update(BANDJOIN_ORACLES)
+    out.update(EQUIDEPTH_ORACLES)
+    out.update(HHI_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -232,6 +232,14 @@ from etl_pipeline_example_spark.plans.bandjoin import (
     BANDJOIN_QUERIES,
     BANDJOIN_ORACLES,
 )
+from etl_pipeline_example_spark.plans.equidepth import (
+    EQUIDEPTH_QUERIES,
+    EQUIDEPTH_ORACLES,
+)
+from etl_pipeline_example_spark.plans.hhi import (
+    HHI_QUERIES,
+    HHI_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -354,6 +362,10 @@ __all__ = [
     "DRAWDOWN_ORACLES",
     "BANDJOIN_QUERIES",
     "BANDJOIN_ORACLES",
+    "EQUIDEPTH_QUERIES",
+    "EQUIDEPTH_ORACLES",
+    "HHI_QUERIES",
+    "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
     "PATTERN_ORACLES",

@@ -663,6 +663,43 @@ def test_pixel_diversity_matches_numpy_reference(spark, tmp_path):
         assert 0.0 < got[d][2] < 1.0
 
 
+def test_equi_depth_buckets_hold_equal_counts(spark, tmp_path):
+    """16 distinct values → every one of the 8 buckets holds exactly 2
+    rows, with contiguous non-overlapping ranges."""
+    from etl_pipeline_example_spark.plans.equidepth import (
+        q_histogram_equi_depth,
+    )
+
+    _write(spark, tmp_path, "orders",
+           [(i, float(i)) for i in range(1, 17)],
+           "o_orderkey bigint, o_totalprice double")
+    got = [
+        (r["bucket"], r["n_rows"], r["lo"], r["hi"])
+        for r in q_histogram_equi_depth(spark, str(tmp_path)).collect()
+    ]
+    assert [b for b, *_ in got] == list(range(1, 9))
+    assert all(n == 2 for _, n, *_ in got), got
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(got, got[1:]):
+        assert hi_prev < lo_next, got
+
+
+def test_market_hhi_hand_computed(spark, tmp_path):
+    """Brand A: one supplier → HHI 1.0; brand B: suppliers with volumes
+    3 and 1 → HHI = (9+1)/16 = 0.625."""
+    from etl_pipeline_example_spark.plans.hhi import q_market_hhi
+
+    _write(spark, tmp_path, "part", [(1, "A"), (2, "B")],
+           "p_partkey bigint, p_brand string")
+    rows = [(1, 10)] * 2 + [(2, 20)] * 3 + [(2, 21)]
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_partkey bigint, l_suppkey bigint")
+    got = [
+        (r["p_brand"], r["n_suppliers"], r["n_lines"], r["hhi"])
+        for r in q_market_hhi(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A", 1, 2, 1.0), ("B", 2, 4, 0.625)], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
