@@ -953,6 +953,34 @@ def test_decile_lift_has_no_global_sort_or_window(spark, sf_dir):
     ), plan
 
 
+def test_graph_triangles_reuses_persisted_frames(spark, sf_dir):
+    """graph_triangles' edge list is a self-join consumed by the degree
+    census, the orientation, and the wedge closure — the plan must read
+    the persisted frames (InMemoryTableScan) instead of re-running the
+    join per consumer."""
+    from etl_pipeline_example_spark.plans.graph import graph_triangles
+
+    plan = plan_str(graph_triangles(spark, sf_dir), mode="simple")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+
+
+def test_referential_joins_preaggregated_keys(spark, sf_dir):
+    """dq_referential must pre-aggregate every child side to (key, cnt)
+    BEFORE the orphan join: each edge's plan joins two aggregates, so
+    no join input carries raw fact rows — the lineitem edges would
+    otherwise shuffle the fact table three times."""
+    from etl_pipeline_example_spark.plans.referential import (
+        FK_EDGES,
+        dq_referential,
+    )
+
+    plan = plan_str(dq_referential(spark, sf_dir), mode="simple")
+    # one pre-join HashAggregate pair per edge (partial+final) on the
+    # child side, plus the distinct on the parent side: at minimum the
+    # plan contains 2 aggregates per edge below the final union
+    assert plan.count("HashAggregate") >= 2 * len(FK_EDGES), plan
+
+
 def test_band_join_is_equi_not_cartesian(spark, sf_dir):
     """q_band_join exists to AVOID the cartesian-filter band join: the
     physical plan must contain no CartesianProduct and no
