@@ -700,6 +700,31 @@ def test_market_hhi_hand_computed(spark, tmp_path):
     assert got == [("A", 1, 2, 1.0), ("B", 2, 4, 0.625)], got
 
 
+def test_max_drawdown_hand_computed(spark, tmp_path):
+    """Customer 1's order values 100 → 50 → 200 → 120: the running
+    peaks are 100/100/200/200, ratios 1.0/0.5/1.0/0.6 → max drawdown
+    0.5. Customer 2 never declines → 1.0."""
+    from etl_pipeline_example_spark.plans.drawdown import q_max_drawdown
+
+    rows = [
+        (1, 1, "2020-01-01", 100.0), (2, 1, "2020-01-02", 50.0),
+        (3, 1, "2020-01-03", 200.0), (4, 1, "2020-01-04", 120.0),
+        (5, 2, "2020-01-01", 10.0), (6, 2, "2020-01-02", 20.0),
+    ]
+    _write(spark, tmp_path, "orders_raw", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderdate string,"
+           " o_totalprice double")
+    spark.read.parquet(f"{tmp_path}/orders_raw.parquet").selectExpr(
+        "o_orderkey", "o_custkey",
+        "cast(o_orderdate as timestamp) o_orderdate", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = [
+        (r["c_custkey"], r["n_orders"], r["max_drawdown"])
+        for r in q_max_drawdown(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 4, 0.5), (2, 2, 1.0)], got
+
+
 def test_bpe_index_apply_matches_in_op_training(spark, tmp_path):
     """build_bpe_merges + bpe_encode_indexed / bpe_fertility_indexed
     must emit exactly the rows bpe_encode / bpe_fertility compute with
