@@ -338,115 +338,93 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Registration order matters: the driver grades queries in insertion order
 # under a ~50-row budget cap, so each round the window rotates to the
-# entries that most need fresh evidence. ROUND 11 executes the rotation
-# committed at round-10 end (and pre-verified strict bit-exact by the
-# round-10 judge for the 29 first-evidence entries — no no-oracle
+# entries that most need fresh evidence. ROUND 12 executes the rotation
+# committed at round-11 end (and spot-verified strict bit-exact by the
+# round-11 judge on 6 of the 31 first-evidence entries — no no-oracle
 # entries in the window, every slot gradable):
 #
-#   (a) first-evidence cohort — the 29 round-10 additions never yet
-#       driver-graded, registration order (cdc_apply ... text_char_simpson);
-#   (b) the 11 remaining r6-stale TPC-H-extra plans (byte-frozen since
-#       their r6 green rows);
-#   (c) 9 of the 10 oldest r7-stale entries (q_funnel_lag displaced by
-#       churn, rolls to r12), q_rfm included: its three global ntile
-#       windows were re-expressed this round via the q_decile_lift
-#       broadcast-quantile-cut pattern (round-10 verdict "What's wrong
-#       #1"), so it needs fresh driver evidence anyway; plus the one
-#       churn entry, q_sql_shared_dialect (sqlfacade.py changed).
+#   (a) first-evidence cohort — the 31 round-11 additions never yet
+#       driver-graded, registration order (q_sql_shared_window ...
+#       q_market_hhi). q_histogram_equi_depth was rewritten THIS round
+#       (round-11 verdict "What's wrong #1": cut points now come from a
+#       (value, count) pre-aggregate instead of exact percentile() over
+#       the raw column) — it was already a first-evidence slot, so the
+#       churn costs no extra slot;
+#   (b) q_funnel_lag — the r11 churn displacement — takes the first
+#       stale slot;
+#   (c) the 18 oldest r7-stale entries, oldest first
+#       (q_seasonality ... quality_buckets), filling to exactly 50.
 #
 # Everything else rides the freeze manifest (tools/frozen_hashes.json,
-# enforced by tests/test_freeze.py): r7-r10-green entries keep their
+# enforced by tests/test_freeze.py): r8-r11-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# ROUND-12 PLAN (committed at round-11 end, execute next round):
-# _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 31 round-11 additions, registration order:
-#      q_sql_shared_window, q_sql_shared_semijoin, q_sql_shared_grouping,
-#      bpe_encode_indexed, bpe_fertility_indexed, dq_referential,
-#      q_interval_event_overlap, events_anomaly_iqr, q_weighted_median,
-#      dq_pk_uniqueness, q_month_spine_recursive, q_gapfill_interp,
-#      table_checksum, graph_degree_hist, graph_triangles, mix_epochs,
-#      span_corruption_plan, ann_filtered, q_sql_shared_except,
-#      q_ab_wilson, q_decayed_engagement, q_order_backlog,
-#      q_max_drawdown, dataset_card, q_band_join,
-#      q_sql_shared_intersect, doc_cdc_chunks, vocab_oov_split,
-#      multimodal_pixel_diversity, q_histogram_equi_depth,
-#      q_market_hhi (31); plus any
-#      entry round-12 churn pulls out of the freeze (displacing tail
-#      slots below);
-#   2. the oldest r7-stale entries, oldest first, FILL TO 50:
-#      q_seasonality, lang_mismatch,
-#      li_shipping_lag, supplier_scorecard, q_revenue_concentration,
-#      q_events_heatmap, corpus_stats, dup_rate_by_source,
-#      dedup_incremental, dedup_savings, dedup_containment,
-#      cluster_topics, ann_rp_rerank, embed_outliers, embed_dim_stats,
-#      cluster_purity, text_normalize, quality_buckets, quality_c4,
+# ROUND-13 PLAN (committed at round-12 end, execute next round):
+# _REGISTER_FIRST := exactly 50, in this order —
+#   1. first evidence — the round-12 additions, registration order
+#      (enumerated in the updated comment at round-12 end);
+#   2. the remaining r7-stale cohort, oldest first: quality_c4,
 #      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
-#      bpe_encode, sample_split, dsir_weights, boilerplate_strip,
-#      curation_funnel, domain_chi2, ngram_novelty, pmi_bigrams,
-#      stream_c4_gate, minhash_calibration, ... (q_funnel_lag — the
-#      r11 churn displacement — takes the first stale slot; overflow
-#      and the rest of the r7 cohort roll to r13);
+#      sample_split, dsir_weights, boilerplate_strip, curation_funnel,
+#      domain_chi2, ngram_novelty, pmi_bigrams, stream_c4_gate,
+#      minhash_calibration, ... FILL TO 50 (bpe_encode/bpe_fertility
+#      drop out of the rotation when demoted to pytest-only per the
+#      round-11 verdict ask #3);
 #   3. any remaining r8-stale entries by age.
 _REGISTER_FIRST = [
-    # (a) first evidence: round-10 additions, registration order
-    "cdc_apply",
-    "agg_merge_states",
-    "q_order_gap_dist",
-    "q_yoy_growth",
-    "q_skyline_2d",
-    "q_mode_per_group",
-    "q_behavior_segments",
-    "dedup_survivor_policy",
-    "lang_confusion",
-    "ngram_lang_profile",
-    "stream_topk",
-    "dq_freshness",
-    "q_decile_lift",
-    "q_active_streak",
-    "q_distinct_cube",
-    "bpe_fertility",
-    "q_group_percentiles",
-    "q_numeric_corr",
-    "q_event_transitions",
-    "multimodal_phash",
-    "multimodal_phash_dups",
-    "q_group_regression",
-    "vocab_growth",
-    "multimodal_resize",
-    "multimodal_audio_energy",
-    "q_user_diversity",
-    "dq_volume_zscore",
-    "q_null_safe_join",
-    "text_char_simpson",
-    # (b) r6-stale TPC-H-extra refresh (byte-frozen since r6)
-    "q8_mktshare",
-    "q9_profit",
-    "q10_returns",
-    "q11_part_value",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q21_sole_fault",
-    "q22_idle_rich",
-    # (c) 10 oldest r7-stale entries (q_rfm rewritten this round)
-    "scd2_merge",
-    "q_window_funnel",
-    "q_retention",
-    "q_event_path",
-    "q_sequence_match",
-    "anomaly_mad",
-    "q_basket_pairs",
-    "q_full_outer_recon",
-    "q_rfm",
-    # churn re-window (rotation rule: a freeze-frozen entry whose
-    # backing file changed this round loses its prior evidence):
-    # sqlfacade.py gained entries + absent-table skip, so the r10-green
-    # q_sql_shared_dialect regrades here; q_funnel_lag (displaced tail
-    # slot, file unchanged) rolls to the round-12 window
-    "q_sql_shared_dialect",
+    # (a) first evidence: round-11 additions, registration order
+    "q_sql_shared_window",
+    "q_sql_shared_semijoin",
+    "q_sql_shared_grouping",
+    "bpe_encode_indexed",
+    "bpe_fertility_indexed",
+    "dq_referential",
+    "q_interval_event_overlap",
+    "events_anomaly_iqr",
+    "q_weighted_median",
+    "dq_pk_uniqueness",
+    "q_month_spine_recursive",
+    "q_gapfill_interp",
+    "table_checksum",
+    "graph_degree_hist",
+    "graph_triangles",
+    "mix_epochs",
+    "span_corruption_plan",
+    "ann_filtered",
+    "q_sql_shared_except",
+    "q_ab_wilson",
+    "q_decayed_engagement",
+    "q_order_backlog",
+    "q_max_drawdown",
+    "dataset_card",
+    "q_band_join",
+    "q_sql_shared_intersect",
+    "doc_cdc_chunks",
+    "vocab_oov_split",
+    "multimodal_pixel_diversity",
+    "q_histogram_equi_depth",
+    "q_market_hhi",
+    # (b) the r11 churn displacement takes the first stale slot
+    "q_funnel_lag",
+    # (c) 18 oldest r7-stale entries, oldest first, fill to 50
+    "q_seasonality",
+    "lang_mismatch",
+    "li_shipping_lag",
+    "supplier_scorecard",
+    "q_revenue_concentration",
+    "q_events_heatmap",
+    "corpus_stats",
+    "dup_rate_by_source",
+    "dedup_incremental",
+    "dedup_savings",
+    "dedup_containment",
+    "cluster_topics",
+    "ann_rp_rerank",
+    "embed_outliers",
+    "embed_dim_stats",
+    "cluster_purity",
+    "text_normalize",
+    "quality_buckets",
 ]
 
 
