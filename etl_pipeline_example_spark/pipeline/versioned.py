@@ -5,8 +5,9 @@ serving table, but it destroys history. This layer keeps every
 version, and (since round 11) a version is a MANIFEST — a JSON list of
 immutable data files — not a full snapshot directory:
 
-- data files live under ``<path>/data/v=NNNNNN/__b=K/`` hash-bucket
-  dirs and are immutable once a manifest references them;
+- data files live under ``<path>/data/v=NNNNNN-<token>/__b=K/``
+  hash-bucket dirs (one writer-unique token per writing commit) and
+  are immutable once a manifest references them;
 - ``_manifests/v=NNNNNN.json`` lists each version's (bucket, file)
   entries plus the schema, the bucket key, and the bucket count —
   unchanged files are SHARED across versions, so a 1-row upsert into a
@@ -27,7 +28,7 @@ immutable data files — not a full snapshot directory:
   retained manifest references — shared files survive as long as any
   retained version needs them.
 
-Concurrency contract (round-10 ADVICE hardening):
+Concurrency contract (round-10/11 ADVICE hardening):
 - the pointer swap is a single FileContext rename with
   ``Options.Rename.OVERWRITE`` — atomic on HDFS/local, no
   delete-then-rename gap; and ``_read_pointer`` falls back to the
@@ -37,9 +38,21 @@ Concurrency contract (round-10 ADVICE hardening):
   itself: the manifest file is created with ``overwrite=false``
   (create-exclusive), so two racing writers cannot both commit the
   same version — the loser gets a clear ``ConcurrentWriteError`` and
-  retries against the new head. Data-file names are version-scoped,
-  so the loser's orphaned files are invisible (no manifest references
-  them) and the next ``expire_versions`` sweeps them.
+  retries against the new head;
+- data dirs are WRITER-UNIQUE: each writing commit lands its files
+  under ``data/v=NNNNNN-<token>/`` (fresh random token per writer), so
+  a manifest only ever references files its own writer produced. Two
+  writers racing to the same version number can never cross-pollute
+  each other's file lists (round-11 ADVICE: a shared ``v=NNNNNN`` dir
+  let the winner's file listing pick up the loser's task files), and a
+  crashed writer's half-written dir can never collide with a later
+  writer re-allocating the same version number — orphan dirs are
+  simply unreferenced and the next ``expire_versions`` sweeps them;
+- ``expire_versions`` GC never touches files under a version dir
+  NEWER than the newest manifest committed when the sweep started: an
+  in-flight writer always works at head+1, so its uncommitted files
+  are protected from the collector (round-11 ADVICE: the old sweep
+  could delete a concurrent writer's files before its commit).
 
 Scale: an upsert costs O(affected buckets), not O(table); storage is
 shared across versions at file granularity; ``nbuckets`` is the
@@ -57,6 +70,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -177,15 +191,31 @@ def _commit_manifest(
         out.close()
 
 
+def _new_vdir(path: str, version: int) -> str:
+    """Writer-unique data dir for one writing commit: the version
+    number keys the GC protection rule (in-flight = newer than the
+    committed head) and the random token guarantees no two writers —
+    racing, retrying, or resuming after a crash — ever share a dir, so
+    a manifest's file listing can only see its own writer's output."""
+    return f"{path}/{_DATA}/v={version:06d}-{uuid.uuid4().hex[:8]}"
+
+
+def _dir_version(name: str) -> int | None:
+    """Version number encoded in a ``v=NNNNNN[-token]`` dir name."""
+    if not name.startswith("v="):
+        return None
+    head = name[2:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
+
+
 def _list_written_files(
-    spark: SparkSession, path: str, version: int
+    spark: SparkSession, path: str, vdir: str
 ) -> list[dict]:
     """(bucket, relative-path) entries for every data file Spark wrote
-    under this version's data dir (bucket parsed from the __b= dir)."""
+    under this writer's data dir (bucket parsed from the __b= dir)."""
     fs, _ = hadoop_fs(spark, path)
-    vdir = _jpath(spark, f"{path}/{_DATA}/v={version:06d}")
     entries: list[dict] = []
-    it = fs.listFiles(vdir, True)
+    it = fs.listFiles(_jpath(spark, vdir), True)
     while it.hasNext():
         st = it.next()
         p = st.getPath().toString()
@@ -205,17 +235,16 @@ def _write_bucketed(
     spark: SparkSession,
     df: DataFrame,
     path: str,
-    version: int,
+    vdir: str,
     key: str | None,
     nbuckets: int,
     data_format: str,
     width: int | None = None,
 ) -> list[dict]:
-    """Write ``df`` hash-bucketed by ``key`` under this version's data
-    dir; returns the manifest file entries. ``width`` caps the
+    """Write ``df`` hash-bucketed by ``key`` under this writer's unique
+    data dir; returns the manifest file entries. ``width`` caps the
     repartition so a b-bucket partial rewrite doesn't fan out to the
     full bucket count."""
-    vdir = f"{path}/{_DATA}/v={version:06d}"
     if key is None:
         df.write.mode("errorifexists").format(data_format).save(
             f"{vdir}/{_BUCKET_COL}=0"
@@ -229,7 +258,7 @@ def _write_bucketed(
             .format(data_format)
             .save(vdir)
         )
-    return _list_written_files(spark, path, version)
+    return _list_written_files(spark, path, vdir)
 
 
 def write_versioned(
@@ -258,7 +287,7 @@ def write_versioned(
         ):
             key, nbuckets = prev["key"], prev["nbuckets"]
     files = _write_bucketed(
-        spark, df, path, version, key, nbuckets, data_format
+        spark, df, path, _new_vdir(path, version), key, nbuckets, data_format
     )
     _commit_manifest(
         spark,
@@ -355,8 +384,14 @@ def upsert_versioned(
         keep = [e for e in manifest["files"] if e["bucket"] not in affected]
         touched = [e for e in manifest["files"] if e["bucket"] in affected]
         if touched:
+            # read touched files UNDER THE MANIFEST SCHEMA exactly like
+            # read_versioned: files written before add_columns_versioned
+            # lack the added columns, and schema inference would crash
+            # the select with UNRESOLVED_COLUMN — the manifest schema
+            # null-pads them instead (round-11 ADVICE, high)
             base = (
-                spark.read.format(fmt)
+                spark.read.schema(schema)
+                .format(fmt)
                 .load([posixpath.join(path, e["path"]) for e in touched])
                 .select(*schema.fieldNames())
             )
@@ -366,7 +401,7 @@ def upsert_versioned(
             spark,
             merge(base),
             path,
-            version,
+            _new_vdir(path, version),
             key,
             nbuckets,
             fmt,
@@ -380,7 +415,13 @@ def upsert_versioned(
         )
         current = read_versioned(spark, path, version=current_v)
         files = _write_bucketed(
-            spark, merge(current), path, version, key, nbuckets, fmt
+            spark,
+            merge(current),
+            path,
+            _new_vdir(path, version),
+            key,
+            nbuckets,
+            fmt,
         )
     _commit_manifest(
         spark,
@@ -467,7 +508,7 @@ def compact_versioned(
         for e in manifest["files"]
         if len(by_bucket[e["bucket"]]) == 1
     ]
-    vdir = f"{path}/{_DATA}/v={version:06d}"
+    vdir = _new_vdir(path, version)
     for bucket, rels in sorted(by_bucket.items()):
         if len(rels) == 1:
             continue
@@ -482,7 +523,7 @@ def compact_versioned(
             .save(f"{vdir}/{_BUCKET_COL}={bucket}")
         )
     new_files = (
-        _list_written_files(spark, path, version)
+        _list_written_files(spark, path, vdir)
         if any(len(r) > 1 for r in by_bucket.values())
         else []
     )
@@ -506,6 +547,13 @@ def expire_versions(
     fs, _ = hadoop_fs(spark, path)
     live = _read_pointer(spark, path)
     versions = _versions(spark, path)
+    # GC fence: an in-flight writer always works at a version number
+    # ABOVE the newest manifest committed when this sweep started, so
+    # files under newer version dirs are its uncommitted output, not
+    # orphans — never collect them (round-11 ADVICE: the unfenced sweep
+    # could delete a concurrent writer's files pre-commit, leaving its
+    # manifest pointing at nothing)
+    head = versions[-1] if versions else 0
     doomed = [v for v in versions[:-keep] if v != live] if keep > 0 else []
     for v in doomed:
         fs.delete(_jpath(spark, _manifest_path(path, v)), False)
@@ -522,12 +570,18 @@ def expire_versions(
         while it.hasNext():
             p = it.next().getPath().toString()
             rel = p[p.index(f"{_DATA}/v=") :]
+            v = _dir_version(rel.split("/")[1])
+            if v is not None and v > head:
+                continue  # in-flight writer's dir — fenced
             if rel not in referenced:
                 orphans.append(p)
         for p in orphans:
             fs.delete(_jpath(spark, p), False)
-        # sweep version dirs that emptied out
+        # sweep version dirs that emptied out (same fence)
         for st in fs.listStatus(data_root):
+            v = _dir_version(st.getPath().getName())
+            if v is not None and v > head:
+                continue
             if st.isDirectory() and not fs.listFiles(
                 st.getPath(), True
             ).hasNext():

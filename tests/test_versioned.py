@@ -83,19 +83,28 @@ def test_diff_versions_classifies_changes(spark, tmp_path):
     assert got == [(2, "changed"), (3, "added"), (4, "removed")], got
 
 
+def _version_data_dirs(root, version):
+    """Data dirs written FOR a version: ``v=NNNNNN-<writer token>``
+    (one per writing commit; metadata-only commits write none)."""
+    import glob
+    import os
+
+    return sorted(glob.glob(os.path.join(root, "data", f"v={version:06d}*")))
+
+
 def _data_bytes(root, version):
     """Total bytes and file count of the data files written FOR a
     specific version (pyarrow-free: plain os.walk over the local dir)."""
     import os
 
-    vdir = os.path.join(root, "data", f"v={version:06d}")
     total, n = 0, 0
-    for dirpath, _dirs, files in os.walk(vdir):
-        for f in files:
-            if f.startswith(("_", ".")):
-                continue
-            total += os.path.getsize(os.path.join(dirpath, f))
-            n += 1
+    for vdir in _version_data_dirs(root, version):
+        for dirpath, _dirs, files in os.walk(vdir):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                total += os.path.getsize(os.path.join(dirpath, f))
+                n += 1
     return total, n
 
 
@@ -264,7 +273,7 @@ def test_add_columns_is_metadata_only_and_null_pads(spark, tmp_path):
     m1 = _read_manifest(spark, path, 1)
     m2 = _read_manifest(spark, path, 2)
     assert m1["files"] == m2["files"]  # zero data bytes moved
-    assert not os.path.exists(os.path.join(path, "data", "v=000002"))
+    assert _version_data_dirs(path, 2) == []
     got = read_versioned(spark, path).collect()
     assert [(r["k"], r["val"], r["note"]) for r in got] == [(1, "a", None)]
     # v1 time travel still reads the ORIGINAL schema
@@ -336,7 +345,7 @@ def test_compact_on_tidy_table_is_metadata_noop(spark, tmp_path):
     assert _read_manifest(spark, path, v2)["files"] == _read_manifest(
         spark, path, 1
     )["files"]
-    assert not os.path.exists(os.path.join(path, "data", "v=000002"))
+    assert _version_data_dirs(path, 2) == []
 
 
 def test_restore_rolls_back_as_new_version(spark, tmp_path):
@@ -367,7 +376,7 @@ def test_restore_rolls_back_as_new_version(spark, tmp_path):
     assert _read_manifest(spark, path, 3)["files"] == _read_manifest(
         spark, path, 1
     )["files"]
-    assert not os.path.exists(os.path.join(path, "data", "v=000003"))
+    assert _version_data_dirs(path, 3) == []
     # expire down to 2 versions: v1 goes, but its files survive because
     # the live restore (v3) references them
     expire_versions(spark, path, keep=2)
@@ -513,3 +522,174 @@ def test_versioned_random_op_sequence_invariants(spark, tmp_path):
                 for r in read_versioned(spark, path, version=w).collect()
             }
             assert got == want, (w, got, want)
+
+
+def test_upsert_after_add_columns_touches_prealter_bucket(spark, tmp_path):
+    """Round-11 ADVICE (high): the copy-on-write path must read touched
+    bucket files under the MANIFEST schema. Files written before
+    add_columns_versioned lack the added column; schema inference made
+    the merge select crash with UNRESOLVED_COLUMN whenever an update key
+    hashed into a pre-alter bucket. Upserting EVERY key guarantees at
+    least one touched pre-alter file regardless of hashing."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        add_columns_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, "old", 1) for k in range(1, 9)], "k bigint, val string, ver int"
+    )
+    write_versioned(spark, base, path, key="k", nbuckets=4)
+    add_columns_versioned(spark, path, {"note": "string"})
+    upd = spark.createDataFrame(
+        [(1, "new", 2, "annotated")],
+        "k bigint, val string, ver int, note string",
+    )
+    upsert_versioned(spark, path, upd, "k", "ver")  # crashed pre-fix
+    latest = {
+        r["k"]: (r["val"], r["note"])
+        for r in read_versioned(spark, path).collect()
+    }
+    assert latest[1] == ("new", "annotated")
+    assert latest[2] == ("old", None)
+    assert len(latest) == 8
+
+
+def test_racing_writers_never_share_a_data_dir(spark, tmp_path):
+    """Round-11 ADVICE (medium): two writers racing to the same version
+    number land files in writer-unique dirs, so the winner's manifest
+    can never pick up the loser's task files. The loser raises the
+    documented ConcurrentWriteError at commit and its orphan dir is
+    swept by the next expire_versions."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        ConcurrentWriteError,
+        _commit_manifest,
+        _new_vdir,
+        _read_manifest,
+        _write_bucketed,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    # both writers allocate version 2; interleave: loser writes data
+    # first, then the winner writes AND commits, then the loser commits
+    loser_vdir = _new_vdir(path, 2)
+    loser_files = _write_bucketed(
+        spark,
+        _df(spark, [(99, "loser", 2)]),
+        path,
+        loser_vdir,
+        "k",
+        16,
+        "parquet",
+    )
+    winner_vdir = _new_vdir(path, 2)
+    assert winner_vdir != loser_vdir
+    winner_files = _write_bucketed(
+        spark,
+        _df(spark, [(2, "winner", 2)]),
+        path,
+        winner_vdir,
+        "k",
+        16,
+        "parquet",
+    )
+    # the winner's listing saw only its own dir: no loser rows leak in
+    assert {e["path"] for e in winner_files}.isdisjoint(
+        {e["path"] for e in loser_files}
+    )
+    m1 = _read_manifest(spark, path, 1)
+    _commit_manifest(
+        spark,
+        path,
+        2,
+        {**m1, "version": 2, "files": m1["files"] + winner_files},
+    )
+    with pytest.raises(ConcurrentWriteError):
+        _commit_manifest(
+            spark,
+            path,
+            2,
+            {**m1, "version": 2, "files": m1["files"] + loser_files},
+        )
+    from etl_pipeline_example_spark.pipeline.versioned import _write_pointer
+
+    _write_pointer(spark, path, 2)
+    rows = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert rows == {1: "a", 2: "winner"}, rows
+    # GC sweeps the loser's orphaned dir (version 2 <= committed head)
+    expire_versions(spark, path, keep=10)
+    assert not os.path.exists(loser_vdir)
+    assert os.path.exists(winner_vdir)
+
+
+def test_crashed_writer_dir_never_blocks_reallocation(spark, tmp_path):
+    """Round-11 ADVICE (low): a crash between data write and manifest
+    commit leaves an orphan data dir for a version number that the next
+    writer re-allocates. Writer-unique dirs mean the retry lands in a
+    fresh dir instead of dying on mode('errorifexists')."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _new_vdir,
+        _write_bucketed,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    # simulate the crash: data written for version 2, no manifest
+    _write_bucketed(
+        spark,
+        _df(spark, [(50, "ghost", 9)]),
+        path,
+        _new_vdir(path, 2),
+        "k",
+        16,
+        "parquet",
+    )
+    # next writer allocates version 2 again — must succeed
+    v2 = write_versioned(spark, _df(spark, [(1, "b", 2)]), path)
+    assert v2 == 2
+    rows = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert rows == {1: "b"}, rows  # the ghost rows are unreferenced
+
+
+def test_expire_gc_fences_inflight_writer_dirs(spark, tmp_path):
+    """Round-11 ADVICE (low): GC must not collect files under a version
+    dir NEWER than the committed head — that's a concurrent writer's
+    uncommitted output, not an orphan."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _new_vdir,
+        _write_bucketed,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 4):
+        write_versioned(spark, _df(spark, [(1, f"v{i}", i)]), path, key="k")
+    # an in-flight writer working at head+1 (=4), data written, not yet
+    # committed; and a stale orphan at version 2 (<= head, unreferenced)
+    inflight_vdir = _new_vdir(path, 4)
+    _write_bucketed(
+        spark,
+        _df(spark, [(7, "inflight", 4)]),
+        path,
+        inflight_vdir,
+        "k",
+        16,
+        "parquet",
+    )
+    orphan_vdir = _new_vdir(path, 2)
+    _write_bucketed(
+        spark,
+        _df(spark, [(8, "orphan", 2)]),
+        path,
+        orphan_vdir,
+        "k",
+        16,
+        "parquet",
+    )
+    expire_versions(spark, path, keep=2)
+    assert os.path.exists(inflight_vdir)  # fenced: newer than head
+    assert not os.path.exists(orphan_vdir)  # swept: stale orphan
