@@ -1080,3 +1080,29 @@ def test_agg_merge_states_partial_aggregates(spark, sf_dir):
 
     plan = plan_str(agg_merge_states(spark, sf_dir), mode="simple")
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_equi_depth_aggregates_value_counts_never_raw_percentile(
+    spark, sf_dir
+):
+    """The round-11 verdict fix, pinned in the plan: cut points must
+    come from the (value, count) pre-aggregate — the percentile-style
+    per-distinct-value state must never ride the aggregation of the raw
+    column (its state grows with the value universe). Concretely: no
+    `percentile` expression anywhere, and the counted frame is persisted
+    so the cut pick and the bucket census share it (2 InMemoryTableScans)
+    rather than re-scanning orders."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.plans.equidepth import (
+        q_histogram_equi_depth,
+    )
+
+    try:
+        df = q_histogram_equi_depth(spark, sf_dir)
+        plan = plan_str(df, mode="simple")
+        assert "percentile" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the broadcast of the 1-row cut frame, never a shuffle join
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    finally:
+        simcore.release_similarity_caches()
