@@ -13,16 +13,23 @@ the operators compose as REAL tasks, not just as driver-graded queries:
             zones-style: each stage's output is the next stage's input
             dataset, so any stage can be re-run or inspected alone
   dedup     exact-dedup survivor list (operators/dedup.dedup_exact) on
-            the GATED corpus; survivors written as the final corpus
+            the GATED corpus; survivors written as the exact corpus
+  neardup   MinHash near-dup clusters (operators/cluster.dedup_cluster:
+            verified LSH pairs → connected components) on the EXACT
+            corpus; component representatives written as the final
+            corpus — the production curation loop always runs near-dup
+            after exact dedup (round-11 verdict ask #5)
   report    sample_allocation over the final corpus — the integer
             per-source sampling plan (Σ = budget by construction)
   shard     sinks/shards.write_training_shards on the final corpus —
             token-budgeted shard_id=N/*.json.gz, ready for a loader
 
 Scale shape: every stage is one of the already-audited operators; the
-only additions are two curated-corpus writes, both straight
-column-pruned parquet writes. Nothing here collects rows — the DAG
-returns counts and paths.
+only additions are three curated-corpus writes, all straight
+column-pruned parquet writes. The near-dup prune is an ANTI-join of the
+corpus against the non-representative doc_ids (narrow id column — text
+never rides the join). Nothing here collects rows — the DAG returns
+counts and paths.
 
 Side-effecting (writes corpora + shards) → pytest-verified, not
 driver-graded; SURVEY.md §2 (curation DAG row).
@@ -38,6 +45,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_example_spark.operators.allocation import sample_allocation
 from etl_pipeline_example_spark.operators.c4 import spark_c4_keep
 from etl_pipeline_example_spark.operators.charstats import text_charstats
+from etl_pipeline_example_spark.operators.cluster import dedup_cluster
 from etl_pipeline_example_spark.operators.dedup import dedup_exact
 from etl_pipeline_example_spark.operators.hashing import spark_tokens
 from etl_pipeline_example_spark.pipeline.dag import Pipeline
@@ -52,9 +60,11 @@ def _write_corpus(df, out_dir: str) -> str:
 
 
 def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Run profile → gate → dedup → report → shard over ``sf_dir``;
-    returns each task's result (counts, rows, paths) by task id."""
+    """Run profile → gate → dedup → neardup → report → shard over
+    ``sf_dir``; returns each task's result (counts, rows, paths) by
+    task id."""
     gated_dir = os.path.join(out_dir, "gated")
+    exact_dir = os.path.join(out_dir, "exact")
     final_dir = os.path.join(out_dir, "final")
     shards_dir = os.path.join(out_dir, "shards")
 
@@ -78,7 +88,20 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             F.col("keep_doc_id").alias("doc_id")
         )
         docs = read_table(spark, gated_dir, "documents")
-        final = docs.join(survivors, "doc_id", "left_semi")
+        exact = docs.join(survivors, "doc_id", "left_semi")
+        _write_corpus(exact, exact_dir)
+        return spark.read.parquet(
+            os.path.join(exact_dir, "documents.parquet")
+        ).count()
+
+    def neardup():
+        # component representatives survive; the drop list is the
+        # narrow complement (near-dups of a kept representative)
+        drops = dedup_cluster(spark, exact_dir).filter(
+            ~F.col("is_kept")
+        ).select("doc_id")
+        docs = read_table(spark, exact_dir, "documents")
+        final = docs.join(drops, "doc_id", "left_anti")
         _write_corpus(final, final_dir)
         return spark.read.parquet(
             os.path.join(final_dir, "documents.parquet")
@@ -95,6 +118,7 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     p.task("profile", profile)
     p.task("gate", gate, after=["profile"])
     p.task("dedup", dedup, after=["gate"])
-    p.task("report", report, after=["dedup"])
-    p.task("shard", shard, after=["dedup"])
+    p.task("neardup", neardup, after=["dedup"])
+    p.task("report", report, after=["neardup"])
+    p.task("shard", shard, after=["neardup"])
     return p.run()

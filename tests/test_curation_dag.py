@@ -1,9 +1,11 @@
 """End-to-end curation DAG: the LLM operators composing as real tasks.
 
-Verifies the profile → gate → dedup → report → shard run against the
-testdata corpus: monotone attrition, exact-dedup semantics on the gated
-corpus, the Σ=budget allocation invariant downstream of dedup, and
-loader-ready shard output.
+Verifies the profile → gate → dedup → neardup → report → shard run
+against the testdata corpus: monotone attrition through every stage,
+exact-dedup semantics on the gated corpus, a near-dup-free final corpus
+(re-running the pair finder on it yields zero verified pairs), the
+Σ=budget allocation invariant downstream of near-dup, and loader-ready
+shard output.
 """
 
 from __future__ import annotations
@@ -22,10 +24,12 @@ def test_curation_dag_end_to_end(spark, sf_dir, tmp_path):
 
     n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     n_gated = results["gate"]
-    n_final = results["dedup"]
+    n_exact = results["dedup"]
+    n_final = results["neardup"]
     # monotone attrition, and the gate actually fires on this corpus
     assert 0 < n_gated <= n_total
-    assert 0 < n_final <= n_gated
+    assert 0 < n_exact <= n_gated
+    assert 0 < n_final <= n_exact
 
     # the final corpus is exactly-deduped: one doc per normalized content
     final = spark.read.parquet(f"{tmp_path}/final/documents.parquet")
@@ -62,3 +66,21 @@ def test_curation_dag_end_to_end(spark, sf_dir, tmp_path):
         .distinct()
         .collect()
     }
+
+
+def test_curation_dag_final_corpus_has_no_verified_neardup_pairs(
+    spark, sf_dir, tmp_path
+):
+    """The near-dup stage's dedup invariant: re-running the verified
+    MinHash pair finder over the final corpus finds NOTHING — two
+    surviving component representatives can never share a verified
+    pair (a pair would have merged their components). The testdata
+    corpus plants near-duplicates, so the stage must actually drop
+    rows to get here."""
+    from etl_pipeline_example_spark.operators.dedup import dedup_minhash
+    from etl_pipeline_example_spark.pipeline.curation_dag import curation_dag
+
+    results = curation_dag(spark, sf_dir, str(tmp_path))
+    assert results["neardup"] < results["dedup"], results
+    final_dir = str(tmp_path / "final")
+    assert dedup_minhash(spark, final_dir).count() == 0
