@@ -26,7 +26,12 @@ immutable data files — not a full snapshot directory:
 - ``expire_versions`` is the retention half: it drops old manifests
   (never the pointer's target) and garbage-collects data files no
   retained manifest references — shared files survive as long as any
-  retained version needs them.
+  retained version needs them;
+- manifests optionally carry per-file column min/max stats
+  (``stats_cols``), and ``read_versioned(..., where=)`` prunes the
+  file list against them BEFORE the scan plans — the Iceberg
+  file-skipping contract: a selective read opens ~1/K of the files
+  (round-11 verdict ask #6).
 
 Concurrency contract (round-10/11 ADVICE hardening):
 - the pointer swap is a single FileContext rename with
@@ -231,6 +236,75 @@ def _list_written_files(
     return entries
 
 
+_STATS_TYPES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "float",
+    "double",
+    "string",
+    "boolean",
+    "date",
+)
+
+
+def _attach_file_stats(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    cols: list[str],
+    fmt: str,
+    schema: StructType,
+) -> None:
+    """Record per-file min/max for ``cols`` on each manifest entry —
+    the Iceberg lower/upper-bound contract, re-expressed as one
+    column-pruned read-back of the just-written files grouped by
+    ``input_file_name`` (a production engine would lift the bounds
+    straight from the parquet footers at commit; the read-back keeps
+    this FS-agnostic). The collect is bounded: one row per data file."""
+    if not cols or not entries:
+        return
+    typed = {
+        f.name: f.dataType.simpleString()
+        for f in schema.fields
+        if f.name in cols
+    }
+    usable = [c for c in cols if typed.get(c) in _STATS_TYPES]
+    if not usable:
+        return
+    paths = [posixpath.join(path, e["path"]) for e in entries]
+    aggs = []
+    for i, c in enumerate(usable):
+        aggs.append(F.min(c).alias(f"__lo{i}"))
+        aggs.append(F.max(c).alias(f"__hi{i}"))
+    rows = (
+        spark.read.schema(schema)
+        .format(fmt)
+        .load(paths)
+        .select(F.input_file_name().alias("__f"), *usable)
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    marker = f"{_DATA}/v="
+
+    def _json(v):
+        return v if isinstance(v, (int, float, str, bool, type(None))) else str(v)
+
+    by_rel = {}
+    for r in rows:
+        f = r["__f"]
+        rel = f[f.index(marker) :]
+        by_rel[rel] = {
+            c: [_json(r[f"__lo{i}"]), _json(r[f"__hi{i}"])]
+            for i, c in enumerate(usable)
+        }
+    for e in entries:
+        if e["path"] in by_rel:
+            e["stats"] = by_rel[e["path"]]
+
+
 def _write_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -268,6 +342,7 @@ def write_versioned(
     data_format: str = "parquet",
     key: str | None = None,
     nbuckets: int = DEFAULT_BUCKETS,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next version of ``path`` and swing the
     pointer to it; returns the new version number.
@@ -277,6 +352,11 @@ def write_versioned(
     (bucket function must stay stable across versions). With no key the
     data lands in a single bucket and the first keyed upsert re-buckets
     it (self-healing — see upsert_versioned).
+
+    ``stats_cols`` opts columns into per-file min/max manifest stats —
+    the file-skipping contract ``read_versioned(..., where=)`` prunes
+    with. An existing table's stats columns are inherited so every
+    later commit keeps recording them.
     """
     existing = _versions(spark, path)
     version = (existing[-1] + 1) if existing else 1
@@ -286,8 +366,13 @@ def write_versioned(
             key is None or key == prev["key"]
         ):
             key, nbuckets = prev["key"], prev["nbuckets"]
+        if stats_cols is None:
+            stats_cols = prev.get("stats_cols")
     files = _write_bucketed(
         spark, df, path, _new_vdir(path, version), key, nbuckets, data_format
+    )
+    _attach_file_stats(
+        spark, path, files, stats_cols or [], data_format, df.schema
     )
     _commit_manifest(
         spark,
@@ -299,6 +384,7 @@ def write_versioned(
             "nbuckets": nbuckets if key is not None else 1,
             "schema": df.schema.json(),
             "format": data_format,
+            "stats_cols": stats_cols or [],
             "files": files,
         },
     )
@@ -306,31 +392,91 @@ def write_versioned(
     return version
 
 
+_PRED_OPS = ("==", "=", "<=", ">=", "<", ">")
+
+
+def _normalize_where(where) -> list[tuple[str, str, object]]:
+    """``where`` is one (col, op, value) triple or a list of them,
+    combined conjunctively; op ∈ ==/=/</<=/>/>=."""
+    if where is None:
+        return []
+    preds = [where] if isinstance(where, tuple) else list(where)
+    for col, op, _val in preds:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} on {col!r}")
+    return preds
+
+
+def _file_may_match(entry: dict, col: str, op: str, val) -> bool:
+    """False only when the file's [min, max] PROVES no row satisfies
+    the predicate; files without stats for ``col`` always pass."""
+    st = entry.get("stats", {}).get(col)
+    if not st or st[0] is None or st[1] is None:
+        return True
+    lo, hi = st
+    try:
+        if op in ("=", "=="):
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        return hi >= val  # >=
+    except TypeError:
+        return True  # incomparable (e.g. stringified date vs object)
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     data_format: str = "parquet",
+    where=None,
 ) -> DataFrame:
-    """Read the pointed-to version, or TIME-TRAVEL to ``version``."""
+    """Read the pointed-to version, or TIME-TRAVEL to ``version``.
+
+    ``where`` — one ``(col, op, value)`` triple or a conjunctive list —
+    prunes the manifest's file list against per-file min/max stats
+    BEFORE the scan plans (the Iceberg file-skipping contract: a
+    selective read opens ~1/K of the files), then applies the same
+    predicates as row filters for exactness. Files without stats for a
+    predicate column are kept, so pruning is always sound.
+    """
     v = _read_pointer(spark, path) if version is None else version
     manifest = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
-        return spark.createDataFrame([], schema)
-    paths = [
-        posixpath.join(path, entry["path"]) for entry in manifest["files"]
+    preds = _normalize_where(where)
+    files = [
+        e
+        for e in manifest["files"]
+        if all(_file_may_match(e, c, op, val) for c, op, val in preds)
     ]
+    if not files:
+        return spark.createDataFrame([], schema)
+    paths = [posixpath.join(path, entry["path"]) for entry in files]
     # read under the MANIFEST schema: columns a file predates (added by
     # add_columns_versioned after it was written) come back null — the
     # zero-rewrite evolution contract; the select drops any layout
     # columns partition discovery surfaces from the v=/__b= dirs
-    return (
+    df = (
         spark.read.schema(schema)
         .format(manifest.get("format", data_format))
         .load(paths)
         .select(*schema.fieldNames())
     )
+    for c, op, val in preds:
+        cmp = {
+            "=": F.col(c) == val,
+            "==": F.col(c) == val,
+            "<": F.col(c) < val,
+            "<=": F.col(c) <= val,
+            ">": F.col(c) > val,
+            ">=": F.col(c) >= val,
+        }[op]
+        df = df.filter(cmp)
+    return df
 
 
 def upsert_versioned(
@@ -407,6 +553,11 @@ def upsert_versioned(
             fmt,
             width=max(len(affected), 1),
         )
+        # kept entries ride with their stats; only rewritten files
+        # recompute bounds
+        _attach_file_stats(
+            spark, path, new_files, manifest.get("stats_cols", []), fmt, schema
+        )
         files = keep + new_files
     else:
         # not bucketed by this key: one-time full rewrite, bucketed
@@ -423,6 +574,9 @@ def upsert_versioned(
             nbuckets,
             fmt,
         )
+        _attach_file_stats(
+            spark, path, files, manifest.get("stats_cols", []), fmt, schema
+        )
     _commit_manifest(
         spark,
         path,
@@ -433,6 +587,7 @@ def upsert_versioned(
             "nbuckets": nbuckets,
             "schema": manifest["schema"],
             "format": fmt,
+            "stats_cols": manifest.get("stats_cols", []),
             "files": files,
         },
     )
@@ -526,6 +681,9 @@ def compact_versioned(
         _list_written_files(spark, path, vdir)
         if any(len(r) > 1 for r in by_bucket.values())
         else []
+    )
+    _attach_file_stats(
+        spark, path, new_files, manifest.get("stats_cols", []), fmt, schema
     )
     _commit_manifest(
         spark,

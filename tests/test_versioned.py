@@ -693,3 +693,75 @@ def test_expire_gc_fences_inflight_writer_dirs(spark, tmp_path):
     expire_versions(spark, path, keep=2)
     assert os.path.exists(inflight_vdir)  # fenced: newer than head
     assert not os.path.exists(orphan_vdir)  # swept: stale orphan
+
+
+def test_where_pruned_read_opens_a_fraction_of_files(spark, tmp_path):
+    """The file-skipping contract (round-11 verdict ask #6): with
+    range-clustered files and manifest min/max stats, a selective read
+    plans over ~1/K of the files — pinned by DataFrame.inputFiles()
+    (the zorder footer-audit precedent) — and still returns exactly
+    the filtered rows."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(k, f"r{k}", 1) for k in range(800)], "k bigint, val string, ver int"
+    ).repartitionByRange(8, "k")
+    write_versioned(spark, df, path, stats_cols=["k"])
+    m = _read_manifest(spark, path, 1)
+    assert len(m["files"]) == 8
+    assert all("stats" in e and "k" in e["stats"] for e in m["files"])
+    full = read_versioned(spark, path)
+    assert len(full.inputFiles()) == 8
+    pruned = read_versioned(spark, path, where=("k", "=", 123))
+    assert len(pruned.inputFiles()) <= 2, pruned.inputFiles()
+    assert [(r["k"], r["val"]) for r in pruned.collect()] == [(123, "r123")]
+    # a conjunctive range touches only the covering files
+    band = read_versioned(
+        spark, path, where=[("k", ">=", 100), ("k", "<", 200)]
+    )
+    assert len(band.inputFiles()) <= 2, band.inputFiles()
+    assert band.count() == 100
+
+
+def test_stats_ride_shared_files_and_recompute_on_rewrite(
+    spark, tmp_path
+):
+    """Upserts keep stats on by-reference files and record fresh bounds
+    for rewritten buckets; stats_cols are inherited by later commits."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(k, "x", 1) for k in range(200)], "k bigint, val string, ver int"
+    )
+    write_versioned(spark, base, path, key="k", nbuckets=8, stats_cols=["k"])
+    upsert_versioned(spark, path, _df(spark, [(3, "NEW", 2)]), "k", "ver")
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["stats_cols"] == ["k"]
+    assert all("stats" in e for e in m2["files"]), m2["files"]
+    lo, hi = (
+        min(e["stats"]["k"][0] for e in m2["files"]),
+        max(e["stats"]["k"][1] for e in m2["files"]),
+    )
+    assert (lo, hi) == (0, 199)
+    # pruning an out-of-range key opens zero files
+    assert read_versioned(spark, path, where=("k", ">", 10_000)).count() == 0
+
+
+def test_where_is_exact_even_without_stats(spark, tmp_path):
+    """Predicates on columns with no recorded stats prune nothing but
+    still filter rows — pruning is an optimization, never a semantics
+    change."""
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]), path
+    )
+    got = read_versioned(spark, path, where=("val", ">=", "b")).collect()
+    assert sorted(r["k"] for r in got) == [2, 3]
+    with pytest.raises(ValueError):
+        read_versioned(spark, path, where=("val", "LIKE", "b%"))
