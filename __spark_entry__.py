@@ -327,6 +327,8 @@ from etl_pipeline_example_spark.plans import (
     EQUIDEPTH_QUERIES,
     HHI_ORACLES,
     HHI_QUERIES,
+    GRAPHITER_ORACLES,
+    GRAPHITER_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -572,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BANDJOIN_QUERIES)
     out.update(EQUIDEPTH_QUERIES)
     out.update(HHI_QUERIES)
+    out.update(GRAPHITER_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -730,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BANDJOIN_ORACLES)
     out.update(EQUIDEPTH_ORACLES)
     out.update(HHI_ORACLES)
+    out.update(GRAPHITER_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

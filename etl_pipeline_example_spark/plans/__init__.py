@@ -240,6 +240,10 @@ from etl_pipeline_example_spark.plans.hhi import (
     HHI_QUERIES,
     HHI_ORACLES,
 )
+from etl_pipeline_example_spark.plans.graphiter import (
+    GRAPHITER_QUERIES,
+    GRAPHITER_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -365,6 +369,8 @@ __all__ = [
     "EQUIDEPTH_QUERIES",
     "EQUIDEPTH_ORACLES",
     "HHI_QUERIES",
+    "GRAPHITER_QUERIES",
+    "GRAPHITER_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
