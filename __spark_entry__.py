@@ -223,6 +223,8 @@ from etl_pipeline_example_spark.operators import (
     AUDIOFEAT_QUERIES,
     CHARSIMPSON_ORACLES,
     CHARSIMPSON_QUERIES,
+    HASHFEAT_ORACLES,
+    HASHFEAT_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -329,6 +331,14 @@ from etl_pipeline_example_spark.plans import (
     HHI_QUERIES,
     GRAPHITER_ORACLES,
     GRAPHITER_QUERIES,
+    ROLLMED_ORACLES,
+    ROLLMED_QUERIES,
+    FIFO_ORACLES,
+    FIFO_QUERIES,
+    BITMAPDOW_ORACLES,
+    BITMAPDOW_QUERIES,
+    FUNCDEP_ORACLES,
+    FUNCDEP_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -575,6 +585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(EQUIDEPTH_QUERIES)
     out.update(HHI_QUERIES)
     out.update(GRAPHITER_QUERIES)
+    out.update(ROLLMED_QUERIES)
+    out.update(FIFO_QUERIES)
+    out.update(BITMAPDOW_QUERIES)
+    out.update(FUNCDEP_QUERIES)
+    out.update(HASHFEAT_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -734,6 +749,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(EQUIDEPTH_ORACLES)
     out.update(HHI_ORACLES)
     out.update(GRAPHITER_ORACLES)
+    out.update(ROLLMED_ORACLES)
+    out.update(FIFO_ORACLES)
+    out.update(BITMAPDOW_ORACLES)
+    out.update(FUNCDEP_ORACLES)
+    out.update(HASHFEAT_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -216,6 +216,10 @@ from etl_pipeline_example_spark.operators.charsimpson import (
     CHARSIMPSON_QUERIES,
     CHARSIMPSON_ORACLES,
 )
+from etl_pipeline_example_spark.operators.hashfeat import (
+    HASHFEAT_QUERIES,
+    HASHFEAT_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -456,4 +460,6 @@ __all__ = [
     "AUDIOFEAT_ORACLES",
     "CHARSIMPSON_QUERIES",
     "CHARSIMPSON_ORACLES",
+    "HASHFEAT_QUERIES",
+    "HASHFEAT_ORACLES",
 ]

@@ -244,6 +244,22 @@ from etl_pipeline_example_spark.plans.graphiter import (
     GRAPHITER_QUERIES,
     GRAPHITER_ORACLES,
 )
+from etl_pipeline_example_spark.plans.rollmed import (
+    ROLLMED_QUERIES,
+    ROLLMED_ORACLES,
+)
+from etl_pipeline_example_spark.plans.fifo import (
+    FIFO_QUERIES,
+    FIFO_ORACLES,
+)
+from etl_pipeline_example_spark.plans.bitmapdow import (
+    BITMAPDOW_QUERIES,
+    BITMAPDOW_ORACLES,
+)
+from etl_pipeline_example_spark.plans.funcdep import (
+    FUNCDEP_QUERIES,
+    FUNCDEP_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -371,6 +387,14 @@ __all__ = [
     "HHI_QUERIES",
     "GRAPHITER_QUERIES",
     "GRAPHITER_ORACLES",
+    "ROLLMED_QUERIES",
+    "ROLLMED_ORACLES",
+    "FIFO_QUERIES",
+    "FIFO_ORACLES",
+    "BITMAPDOW_QUERIES",
+    "BITMAPDOW_ORACLES",
+    "FUNCDEP_QUERIES",
+    "FUNCDEP_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",
