@@ -220,6 +220,14 @@ from etl_pipeline_example_spark.operators.hashfeat import (
     HASHFEAT_QUERIES,
     HASHFEAT_ORACLES,
 )
+from etl_pipeline_example_spark.operators.knnjoin import (
+    KNNJOIN_QUERIES,
+    KNNJOIN_ORACLES,
+)
+from etl_pipeline_example_spark.operators.audiozcr import (
+    AUDIOZCR_QUERIES,
+    AUDIOZCR_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -462,4 +470,8 @@ __all__ = [
     "CHARSIMPSON_ORACLES",
     "HASHFEAT_QUERIES",
     "HASHFEAT_ORACLES",
+    "KNNJOIN_QUERIES",
+    "KNNJOIN_ORACLES",
+    "AUDIOZCR_QUERIES",
+    "AUDIOZCR_ORACLES",
 ]

@@ -260,6 +260,10 @@ from etl_pipeline_example_spark.plans.funcdep import (
     FUNCDEP_QUERIES,
     FUNCDEP_ORACLES,
 )
+from etl_pipeline_example_spark.plans.ohlc import (
+    OHLC_QUERIES,
+    OHLC_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -395,6 +399,8 @@ __all__ = [
     "BITMAPDOW_ORACLES",
     "FUNCDEP_QUERIES",
     "FUNCDEP_ORACLES",
+    "OHLC_QUERIES",
+    "OHLC_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

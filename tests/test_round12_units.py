@@ -192,3 +192,89 @@ def test_hash_features_count_tokens_per_bucket(spark, tmp_path):
     b1 = {b for b, n in by_doc[1] if n == 1}
     b2 = {b for b, n in by_doc[2] if n == 2}
     assert b1 == b2
+
+
+def test_knn_join_ranks_planted_neighbors_first(spark, tmp_path):
+    """Two tight pairs in orthogonal directions: each vector's rank-1
+    neighbor is its planted twin (near-identical vectors share every
+    LSH bucket, so the pair is always a candidate); the anti-parallel
+    vector of v1 shares no bucket and never appears in v1's list."""
+    from etl_pipeline_example_spark.operators.knnjoin import ann_knn_join
+
+    def vec(axis, eps_axis=None):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if eps_axis is not None:
+            v[eps_axis] = 0.05
+        return v
+
+    rows = [
+        (1, vec(0)),
+        (2, vec(0, eps_axis=1)),   # twin of 1
+        (3, vec(7)),
+        (4, vec(7, eps_axis=8)),   # twin of 3
+        (5, [-x for x in vec(0)]),  # anti-parallel to 1
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>")
+    got = ann_knn_join(spark, str(tmp_path)).collect()
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in got if r["rank"] == 1}
+    assert top1[1] == 2 and top1[2] == 1, top1
+    assert top1[3] == 4 and top1[4] == 3, top1
+    assert all(
+        r["neighbor_id"] != 5 for r in got if r["vec_id"] == 1
+    ), [r for r in got if r["vec_id"] == 1]
+
+
+def test_events_ohlc_picks_deterministic_open_close(spark, tmp_path):
+    """Same-day events with a same-timestamp tie: open/close resolve by
+    (ts, event_id), high/low are comparisons, count integer."""
+    from etl_pipeline_example_spark.plans.ohlc import q_events_ohlc
+
+    _write(spark, tmp_path, "events",
+           [(1, "2024-01-01 00:00:00", "click", 5.0),
+            (2, "2024-01-01 00:00:00", "click", 7.0),   # ts tie: id wins
+            (3, "2024-01-01 12:00:00", "click", 1.0),
+            (4, "2024-01-01 23:00:00", "click", 3.0),
+            (5, "2024-01-02 01:00:00", "click", 9.0)],
+           "event_id bigint, ts string, event_type string, value double")
+    got = {
+        str(r["day"]): (r["n_events"], r["open"], r["high"], r["low"],
+                        r["close"])
+        for r in q_events_ohlc(spark, str(tmp_path)).collect()
+    }
+    assert got["2024-01-01"] == (4, 5.0, 7.0, 1.0, 3.0), got
+    assert got["2024-01-02"] == (1, 9.0, 9.0, 9.0, 9.0), got
+
+
+def test_audio_zcr_matches_planted_formula(spark, tmp_path):
+    """ZCR recomputed in plain numpy from the planted-sample formula —
+    per segment, per document — must equal the decode-path output."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.audiofeat import SEGS
+    from etl_pipeline_example_spark.operators.audiozcr import (
+        multimodal_audio_zcr,
+    )
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        planted_samples,
+    )
+
+    doc_ids = [1, 3, 7, 12]  # 12 is an image doc: must not appear
+    _write(spark, tmp_path, "documents", [(d,) for d in doc_ids],
+           "doc_id bigint")
+    got = {
+        (r["doc_id"], r["seg"]): (r["n_pairs"], r["n_crossings"])
+        for r in multimodal_audio_zcr(spark, str(tmp_path)).collect()
+    }
+    assert not any(d == 12 for d, _ in got)
+    for d in (1, 3, 7):
+        smp = planted_samples(d)
+        n = smp.shape[0]
+        cuts = [(k * n) // SEGS for k in range(SEGS + 1)]
+        neg = smp < 0
+        cross = neg[:-1, :] != neg[1:, :]
+        for seg in range(SEGS):
+            lo, hi = cuts[seg], min(cuts[seg + 1], n - 1)
+            block = cross[lo:hi, :]
+            assert got[(d, seg)] == (int(block.size), int(block.sum()))
