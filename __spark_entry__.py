@@ -345,6 +345,8 @@ from etl_pipeline_example_spark.plans import (
     FUNCDEP_QUERIES,
     OHLC_ORACLES,
     OHLC_QUERIES,
+    BOLLINGER_ORACLES,
+    BOLLINGER_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -614,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BITMAPDOW_QUERIES)
     out.update(FUNCDEP_QUERIES)
     out.update(OHLC_QUERIES)
+    out.update(BOLLINGER_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -781,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BITMAPDOW_ORACLES)
     out.update(FUNCDEP_ORACLES)
     out.update(OHLC_ORACLES)
+    out.update(BOLLINGER_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

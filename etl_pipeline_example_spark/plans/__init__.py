@@ -264,6 +264,10 @@ from etl_pipeline_example_spark.plans.ohlc import (
     OHLC_QUERIES,
     OHLC_ORACLES,
 )
+from etl_pipeline_example_spark.plans.bollinger import (
+    BOLLINGER_QUERIES,
+    BOLLINGER_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -401,6 +405,8 @@ __all__ = [
     "FUNCDEP_ORACLES",
     "OHLC_QUERIES",
     "OHLC_ORACLES",
+    "BOLLINGER_QUERIES",
+    "BOLLINGER_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

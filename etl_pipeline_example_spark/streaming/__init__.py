@@ -36,6 +36,10 @@ from etl_pipeline_example_spark.streaming.topk import (
     TOPK_ORACLES,
     TOPK_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.ohlc import (
+    OHLC_STREAM_QUERIES,
+    OHLC_STREAM_ORACLES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -53,6 +57,8 @@ STREAM_QUERIES.update(SLIDINGWIN_QUERIES)
 STREAM_ORACLES.update(SLIDINGWIN_ORACLES)
 STREAM_QUERIES.update(TOPK_QUERIES)
 STREAM_ORACLES.update(TOPK_ORACLES)
+STREAM_QUERIES.update(OHLC_STREAM_QUERIES)
+STREAM_ORACLES.update(OHLC_STREAM_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

@@ -278,3 +278,32 @@ def test_audio_zcr_matches_planted_formula(spark, tmp_path):
             lo, hi = cuts[seg], min(cuts[seg + 1], n - 1)
             block = cross[lo:hi, :]
             assert got[(d, seg)] == (int(block.size), int(block.sum()))
+
+
+def test_bollinger_breach_brackets_a_planted_spike(spark, tmp_path):
+    """Customer with 6 steady 100.00 orders then a 500.00 spike: the
+    spike breaches the upper band; the steady rows breach nothing; a
+    1-order customer (no variance information) reports no breach."""
+    from etl_pipeline_example_spark.plans.bollinger import (
+        q_bollinger_breach,
+    )
+
+    rows = [(k, 1, f"2024-01-{k:02d}", 100.0) for k in range(1, 7)]
+    rows.append((7, 1, "2024-01-07", 500.0))
+    rows.append((8, 2, "2024-01-01", 42.0))
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderdate string,"
+           " o_totalprice double")
+    got = {
+        r["o_orderkey"]: (r["n_window"], r["breach_hi"], r["breach_lo"],
+                          r["dev_n"], r["disc_floor"])
+        for r in q_bollinger_breach(spark, str(tmp_path)).collect()
+    }
+    assert got[7][1] is True and got[7][2] is False, got[7]
+    for k in range(1, 7):
+        assert got[k][1] is False and got[k][2] is False, (k, got[k])
+    assert got[8] == (1, False, False, 0.0, 0), got[8]
+    # hand arithmetic for the spike row: n=7, S=1100, Q=6*10000+250000
+    # dev_n = 7*500-1100 = 2400; disc = 7*310000 - 1100^2 = 960000
+    assert got[7][3] == 2400.0 and got[7][4] == 960000
+    # and the predicate: 2400^2 = 5,760,000 > 4*960,000 = 3,840,000 ✓

@@ -245,3 +245,8 @@ def test_stream_sliding_double_counts_each_event(spark, tmp_path):
         dt.datetime(2024, 1, 1, 9, 30): (1, 2.0),
         dt.datetime(2024, 1, 1, 10, 0): (1, 2.0),
     }, got
+
+
+def test_stream_ohlc_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_ohlc"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_ohlc"])
