@@ -347,6 +347,8 @@ from etl_pipeline_example_spark.plans import (
     OHLC_QUERIES,
     BOLLINGER_ORACLES,
     BOLLINGER_QUERIES,
+    LINKPRED_ORACLES,
+    LINKPRED_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -617,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(FUNCDEP_QUERIES)
     out.update(OHLC_QUERIES)
     out.update(BOLLINGER_QUERIES)
+    out.update(LINKPRED_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -785,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(FUNCDEP_ORACLES)
     out.update(OHLC_ORACLES)
     out.update(BOLLINGER_ORACLES)
+    out.update(LINKPRED_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

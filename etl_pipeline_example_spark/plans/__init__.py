@@ -268,6 +268,10 @@ from etl_pipeline_example_spark.plans.bollinger import (
     BOLLINGER_QUERIES,
     BOLLINGER_ORACLES,
 )
+from etl_pipeline_example_spark.plans.linkpred import (
+    LINKPRED_QUERIES,
+    LINKPRED_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -407,6 +411,8 @@ __all__ = [
     "OHLC_ORACLES",
     "BOLLINGER_QUERIES",
     "BOLLINGER_ORACLES",
+    "LINKPRED_QUERIES",
+    "LINKPRED_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

@@ -1106,3 +1106,48 @@ def test_equi_depth_aggregates_value_counts_never_raw_percentile(
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     finally:
         simcore.release_similarity_caches()
+
+
+def test_graph_pagerank_persists_adjacency_for_every_iteration(
+    spark, sf_dir
+):
+    """The docstring's scale claim: the symmetric adjacency and the
+    degree table are persisted ONCE and reused by all 3 power-iteration
+    steps — the final plan must read them through InMemoryTableScans
+    (>= 4: sym x3 iterations + deg), never re-run the co-order
+    self-join per iteration."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.plans.graphiter import graph_pagerank
+
+    try:
+        plan = plan_str(graph_pagerank(spark, sf_dir), mode="simple")
+        assert plan.count("InMemoryTableScan") >= 4, plan
+    finally:
+        simcore.release_similarity_caches()
+
+
+def test_ann_knn_join_shuffles_ids_not_vectors_for_candidates(
+    spark, sf_dir
+):
+    """The knn join's scale claim: the candidate-pair dedup exchange
+    carries only ids — the embedding column joins back later for
+    scoring. No hashpartitioning exchange upstream of the
+    dropDuplicates may carry the embedding column."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.operators.knnjoin import ann_knn_join
+
+    try:
+        df = ann_knn_join(spark, sf_dir)
+        plan = plan_str(df)
+        blocks = plan.split("(")
+        # formatted plan: find Exchange blocks feeding the dedup
+        # (hashpartitioning on vec_a, vec_b) and pin them id-only
+        import re
+
+        for mtch in re.finditer(
+            r"Exchange hashpartitioning\(\[?vec_a[^)]*vec_b[^\n]*", plan
+        ):
+            assert "embedding" not in mtch.group(0), mtch.group(0)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        simcore.release_similarity_caches()

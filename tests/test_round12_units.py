@@ -307,3 +307,73 @@ def test_bollinger_breach_brackets_a_planted_spike(spark, tmp_path):
     # dev_n = 7*500-1100 = 2400; disc = 7*310000 - 1100^2 = 960000
     assert got[7][3] == 2400.0 and got[7][4] == 960000
     # and the predicate: 2400^2 = 5,760,000 > 4*960,000 = 3,840,000 ✓
+
+
+def test_fifo_cover_equals_imperative_replay_on_random_data(
+    spark, tmp_path
+):
+    """Fixed-seed random lots/returns across 40 parts: the declarative
+    cumsum-clamp allocation must equal a plain Python FIFO walk."""
+    import random
+
+    rng = random.Random(12012)
+    rows, expect = [], {}
+    ok = 0
+    for pk in range(1, 41):
+        lots = [(rng.randint(1, 20)) for _ in range(rng.randint(0, 6))]
+        demand = rng.randint(0, 40)
+        for i, qty in enumerate(lots):
+            ok += 1
+            rows.append((ok, pk, 1, f"2024-01-{i + 1:02d}", "N", float(qty)))
+        if demand:
+            ok += 1
+            rows.append((ok, pk, 1, "2024-02-01", "R", float(demand)))
+        # imperative FIFO walk
+        left, used, covered = demand, 0, 0
+        for qty in lots:
+            take = min(qty, max(left, 0))
+            if take > 0:
+                used += 1
+                covered += take
+                left -= take
+        if demand and lots:
+            expect[pk] = (
+                demand, sum(lots), used, covered,
+                max(demand - sum(lots), 0),
+            )
+    from etl_pipeline_example_spark.plans.fifo import q_fifo_cover
+
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey bigint, l_partkey bigint, l_linenumber int,"
+           " l_shipdate string, l_returnflag string, l_quantity double")
+    got = {
+        r["l_partkey"]: (r["demand_qty"], r["supply_qty"],
+                         r["n_lots_used"], r["qty_covered"],
+                         r["qty_unfilled"])
+        for r in q_fifo_cover(spark, str(tmp_path)).collect()
+    }
+    assert got == expect, (got, expect)
+
+
+def test_common_neighbors_predicts_absent_links_only(spark, tmp_path):
+    """Path 1—2—3 predicts exactly the missing chord (1,3); a 3-leaf
+    star predicts all leaf pairs with deterministic tie-ranking; the
+    existing edges themselves never appear."""
+    from etl_pipeline_example_spark.plans.linkpred import (
+        graph_common_neighbors,
+    )
+
+    _li(spark, tmp_path, [
+        [1, 2], [1, 2], [2, 3], [2, 3],
+        [10, 11], [10, 11], [10, 12], [10, 12], [10, 13], [10, 13],
+    ])
+    got = sorted(
+        (r["u"], r["v"], r["n_common"], r["n_union"], r["rnk"])
+        for r in graph_common_neighbors(spark, str(tmp_path)).collect()
+    )
+    assert got == [
+        (1, 3, 1, 1, 1),
+        (11, 12, 1, 1, 1),
+        (11, 13, 1, 1, 2),
+        (12, 13, 1, 1, 1),
+    ], got
