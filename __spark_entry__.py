@@ -382,17 +382,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round evidence because their backing closures are byte-identical.
 #
 # ROUND-13 PLAN (committed at round-12 end, execute next round):
-# _REGISTER_FIRST := exactly 50, in this order —
-#   1. first evidence — the round-12 additions, registration order
-#      (enumerated in the updated comment at round-12 end);
-#   2. the remaining r7-stale cohort, oldest first: quality_c4,
-#      source_quality_matrix, token_len_hist, vocab_zipf, bpe_train,
-#      sample_split, dsir_weights, boilerplate_strip, curation_funnel,
-#      domain_chi2, ngram_novelty, pmi_bigrams, stream_c4_gate,
-#      minhash_calibration, ... FILL TO 50 (bpe_encode/bpe_fertility
-#      drop out of the rotation when demoted to pytest-only per the
-#      round-11 verdict ask #3);
-#   3. any remaining r8-stale entries by age.
+# _REGISTER_FIRST := exactly these 50, in this order —
+#   1. first evidence — the 13 round-12 additions, registration order:
+#      graph_cc, graph_pagerank (the window's one heavy row: ~20 s
+#      vanilla at sf0.01 is the pointer-doubling round latency, the
+#      dedup_cluster class), q_rolling_median, q_fifo_cover,
+#      q_activity_bitmap, dq_functional_dep, q_events_ohlc,
+#      q_bollinger_breach, graph_common_neighbors, tok_hash_features,
+#      ann_knn_join, multimodal_audio_zcr, stream_ohlc; plus any entry
+#      round-13 churn pulls out of the freeze (displacing tail slots);
+#   2. the remaining 15 r7-stale entries, oldest first:
+#      boilerplate_strip, bpe_train, curation_funnel, domain_chi2,
+#      dsir_weights, multimodal_header, ngram_novelty, pmi_bigrams,
+#      quality_c4, sample_split, shard_by_tokens, source_quality_matrix,
+#      stream_c4_gate, token_len_hist, vocab_zipf (bpe_encode and
+#      bpe_fertility left the rotation with their r12 demotion to
+#      pytest-only — the registry grades the _indexed production
+#      shapes);
+#   3. the oldest r8-stale entries, FILL TO 50 (22 slots):
+#      contamination_ngram, doc_chunk, doc_fingerprint, doc_pack,
+#      dq_profile, embed_rp, meta_align, mix_weights,
+#      props_schema_drift, q12_priority, q13_custdist,
+#      q20_excess_suppliers, q_asof_join, q_cube, q_events_tumbling,
+#      q_gapfill, q_grouping_sets, q_histogram, q_json_extract,
+#      q_lead_lag, q_moving_avg, q_pivot_events (the remaining r8
+#      cohort — q_props_schema onward — rolls to r14; the rows-only
+#      dq_profile_approx/embed_pca stay out per the full-oracle window
+#      rule; quality_compress remains the documented no-oracle
+#      pytest-contract entry).
 _REGISTER_FIRST = [
     # (a) first evidence: round-11 additions, registration order
     "q_sql_shared_window",
