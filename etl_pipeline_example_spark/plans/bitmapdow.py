@@ -41,6 +41,7 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = events.agg(
         F.max(F.expr("CAST(ts AS DATE)")).alias("anchor")
     )
+    # one distinct suffices: off is a 1:1 function of d per user
     user_day = (
         events.select("user_id", F.expr("CAST(ts AS DATE)").alias("d"))
         .distinct()
@@ -49,7 +50,6 @@ def q_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.expr("datediff(anchor, d)").alias("off")
         )
         .filter(F.col("off") < WINDOW_DAYS)
-        .distinct()
     )
     return (
         user_day.groupBy("user_id")

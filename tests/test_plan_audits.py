@@ -1139,7 +1139,6 @@ def test_ann_knn_join_shuffles_ids_not_vectors_for_candidates(
     try:
         df = ann_knn_join(spark, sf_dir)
         plan = plan_str(df)
-        blocks = plan.split("(")
         # formatted plan: find Exchange blocks feeding the dedup
         # (hashpartitioning on vec_a, vec_b) and pin them id-only
         import re
