@@ -53,11 +53,14 @@ Concurrency contract (round-10/11 ADVICE hardening):
   crashed writer's half-written dir can never collide with a later
   writer re-allocating the same version number — orphan dirs are
   simply unreferenced and the next ``expire_versions`` sweeps them;
-- ``expire_versions`` GC never touches files under a version dir
-  NEWER than the newest manifest committed when the sweep started: an
-  in-flight writer always works at head+1, so its uncommitted files
-  are protected from the collector (round-11 ADVICE: the old sweep
-  could delete a concurrent writer's files before its commit).
+- ``expire_versions`` GC never touches files under a version dir AT or
+  ABOVE the newest manifest committed when the sweep started: an
+  in-flight writer works at head+1 normally, or at head itself when it
+  is about to lose a same-version race — either way its uncommitted
+  files are protected from the collector, so a racing loser fails with
+  the documented ``ConcurrentWriteError`` at commit, never with an FS
+  error mid-write; its orphan dir sweeps once the next commit advances
+  the head (round-11 ADVICE hardening).
 
 Scale: an upsert costs O(affected buckets), not O(table); storage is
 shared across versions at file granularity; ``nbuckets`` is the
@@ -400,7 +403,12 @@ def _normalize_where(where) -> list[tuple[str, str, object]]:
     combined conjunctively; op ∈ ==/=/</<=/>/>=."""
     if where is None:
         return []
-    preds = [where] if isinstance(where, tuple) else list(where)
+    if isinstance(where, tuple) and where and not isinstance(
+        where[0], (tuple, list)
+    ):
+        preds = [where]  # a single (col, op, value) triple
+    else:
+        preds = [tuple(p) for p in where]
     for col, op, _val in preds:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op {op!r} on {col!r}")
@@ -705,12 +713,16 @@ def expire_versions(
     fs, _ = hadoop_fs(spark, path)
     live = _read_pointer(spark, path)
     versions = _versions(spark, path)
-    # GC fence: an in-flight writer always works at a version number
-    # ABOVE the newest manifest committed when this sweep started, so
-    # files under newer version dirs are its uncommitted output, not
-    # orphans — never collect them (round-11 ADVICE: the unfenced sweep
-    # could delete a concurrent writer's files pre-commit, leaving its
-    # manifest pointing at nothing)
+    # GC fence: an in-flight writer works AT or ABOVE the newest
+    # manifest committed when this sweep started — at head+1 normally,
+    # or at head itself when it is mid-write and about to LOSE a
+    # same-version race (its commit will raise ConcurrentWriteError,
+    # the documented retry path — not an FS error from the collector
+    # deleting files under its active write). So the fence is
+    # version >= head: a racing loser's orphan dir survives exactly
+    # until the next commit advances the head, then sweeps normally
+    # (round-11 ADVICE: the unfenced sweep could delete a concurrent
+    # writer's files pre-commit)
     head = versions[-1] if versions else 0
     doomed = [v for v in versions[:-keep] if v != live] if keep > 0 else []
     for v in doomed:
@@ -729,7 +741,7 @@ def expire_versions(
             p = it.next().getPath().toString()
             rel = p[p.index(f"{_DATA}/v=") :]
             v = _dir_version(rel.split("/")[1])
-            if v is not None and v > head:
+            if v is not None and v >= head:
                 continue  # in-flight writer's dir — fenced
             if rel not in referenced:
                 orphans.append(p)
@@ -738,7 +750,7 @@ def expire_versions(
         # sweep version dirs that emptied out (same fence)
         for st in fs.listStatus(data_root):
             v = _dir_version(st.getPath().getName())
-            if v is not None and v > head:
+            if v is not None and v >= head:
                 continue
             if st.isDirectory() and not fs.listFiles(
                 st.getPath(), True

@@ -56,8 +56,11 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("c"), F.col("u").alias("n")))
         .repartition(dp, "c")
     )
-    deg = sym.groupBy(F.col("c").alias("p")).agg(
-        F.count(F.lit(1)).alias("deg")
+    # PERSISTED (tracked): deg is read twice, once per join side
+    deg = tracked_persist(
+        sym.groupBy(F.col("c").alias("p")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
     )
     # wedges at the shared neighbor c: every unordered 2-hop pair (u, v)
     # appears once per common neighbor — the groupBy count IS n_common

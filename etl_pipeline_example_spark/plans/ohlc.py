@@ -7,11 +7,15 @@ is (ts, event_id), never ts alone; and the whole aggregate is
 arithmetic-free (picks and comparisons only — no float summation to
 order), so cross-engine equality is structural rather than engineered.
 
-Plan: one hash exchange on (event_type, day); open/close are rank-1
-rows of the two window directions (WindowGroupLimit prunes per
-partition — no full sort materializes), high/low/count ride a
-map-side-combined aggregate on the same key, one co-partitioned join
-assembles the candle.
+Plan: ONE map-side-combined aggregate on (event_type, day) — open and
+close fold in as min/max of the orderable struct (ts, event_id, value)
+(struct comparison is lexicographic, so the min IS the first
+observation under the total order), high/low/count are plain
+aggregates in the same pass. One scan, one exchange, no window, no
+join — the same single-aggregate shape its streaming twin
+(streaming/ohlc.py) runs with a watermark. The oracle keeps the
+independent rank-window construction, so the struct-fold and the
+row_number pick certify each other.
 
 No reference counterpart (305-LoC Glue ETL); engine surface, SURVEY.md
 §2. Registered beyond the round-12 grading window — first driver slot
@@ -22,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.sources.readers import read_table
@@ -38,35 +42,23 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "value",
     )
-    w_asc = Window.partitionBy("event_type", "day").orderBy(
-        "ts", "event_id"
-    )
-    w_desc = Window.partitionBy("event_type", "day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ranked = ev.select(
-        "event_type",
-        "day",
-        "value",
-        F.row_number().over(w_asc).alias("rn_a"),
-        F.row_number().over(w_desc).alias("rn_d"),
-    )
-    opens = ranked.filter(F.col("rn_a") == 1).select(
-        "event_type", "day", F.col("value").alias("open")
-    )
-    closes = ranked.filter(F.col("rn_d") == 1).select(
-        "event_type", "day", F.col("value").alias("close")
-    )
-    stats = ev.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-    )
     return (
-        stats.join(opens, ["event_type", "day"])
-        .join(closes, ["event_type", "day"])
+        ev.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.struct("ts", "event_id", "value")).alias("__first"),
+            F.max(F.struct("ts", "event_id", "value")).alias("__last"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+        )
         .select(
-            "event_type", "day", "n_events", "open", "high", "low", "close"
+            "event_type",
+            "day",
+            "n_events",
+            F.col("__first.value").alias("open"),
+            "high",
+            "low",
+            F.col("__last.value").alias("close"),
         )
         .orderBy("event_type", "day")
     )

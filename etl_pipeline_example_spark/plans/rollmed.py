@@ -32,9 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
-from pyspark.sql import functions as F
-
+from pyspark.sql import DataFrame, SparkSession
 from etl_pipeline_example_spark.sources.readers import read_table
 
 FRAME = 6  # preceding rows; frame size = FRAME + 1
@@ -44,19 +42,20 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(o_custkey, o_orderkey, n_window, roll_median): lower median of
     o_totalprice over each customer's trailing 7 orders."""
     orders = read_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(-FRAME, 0)
+    # ONE window spec string feeds every expression — the partition/
+    # order/frame keys exist in exactly one place, so the count used
+    # for the median index can never desynchronize from the frame the
+    # array is collected over
+    win = (
+        f"(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+        f"ROWS BETWEEN {FRAME} PRECEDING AND CURRENT ROW)"
     )
-    return orders.select(
+    return orders.selectExpr(
         "o_custkey",
         "o_orderkey",
-        F.count(F.lit(1)).over(w).alias("n_window"),
-        F.element_at(
-            F.array_sort(F.collect_list("o_totalprice").over(w)),
-            F.expr(f"CAST((count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN {FRAME} PRECEDING AND CURRENT ROW) + 1) DIV 2 AS INT)"),
-        ).alias("roll_median"),
+        f"count(*) OVER {win} AS n_window",
+        f"element_at(array_sort(collect_list(o_totalprice) OVER {win}),"
+        f" CAST((count(*) OVER {win} + 1) DIV 2 AS INT)) AS roll_median",
     )
 
 

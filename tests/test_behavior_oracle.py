@@ -70,8 +70,6 @@ from etl_pipeline_example_spark.plans import (
     HHI_QUERIES,
     GRAPHITER_QUERIES,
     GRAPHITER_ORACLES,
-    GRAPHITER_ORACLES,
-    GRAPHITER_QUERIES,
     ROLLMED_ORACLES,
     ROLLMED_QUERIES,
     FIFO_ORACLES,

@@ -619,7 +619,14 @@ def test_racing_writers_never_share_a_data_dir(spark, tmp_path):
     _write_pointer(spark, path, 2)
     rows = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
     assert rows == {1: "a", 2: "winner"}, rows
-    # GC sweeps the loser's orphaned dir (version 2 <= committed head)
+    # while version 2 IS the head, the loser's dir is fenced: GC cannot
+    # tell a failed loser from one still mid-write, and deleting under
+    # an active write would turn the documented ConcurrentWriteError
+    # into an FS error
+    expire_versions(spark, path, keep=10)
+    assert os.path.exists(loser_vdir)
+    # the next commit advances the head; now the orphan sweeps
+    write_versioned(spark, _df(spark, [(1, "b", 3)]), path)
     expire_versions(spark, path, keep=10)
     assert not os.path.exists(loser_vdir)
     assert os.path.exists(winner_vdir)
@@ -690,8 +697,19 @@ def test_expire_gc_fences_inflight_writer_dirs(spark, tmp_path):
         16,
         "parquet",
     )
+    head_vdir = _new_vdir(path, 3)
+    _write_bucketed(
+        spark,
+        _df(spark, [(9, "racing", 3)]),
+        path,
+        head_vdir,
+        "k",
+        16,
+        "parquet",
+    )
     expire_versions(spark, path, keep=2)
     assert os.path.exists(inflight_vdir)  # fenced: newer than head
+    assert os.path.exists(head_vdir)  # fenced: a same-version racer
     assert not os.path.exists(orphan_vdir)  # swept: stale orphan
 
 
@@ -765,3 +783,16 @@ def test_where_is_exact_even_without_stats(spark, tmp_path):
     assert sorted(r["k"] for r in got) == [2, 3]
     with pytest.raises(ValueError):
         read_versioned(spark, path, where=("val", "LIKE", "b%"))
+
+
+def test_where_accepts_tuple_of_triples(spark, tmp_path):
+    """A conjunction written as a TUPLE of triples works the same as a
+    list of triples (the natural spelling must not unpack-crash)."""
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, "x", 1) for k in range(10)]), path
+    )
+    got = read_versioned(
+        spark, path, where=(("k", ">=", 3), ("k", "<", 6))
+    ).collect()
+    assert sorted(r["k"] for r in got) == [3, 4, 5]
