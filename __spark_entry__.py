@@ -349,6 +349,10 @@ from etl_pipeline_example_spark.plans import (
     BOLLINGER_QUERIES,
     LINKPRED_ORACLES,
     LINKPRED_QUERIES,
+    CONCURRENCY_ORACLES,
+    CONCURRENCY_QUERIES,
+    SEQGAPS_ORACLES,
+    SEQGAPS_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -383,14 +387,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-13 PLAN (committed at round-12 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 13 round-12 additions, registration order:
+#   1. first evidence — the 15 round-12 additions, registration order:
 #      graph_cc, graph_pagerank (the window's one heavy row: ~20 s
 #      vanilla at sf0.01 is the pointer-doubling round latency, the
 #      dedup_cluster class), q_rolling_median, q_fifo_cover,
 #      q_activity_bitmap, dq_functional_dep, q_events_ohlc,
-#      q_bollinger_breach, graph_common_neighbors, tok_hash_features,
-#      ann_knn_join, multimodal_audio_zcr, stream_ohlc; plus any entry
-#      round-13 churn pulls out of the freeze (displacing tail slots);
+#      q_bollinger_breach, graph_common_neighbors, q_concurrency_peak,
+#      dq_sequence_gaps, tok_hash_features, ann_knn_join,
+#      multimodal_audio_zcr, stream_ohlc; plus any entry round-13
+#      churn pulls out of the freeze (displacing tail slots);
 #   2. the remaining 15 r7-stale entries, oldest first:
 #      boilerplate_strip, bpe_train, curation_funnel, domain_chi2,
 #      dsir_weights, multimodal_header, ngram_novelty, pmi_bigrams,
@@ -399,14 +404,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #      bpe_fertility left the rotation with their r12 demotion to
 #      pytest-only — the registry grades the _indexed production
 #      shapes);
-#   3. the oldest r8-stale entries, FILL TO 50 (22 slots):
+#   3. the oldest r8-stale entries, FILL TO 50 (20 slots):
 #      contamination_ngram, doc_chunk, doc_fingerprint, doc_pack,
 #      dq_profile, embed_rp, meta_align, mix_weights,
 #      props_schema_drift, q12_priority, q13_custdist,
 #      q20_excess_suppliers, q_asof_join, q_cube, q_events_tumbling,
 #      q_gapfill, q_grouping_sets, q_histogram, q_json_extract,
-#      q_lead_lag, q_moving_avg, q_pivot_events (the remaining r8
-#      cohort — q_props_schema onward — rolls to r14; the rows-only
+#      q_lead_lag (20 slots; the remaining r8
+#      cohort — q_moving_avg onward — rolls to r14; the rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry).
@@ -637,6 +642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(OHLC_QUERIES)
     out.update(BOLLINGER_QUERIES)
     out.update(LINKPRED_QUERIES)
+    out.update(CONCURRENCY_QUERIES)
+    out.update(SEQGAPS_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -806,6 +813,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(OHLC_ORACLES)
     out.update(BOLLINGER_ORACLES)
     out.update(LINKPRED_ORACLES)
+    out.update(CONCURRENCY_ORACLES)
+    out.update(SEQGAPS_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

@@ -272,6 +272,14 @@ from etl_pipeline_example_spark.plans.linkpred import (
     LINKPRED_QUERIES,
     LINKPRED_ORACLES,
 )
+from etl_pipeline_example_spark.plans.concurrency import (
+    CONCURRENCY_QUERIES,
+    CONCURRENCY_ORACLES,
+)
+from etl_pipeline_example_spark.plans.seqgaps import (
+    SEQGAPS_QUERIES,
+    SEQGAPS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -413,6 +421,10 @@ __all__ = [
     "BOLLINGER_ORACLES",
     "LINKPRED_QUERIES",
     "LINKPRED_ORACLES",
+    "CONCURRENCY_QUERIES",
+    "CONCURRENCY_ORACLES",
+    "SEQGAPS_QUERIES",
+    "SEQGAPS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

@@ -84,6 +84,10 @@ from etl_pipeline_example_spark.plans import (
     BOLLINGER_QUERIES,
     LINKPRED_ORACLES,
     LINKPRED_QUERIES,
+    CONCURRENCY_ORACLES,
+    CONCURRENCY_QUERIES,
+    SEQGAPS_ORACLES,
+    SEQGAPS_QUERIES,
     INTERVALS_ORACLES,
     INTERVALS_QUERIES,
     GROWTH_ORACLES,
@@ -151,14 +155,14 @@ from tests.oracle_util import assert_matches_oracle
 
 @pytest.mark.parametrize("name", sorted({**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
     **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES, **DRIFT_QUERIES,
-    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES, **RANKFAMILY_QUERIES, **LATEST_QUERIES, **FRAMES_QUERIES, **COHORT_QUERIES, **QUANTILES_QUERIES, **SQLFACADE_QUERIES, **REFERENTIAL_QUERIES, **RANGEJOIN_QUERIES, **IQR_QUERIES, **WMEDIAN_QUERIES, **PKAUDIT_QUERIES, **SPINE_QUERIES, **INTERP_QUERIES, **CHECKSUM_QUERIES, **GRAPH_QUERIES, **WILSON_QUERIES, **DECAY_QUERIES, **BACKLOG_QUERIES, **DRAWDOWN_QUERIES, **BANDJOIN_QUERIES, **EQUIDEPTH_QUERIES, **HHI_QUERIES, **GRAPHITER_QUERIES, **ROLLMED_QUERIES, **FIFO_QUERIES, **BITMAPDOW_QUERIES, **FUNCDEP_QUERIES, **OHLC_QUERIES, **BOLLINGER_QUERIES, **LINKPRED_QUERIES, **INTERVALS_QUERIES, **GROWTH_QUERIES, **BENFORD_QUERIES, **SALTEDAGG_QUERIES, **ABTEST_QUERIES, **ROLLING_QUERIES, **SCD2ASOF_QUERIES, **BALANCE_QUERIES, **DIMLIFT_QUERIES, **ATTRIBUTION_QUERIES, **TIMEROLLUP_QUERIES, **CDC_QUERIES, **PARTIALAGG_QUERIES, **ORDERGAP_QUERIES, **YOY_QUERIES, **SKYLINE_QUERIES, **MODEAGG_QUERIES, **SEGMENTS_QUERIES, **FRESHNESS_QUERIES, **DECILE_QUERIES, **STREAKS_QUERIES, **DISTINCTCUBE_QUERIES, **GROUPPCT_QUERIES, **NUMCORR_QUERIES, **TRANSITIONS_QUERIES, **GROUPREG_QUERIES, **DIVERSITY_QUERIES, **VOLUMEZ_QUERIES, **NULLSAFE_QUERIES}))
+    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES, **RANKFAMILY_QUERIES, **LATEST_QUERIES, **FRAMES_QUERIES, **COHORT_QUERIES, **QUANTILES_QUERIES, **SQLFACADE_QUERIES, **REFERENTIAL_QUERIES, **RANGEJOIN_QUERIES, **IQR_QUERIES, **WMEDIAN_QUERIES, **PKAUDIT_QUERIES, **SPINE_QUERIES, **INTERP_QUERIES, **CHECKSUM_QUERIES, **GRAPH_QUERIES, **WILSON_QUERIES, **DECAY_QUERIES, **BACKLOG_QUERIES, **DRAWDOWN_QUERIES, **BANDJOIN_QUERIES, **EQUIDEPTH_QUERIES, **HHI_QUERIES, **GRAPHITER_QUERIES, **ROLLMED_QUERIES, **FIFO_QUERIES, **BITMAPDOW_QUERIES, **FUNCDEP_QUERIES, **OHLC_QUERIES, **BOLLINGER_QUERIES, **LINKPRED_QUERIES, **CONCURRENCY_QUERIES, **SEQGAPS_QUERIES, **INTERVALS_QUERIES, **GROWTH_QUERIES, **BENFORD_QUERIES, **SALTEDAGG_QUERIES, **ABTEST_QUERIES, **ROLLING_QUERIES, **SCD2ASOF_QUERIES, **BALANCE_QUERIES, **DIMLIFT_QUERIES, **ATTRIBUTION_QUERIES, **TIMEROLLUP_QUERIES, **CDC_QUERIES, **PARTIALAGG_QUERIES, **ORDERGAP_QUERIES, **YOY_QUERIES, **SKYLINE_QUERIES, **MODEAGG_QUERIES, **SEGMENTS_QUERIES, **FRESHNESS_QUERIES, **DECILE_QUERIES, **STREAKS_QUERIES, **DISTINCTCUBE_QUERIES, **GROUPPCT_QUERIES, **NUMCORR_QUERIES, **TRANSITIONS_QUERIES, **GROUPREG_QUERIES, **DIVERSITY_QUERIES, **VOLUMEZ_QUERIES, **NULLSAFE_QUERIES}))
 def test_behavior_matches_oracle(spark, duck, sf_dir, name):
     qs = {**BEHAVIOR_QUERIES, **PATTERN_QUERIES, **BASKET_QUERIES, **SCD2_QUERIES,
     **RECON_QUERIES, **SEASONAL_QUERIES, **ENGAGEMENT_QUERIES, **DRIFT_QUERIES,
-    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES, **RANKFAMILY_QUERIES, **LATEST_QUERIES, **FRAMES_QUERIES, **COHORT_QUERIES, **QUANTILES_QUERIES, **SQLFACADE_QUERIES, **REFERENTIAL_QUERIES, **RANGEJOIN_QUERIES, **IQR_QUERIES, **WMEDIAN_QUERIES, **PKAUDIT_QUERIES, **SPINE_QUERIES, **INTERP_QUERIES, **CHECKSUM_QUERIES, **GRAPH_QUERIES, **WILSON_QUERIES, **DECAY_QUERIES, **BACKLOG_QUERIES, **DRAWDOWN_QUERIES, **BANDJOIN_QUERIES, **EQUIDEPTH_QUERIES, **HHI_QUERIES, **GRAPHITER_QUERIES, **ROLLMED_QUERIES, **FIFO_QUERIES, **BITMAPDOW_QUERIES, **FUNCDEP_QUERIES, **OHLC_QUERIES, **BOLLINGER_QUERIES, **LINKPRED_QUERIES, **INTERVALS_QUERIES, **GROWTH_QUERIES, **BENFORD_QUERIES, **SALTEDAGG_QUERIES, **ABTEST_QUERIES, **ROLLING_QUERIES, **SCD2ASOF_QUERIES, **BALANCE_QUERIES, **DIMLIFT_QUERIES, **ATTRIBUTION_QUERIES, **TIMEROLLUP_QUERIES, **CDC_QUERIES, **PARTIALAGG_QUERIES, **ORDERGAP_QUERIES, **YOY_QUERIES, **SKYLINE_QUERIES, **MODEAGG_QUERIES, **SEGMENTS_QUERIES, **FRESHNESS_QUERIES, **DECILE_QUERIES, **STREAKS_QUERIES, **DISTINCTCUBE_QUERIES, **GROUPPCT_QUERIES, **NUMCORR_QUERIES, **TRANSITIONS_QUERIES, **GROUPREG_QUERIES, **DIVERSITY_QUERIES, **VOLUMEZ_QUERIES, **NULLSAFE_QUERIES}
+    **LOGISTICS_QUERIES, **CONCENTRATION_QUERIES, **RANKFAMILY_QUERIES, **LATEST_QUERIES, **FRAMES_QUERIES, **COHORT_QUERIES, **QUANTILES_QUERIES, **SQLFACADE_QUERIES, **REFERENTIAL_QUERIES, **RANGEJOIN_QUERIES, **IQR_QUERIES, **WMEDIAN_QUERIES, **PKAUDIT_QUERIES, **SPINE_QUERIES, **INTERP_QUERIES, **CHECKSUM_QUERIES, **GRAPH_QUERIES, **WILSON_QUERIES, **DECAY_QUERIES, **BACKLOG_QUERIES, **DRAWDOWN_QUERIES, **BANDJOIN_QUERIES, **EQUIDEPTH_QUERIES, **HHI_QUERIES, **GRAPHITER_QUERIES, **ROLLMED_QUERIES, **FIFO_QUERIES, **BITMAPDOW_QUERIES, **FUNCDEP_QUERIES, **OHLC_QUERIES, **BOLLINGER_QUERIES, **LINKPRED_QUERIES, **CONCURRENCY_QUERIES, **SEQGAPS_QUERIES, **INTERVALS_QUERIES, **GROWTH_QUERIES, **BENFORD_QUERIES, **SALTEDAGG_QUERIES, **ABTEST_QUERIES, **ROLLING_QUERIES, **SCD2ASOF_QUERIES, **BALANCE_QUERIES, **DIMLIFT_QUERIES, **ATTRIBUTION_QUERIES, **TIMEROLLUP_QUERIES, **CDC_QUERIES, **PARTIALAGG_QUERIES, **ORDERGAP_QUERIES, **YOY_QUERIES, **SKYLINE_QUERIES, **MODEAGG_QUERIES, **SEGMENTS_QUERIES, **FRESHNESS_QUERIES, **DECILE_QUERIES, **STREAKS_QUERIES, **DISTINCTCUBE_QUERIES, **GROUPPCT_QUERIES, **NUMCORR_QUERIES, **TRANSITIONS_QUERIES, **GROUPREG_QUERIES, **DIVERSITY_QUERIES, **VOLUMEZ_QUERIES, **NULLSAFE_QUERIES}
     os = {**BEHAVIOR_ORACLES, **PATTERN_ORACLES, **BASKET_ORACLES, **SCD2_ORACLES,
     **RECON_ORACLES, **SEASONAL_ORACLES, **ENGAGEMENT_ORACLES, **DRIFT_ORACLES,
-    **LOGISTICS_ORACLES, **CONCENTRATION_ORACLES, **RANKFAMILY_ORACLES, **LATEST_ORACLES, **FRAMES_ORACLES, **COHORT_ORACLES, **QUANTILES_ORACLES, **SQLFACADE_ORACLES, **REFERENTIAL_ORACLES, **RANGEJOIN_ORACLES, **IQR_ORACLES, **WMEDIAN_ORACLES, **PKAUDIT_ORACLES, **SPINE_ORACLES, **INTERP_ORACLES, **CHECKSUM_ORACLES, **GRAPH_ORACLES, **WILSON_ORACLES, **DECAY_ORACLES, **BACKLOG_ORACLES, **DRAWDOWN_ORACLES, **BANDJOIN_ORACLES, **EQUIDEPTH_ORACLES, **HHI_ORACLES, **GRAPHITER_ORACLES, **ROLLMED_ORACLES, **FIFO_ORACLES, **BITMAPDOW_ORACLES, **FUNCDEP_ORACLES, **OHLC_ORACLES, **BOLLINGER_ORACLES, **LINKPRED_ORACLES, **INTERVALS_ORACLES, **GROWTH_ORACLES, **BENFORD_ORACLES, **SALTEDAGG_ORACLES, **ABTEST_ORACLES, **ROLLING_ORACLES, **SCD2ASOF_ORACLES, **BALANCE_ORACLES, **DIMLIFT_ORACLES, **ATTRIBUTION_ORACLES, **TIMEROLLUP_ORACLES, **CDC_ORACLES, **PARTIALAGG_ORACLES, **ORDERGAP_ORACLES, **YOY_ORACLES, **SKYLINE_ORACLES, **MODEAGG_ORACLES, **SEGMENTS_ORACLES, **FRESHNESS_ORACLES, **DECILE_ORACLES, **STREAKS_ORACLES, **DISTINCTCUBE_ORACLES, **GROUPPCT_ORACLES, **NUMCORR_ORACLES, **TRANSITIONS_ORACLES, **GROUPREG_ORACLES, **DIVERSITY_ORACLES, **VOLUMEZ_ORACLES, **NULLSAFE_ORACLES}
+    **LOGISTICS_ORACLES, **CONCENTRATION_ORACLES, **RANKFAMILY_ORACLES, **LATEST_ORACLES, **FRAMES_ORACLES, **COHORT_ORACLES, **QUANTILES_ORACLES, **SQLFACADE_ORACLES, **REFERENTIAL_ORACLES, **RANGEJOIN_ORACLES, **IQR_ORACLES, **WMEDIAN_ORACLES, **PKAUDIT_ORACLES, **SPINE_ORACLES, **INTERP_ORACLES, **CHECKSUM_ORACLES, **GRAPH_ORACLES, **WILSON_ORACLES, **DECAY_ORACLES, **BACKLOG_ORACLES, **DRAWDOWN_ORACLES, **BANDJOIN_ORACLES, **EQUIDEPTH_ORACLES, **HHI_ORACLES, **GRAPHITER_ORACLES, **ROLLMED_ORACLES, **FIFO_ORACLES, **BITMAPDOW_ORACLES, **FUNCDEP_ORACLES, **OHLC_ORACLES, **BOLLINGER_ORACLES, **LINKPRED_ORACLES, **CONCURRENCY_ORACLES, **SEQGAPS_ORACLES, **INTERVALS_ORACLES, **GROWTH_ORACLES, **BENFORD_ORACLES, **SALTEDAGG_ORACLES, **ABTEST_ORACLES, **ROLLING_ORACLES, **SCD2ASOF_ORACLES, **BALANCE_ORACLES, **DIMLIFT_ORACLES, **ATTRIBUTION_ORACLES, **TIMEROLLUP_ORACLES, **CDC_ORACLES, **PARTIALAGG_ORACLES, **ORDERGAP_ORACLES, **YOY_ORACLES, **SKYLINE_ORACLES, **MODEAGG_ORACLES, **SEGMENTS_ORACLES, **FRESHNESS_ORACLES, **DECILE_ORACLES, **STREAKS_ORACLES, **DISTINCTCUBE_ORACLES, **GROUPPCT_ORACLES, **NUMCORR_ORACLES, **TRANSITIONS_ORACLES, **GROUPREG_ORACLES, **DIVERSITY_ORACLES, **VOLUMEZ_ORACLES, **NULLSAFE_ORACLES}
     assert_matches_oracle(qs[name](spark, sf_dir), duck, os[name])
 
 

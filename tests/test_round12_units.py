@@ -377,3 +377,66 @@ def test_common_neighbors_predicts_absent_links_only(spark, tmp_path):
         (11, 13, 1, 1, 2),
         (12, 13, 1, 1, 1),
     ], got
+
+
+def test_concurrency_peak_counts_overlapping_sessions(spark, tmp_path):
+    """Day 1: user A's events at 10:00 and 10:40 split into TWO point
+    sessions (the 40-min gap exceeds the 30-min inactivity bound);
+    B spans 10:20-10:50 (a 30-min gap does NOT split); C is a point
+    session at 11:30 → 4 sessions, and the peak is 2 (A's 10:40 point
+    falls inside B's span; sessions are CLOSED intervals, so a point
+    session is live at its instant — a lone-session day must read
+    peak 1, never 0). Day 2: one single-event session → peak 1."""
+    from etl_pipeline_example_spark.plans.concurrency import (
+        q_concurrency_peak,
+    )
+
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1),
+         (2, "2024-01-01 10:40:00", 1),
+         (3, "2024-01-01 10:20:00", 2),
+         (4, "2024-01-01 10:50:00", 2),
+         (5, "2024-01-01 11:30:00", 3),
+         (6, "2024-01-02 09:00:00", 1)],
+        "event_id bigint, ts string, user_id bigint",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    got = {
+        str(r["day"]): (r["n_sessions"], r["peak_concurrent"])
+        for r in q_concurrency_peak(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-01-01": (4, 2), "2024-01-02": (1, 1)}, got
+
+
+def test_sequence_gaps_audit_hand_computed(spark, tmp_path):
+    """ids [1,2,3, 7, 9,10, 10] → lo 1, hi 10, 7 rows / 6 distinct
+    (1 dup), 4 missing (4,5,6,8), 2 gap runs, longest 3. Values placed
+    across DIV-4096 chunks would exercise the boundary path; within one
+    chunk the inner path must find both runs."""
+    from etl_pipeline_example_spark.plans.seqgaps import dq_sequence_gaps
+
+    _write(spark, tmp_path, "orders",
+           [(k,) for k in [1, 2, 3, 7, 9, 10, 10]],
+           "o_orderkey bigint")
+    r = dq_sequence_gaps(spark, str(tmp_path)).collect()[0]
+    assert (
+        r["lo"], r["hi"], r["n_rows"], r["n_distinct"], r["n_dup_rows"],
+        r["n_missing"], r["n_gaps"], r["max_gap_len"],
+    ) == (1, 10, 7, 6, 1, 4, 2, 3), r
+
+
+def test_sequence_gaps_chunk_boundary_and_empty_chunks(spark, tmp_path):
+    """ids 4090 and 12300 sit in chunks 0 and 3 (chunks 1-2 empty): the
+    boundary path must report ONE gap of length 8209 — empty chunks
+    fold into the chunk-level lag arithmetic."""
+    from etl_pipeline_example_spark.plans.seqgaps import dq_sequence_gaps
+
+    _write(spark, tmp_path, "orders", [(4090,), (12300,)],
+           "o_orderkey bigint")
+    r = dq_sequence_gaps(spark, str(tmp_path)).collect()[0]
+    assert (r["n_gaps"], r["max_gap_len"], r["n_missing"]) == (
+        1, 12300 - 4090 - 1, 12300 - 4090 - 1,
+    ), r
