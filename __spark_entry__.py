@@ -205,6 +205,8 @@ from etl_pipeline_example_spark.operators import (
     ANNFILTERED_QUERIES,
     DATACARD_ORACLES,
     DATACARD_QUERIES,
+    CARDDIFF_ORACLES,
+    CARDDIFF_QUERIES,
     CDCHUNK_ORACLES,
     CDCHUNK_QUERIES,
     OOV_ORACLES,
@@ -639,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SPANCORRUPT_QUERIES)
     out.update(ANNFILTERED_QUERIES)
     out.update(DATACARD_QUERIES)
+    out.update(CARDDIFF_QUERIES)
     out.update(CDCHUNK_QUERIES)
     out.update(OOV_QUERIES)
     out.update(PIXELDIVERSITY_QUERIES)
@@ -810,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SPANCORRUPT_ORACLES)
     out.update(ANNFILTERED_ORACLES)
     out.update(DATACARD_ORACLES)
+    out.update(CARDDIFF_ORACLES)
     out.update(CDCHUNK_ORACLES)
     out.update(OOV_ORACLES)
     out.update(PIXELDIVERSITY_ORACLES)

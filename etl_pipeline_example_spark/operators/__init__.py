@@ -180,6 +180,10 @@ from etl_pipeline_example_spark.operators.datacard import (
     DATACARD_QUERIES,
     DATACARD_ORACLES,
 )
+from etl_pipeline_example_spark.operators.carddiff import (
+    CARDDIFF_QUERIES,
+    CARDDIFF_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cdchunk import (
     CDCHUNK_QUERIES,
     CDCHUNK_ORACLES,
@@ -450,6 +454,8 @@ __all__ = [
     "ANNFILTERED_ORACLES",
     "DATACARD_QUERIES",
     "DATACARD_ORACLES",
+    "CARDDIFF_QUERIES",
+    "CARDDIFF_ORACLES",
     "CDCHUNK_QUERIES",
     "CDCHUNK_ORACLES",
     "OOV_QUERIES",
