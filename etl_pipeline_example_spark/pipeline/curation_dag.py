@@ -3,8 +3,9 @@
 The reference's DAG is extract → test → transform → deploy over one
 table (reference: dags/example_etl_dag.py:108-110). The LLM-curation
 counterpart a corpus owner actually schedules is profile → gate →
-dedup → report → shard — and this module wires the repo's standalone
-operators into that run through the same ``Pipeline`` runner, proving
+dedup → neardup → decontam → report → shard — and this module wires
+the repo's standalone operators into that run through the same
+``Pipeline`` runner, proving
 the operators compose as REAL tasks, not just as driver-graded queries:
 
   profile   text_charstats — the encoding-health panel, first look
@@ -16,20 +17,33 @@ the operators compose as REAL tasks, not just as driver-graded queries:
             the GATED corpus; survivors written as the exact corpus
   neardup   MinHash near-dup clusters (operators/cluster.dedup_cluster:
             verified LSH pairs → connected components) on the EXACT
-            corpus; component representatives written as the final
+            corpus; component representatives written as the neardup
             corpus — the production curation loop always runs near-dup
             after exact dedup (round-11 verdict ask #5)
+  decontam  benchmark decontamination gate (round-12 verdict ask #4):
+            the BLOOM broadcast-bit-array screen (operators/bloomgate)
+            probes the near-dup'd corpus's train slice against the
+            benchmark slice's 5-gram blocklist (the eval slice of the
+            ORIGINAL corpus — the blocklist is fixed upstream, not
+            subject to curation attrition) and drops every flagged
+            doc. Bloom membership has no false negatives, so the
+            surviving corpus is exactly-contamination-free by
+            construction (the e2e test re-runs the exact n-gram join
+            over it and pins zero flags); false positives only cost
+            extra drops — the conservative trade a 100 TB screen makes
+            to avoid shuffling text against the blocklist. Survivors
+            are written as the FINAL corpus.
   report    sample_allocation over the final corpus — the integer
             per-source sampling plan (Σ = budget by construction)
   shard     sinks/shards.write_training_shards on the final corpus —
             token-budgeted shard_id=N/*.json.gz, ready for a loader
 
 Scale shape: every stage is one of the already-audited operators; the
-only additions are three curated-corpus writes, all straight
-column-pruned parquet writes. The near-dup prune is an ANTI-join of the
-corpus against the non-representative doc_ids (narrow id column — text
-never rides the join). Nothing here collects rows — the DAG returns
-counts and paths.
+only additions are four curated-corpus writes, all straight
+column-pruned parquet writes. The near-dup and decontam prunes are
+ANTI-joins of the corpus against narrow doc_id drop lists (text never
+rides the join). Nothing here collects rows — the DAG returns counts
+and paths.
 
 Side-effecting (writes corpora + shards) → pytest-verified, not
 driver-graded; SURVEY.md §2 (curation DAG row).
@@ -43,9 +57,17 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.allocation import sample_allocation
+from etl_pipeline_example_spark.operators.bloomgate import (
+    BLOOM_K,
+    _spark_pos,
+)
 from etl_pipeline_example_spark.operators.c4 import spark_c4_keep
 from etl_pipeline_example_spark.operators.charstats import text_charstats
 from etl_pipeline_example_spark.operators.cluster import dedup_cluster
+from etl_pipeline_example_spark.operators.decontam import (
+    EVAL_SOURCE,
+    _spark_grams,
+)
 from etl_pipeline_example_spark.operators.dedup import dedup_exact
 from etl_pipeline_example_spark.operators.hashing import spark_tokens
 from etl_pipeline_example_spark.pipeline.dag import Pipeline
@@ -60,11 +82,12 @@ def _write_corpus(df, out_dir: str) -> str:
 
 
 def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
-    """Run profile → gate → dedup → neardup → report → shard over
-    ``sf_dir``; returns each task's result (counts, rows, paths) by
-    task id."""
+    """Run profile → gate → dedup → neardup → decontam → report →
+    shard over ``sf_dir``; returns each task's result (counts, rows,
+    paths) by task id."""
     gated_dir = os.path.join(out_dir, "gated")
     exact_dir = os.path.join(out_dir, "exact")
+    neardup_dir = os.path.join(out_dir, "neardup")
     final_dir = os.path.join(out_dir, "final")
     shards_dir = os.path.join(out_dir, "shards")
 
@@ -101,8 +124,47 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
             ~F.col("is_kept")
         ).select("doc_id")
         docs = read_table(spark, exact_dir, "documents")
-        final = docs.join(drops, "doc_id", "left_anti")
-        _write_corpus(final, final_dir)
+        kept = docs.join(drops, "doc_id", "left_anti")
+        _write_corpus(kept, neardup_dir)
+        return spark.read.parquet(
+            os.path.join(neardup_dir, "documents.parquet")
+        ).count()
+
+    def decontam():
+        # blocklist bits from the ORIGINAL corpus's benchmark slice
+        # (fixed upstream of curation); the slice itself stands in for
+        # an external benchmark and rides through un-probed, exactly
+        # the train/eval split the contamination_* operators grade
+        bench = read_table(spark, sf_dir, "documents", parallel=True).filter(
+            F.col("source") == EVAL_SOURCE
+        )
+        bits = (
+            _spark_grams(bench)
+            .select(
+                F.explode(
+                    F.expr(
+                        "array("
+                        + ", ".join(_spark_pos(i) for i in range(BLOOM_K))
+                        + ")"
+                    )
+                ).alias("bit")
+            )
+            .distinct()
+        )
+        docs = read_table(spark, neardup_dir, "documents")
+        # broadcast bit-array probe: three successive semi joins prune
+        # the train gram stream executor-side; only flagged doc_ids
+        # (narrow) reduce — text never shuffles against the blocklist
+        cand = _spark_grams(docs.filter(F.col("source") != EVAL_SOURCE))
+        for i in range(BLOOM_K):
+            cand = cand.join(
+                F.broadcast(bits.withColumnRenamed("bit", f"b{i}")),
+                F.expr(_spark_pos(i)) == F.col(f"b{i}"),
+                "left_semi",
+            )
+        flagged = cand.select("doc_id").distinct()
+        clean = docs.join(flagged, "doc_id", "left_anti")
+        _write_corpus(clean, final_dir)
         return spark.read.parquet(
             os.path.join(final_dir, "documents.parquet")
         ).count()
@@ -119,6 +181,7 @@ def curation_dag(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     p.task("gate", gate, after=["profile"])
     p.task("dedup", dedup, after=["gate"])
     p.task("neardup", neardup, after=["dedup"])
-    p.task("report", report, after=["neardup"])
-    p.task("shard", shard, after=["neardup"])
+    p.task("decontam", decontam, after=["neardup"])
+    p.task("report", report, after=["decontam"])
+    p.task("shard", shard, after=["decontam"])
     return p.run()
