@@ -60,7 +60,11 @@ Concurrency contract (round-10/11 ADVICE hardening):
   files are protected from the collector, so a racing loser fails with
   the documented ``ConcurrentWriteError`` at commit, never with an FS
   error mid-write; its orphan dir sweeps once the next commit advances
-  the head (round-11 ADVICE hardening).
+  the head (round-11 ADVICE hardening). The version fence alone does
+  NOT cover a slow writer whose allocated version falls 2+ commits
+  behind an advancing head (round-12 ADVICE); concurrent deployments
+  pass ``grace_ms`` so the sweep also skips anything modified more
+  recently than their longest write.
 
 Scale: an upsert costs O(affected buckets), not O(table); storage is
 shared across versions at file granularity; ``nbuckets`` is the
@@ -78,6 +82,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,6 +97,12 @@ _MANIFESTS = "_manifests"
 _DATA = "data"
 _BUCKET_COL = "__b"
 DEFAULT_BUCKETS = 16
+
+
+def _now_ms() -> int:
+    """Wall-clock ms for the GC grace fence (compared against Hadoop
+    FileStatus modification times, which are epoch ms)."""
+    return int(time.time() * 1000)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -317,12 +328,27 @@ def _write_bucketed(
     nbuckets: int,
     data_format: str,
     width: int | None = None,
+    cluster_by: str | None = None,
+    cluster_files: int = DEFAULT_BUCKETS,
 ) -> list[dict]:
     """Write ``df`` hash-bucketed by ``key`` under this writer's unique
     data dir; returns the manifest file entries. ``width`` caps the
     repartition so a b-bucket partial rewrite doesn't fan out to the
-    full bucket count."""
-    if key is None:
+    full bucket count. ``cluster_by`` (unkeyed tables only) range-
+    clusters the single bucket into ``cluster_files`` sorted files so
+    per-file min/max stats carve the key space into disjoint stripes."""
+    if key is None and cluster_by is not None:
+        # one sampled range exchange + per-file sort (the zorder_write
+        # layout contract, single-key form): file k holds the k-th
+        # range of cluster_by, so a selective where= opens ~1/K files
+        (
+            df.repartitionByRange(cluster_files, F.col(cluster_by))
+            .sortWithinPartitions(cluster_by)
+            .write.mode("errorifexists")
+            .format(data_format)
+            .save(f"{vdir}/{_BUCKET_COL}=0")
+        )
+    elif key is None:
         df.write.mode("errorifexists").format(data_format).save(
             f"{vdir}/{_BUCKET_COL}=0"
         )
@@ -346,6 +372,8 @@ def write_versioned(
     key: str | None = None,
     nbuckets: int = DEFAULT_BUCKETS,
     stats_cols: list[str] | None = None,
+    cluster_by: str | None = None,
+    cluster_files: int = DEFAULT_BUCKETS,
 ) -> int:
     """Write ``df`` as the next version of ``path`` and swing the
     pointer to it; returns the new version number.
@@ -360,7 +388,23 @@ def write_versioned(
     the file-skipping contract ``read_versioned(..., where=)`` prunes
     with. An existing table's stats columns are inherited so every
     later commit keeps recording them.
+
+    ``cluster_by`` (analytics tables; mutually exclusive with ``key``)
+    range-clusters the write into ``cluster_files`` sorted files and
+    auto-enrolls the column in ``stats_cols``, so the manifest min/max
+    bounds become DISJOINT stripes of the key space and a selective
+    ``where=`` read opens ~1/``cluster_files`` of the table instead of
+    whatever an unsorted layout happens to give. The clustering column
+    is inherited by later unkeyed commits like the bucket layout; a
+    keyed upsert re-buckets the table and drops the clustering (hash
+    buckets and range stripes are competing layouts — choose per
+    table).
     """
+    if cluster_by is not None and key is not None:
+        raise ValueError(
+            "cluster_by is a range layout for unkeyed analytics tables;"
+            " keyed tables are hash-bucketed for upserts — pass one"
+        )
     existing = _versions(spark, path)
     version = (existing[-1] + 1) if existing else 1
     if existing:
@@ -371,8 +415,22 @@ def write_versioned(
             key, nbuckets = prev["key"], prev["nbuckets"]
         if stats_cols is None:
             stats_cols = prev.get("stats_cols")
+        if cluster_by is None and key is None:
+            cluster_by = prev.get("cluster_by")
+    if cluster_by is not None:
+        stats_cols = list(stats_cols or [])
+        if cluster_by not in stats_cols:
+            stats_cols.append(cluster_by)
     files = _write_bucketed(
-        spark, df, path, _new_vdir(path, version), key, nbuckets, data_format
+        spark,
+        df,
+        path,
+        _new_vdir(path, version),
+        key,
+        nbuckets,
+        data_format,
+        cluster_by=cluster_by,
+        cluster_files=cluster_files,
     )
     _attach_file_stats(
         spark, path, files, stats_cols or [], data_format, df.schema
@@ -388,6 +446,7 @@ def write_versioned(
             "schema": df.schema.json(),
             "format": data_format,
             "stats_cols": stats_cols or [],
+            "cluster_by": cluster_by,
             "files": files,
         },
     )
@@ -704,17 +763,26 @@ def compact_versioned(
 
 
 def expire_versions(
-    spark: SparkSession, path: str, keep: int
+    spark: SparkSession, path: str, keep: int, grace_ms: int = 0
 ) -> list[int]:
     """Retention: drop all but the newest ``keep`` manifests — never
     the pointer's current target — then garbage-collect every data file
     no retained manifest references (files shared with a retained
-    version survive). Returns the expired version numbers."""
+    version survive). Returns the expired version numbers.
+
+    ``grace_ms`` additionally fences any data file (or empty version
+    dir) modified within the window from the sweep. The version fence
+    below covers a writer at or above the head; a SLOW writer whose
+    allocated version falls 2+ commits behind an advancing head is only
+    protected by the grace window — concurrent deployments should set
+    ``grace_ms`` to comfortably exceed their longest write (the
+    Iceberg ``expire_snapshots`` older-than contract). The default 0
+    keeps single-writer sweeps immediate."""
     fs, _ = hadoop_fs(spark, path)
     live = _read_pointer(spark, path)
     versions = _versions(spark, path)
-    # GC fence: an in-flight writer works AT or ABOVE the newest
-    # manifest committed when this sweep started — at head+1 normally,
+    # GC fence: an in-flight writer normally works AT or ABOVE the
+    # newest manifest committed when this sweep started — at head+1,
     # or at head itself when it is mid-write and about to LOSE a
     # same-version race (its commit will raise ConcurrentWriteError,
     # the documented retry path — not an FS error from the collector
@@ -722,8 +790,11 @@ def expire_versions(
     # version >= head: a racing loser's orphan dir survives exactly
     # until the next commit advances the head, then sweeps normally
     # (round-11 ADVICE: the unfenced sweep could delete a concurrent
-    # writer's files pre-commit)
+    # writer's files pre-commit). The version fence alone does NOT
+    # cover a writer that falls 2+ commits behind the head mid-write
+    # (round-12 ADVICE) — that is what the mtime grace window is for.
     head = versions[-1] if versions else 0
+    cutoff = _now_ms() - grace_ms
     doomed = [v for v in versions[:-keep] if v != live] if keep > 0 else []
     for v in doomed:
         fs.delete(_jpath(spark, _manifest_path(path, v)), False)
@@ -738,19 +809,24 @@ def expire_versions(
         it = fs.listFiles(data_root, True)
         orphans = []
         while it.hasNext():
-            p = it.next().getPath().toString()
+            st = it.next()
+            p = st.getPath().toString()
             rel = p[p.index(f"{_DATA}/v=") :]
             v = _dir_version(rel.split("/")[1])
             if v is not None and v >= head:
                 continue  # in-flight writer's dir — fenced
+            if grace_ms > 0 and st.getModificationTime() >= cutoff:
+                continue  # young file — a slow writer may own it
             if rel not in referenced:
                 orphans.append(p)
         for p in orphans:
             fs.delete(_jpath(spark, p), False)
-        # sweep version dirs that emptied out (same fence)
+        # sweep version dirs that emptied out (same fences)
         for st in fs.listStatus(data_root):
             v = _dir_version(st.getPath().getName())
             if v is not None and v >= head:
+                continue
+            if grace_ms > 0 and st.getModificationTime() >= cutoff:
                 continue
             if st.isDirectory() and not fs.listFiles(
                 st.getPath(), True

