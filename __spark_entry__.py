@@ -355,6 +355,20 @@ from etl_pipeline_example_spark.plans import (
     CONCURRENCY_QUERIES,
     SEQGAPS_ORACLES,
     SEQGAPS_QUERIES,
+    CUMDISTINCT_ORACLES,
+    CUMDISTINCT_QUERIES,
+    STICKINESS_ORACLES,
+    STICKINESS_QUERIES,
+    RUNS_ORACLES,
+    RUNS_QUERIES,
+    PRORATION_ORACLES,
+    PRORATION_QUERIES,
+    TVD_ORACLES,
+    TVD_QUERIES,
+    ASSORT_ORACLES,
+    ASSORT_QUERIES,
+    BASKETLIFT_ORACLES,
+    BASKETLIFT_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -629,6 +643,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(LINKPRED_QUERIES)
     out.update(CONCURRENCY_QUERIES)
     out.update(SEQGAPS_QUERIES)
+    out.update(CUMDISTINCT_QUERIES)
+    out.update(STICKINESS_QUERIES)
+    out.update(RUNS_QUERIES)
+    out.update(PRORATION_QUERIES)
+    out.update(TVD_QUERIES)
+    out.update(ASSORT_QUERIES)
+    out.update(BASKETLIFT_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -801,6 +822,13 @@ def oracle_sql() -> dict[str, str]:
     out.update(LINKPRED_ORACLES)
     out.update(CONCURRENCY_ORACLES)
     out.update(SEQGAPS_ORACLES)
+    out.update(CUMDISTINCT_ORACLES)
+    out.update(STICKINESS_ORACLES)
+    out.update(RUNS_ORACLES)
+    out.update(PRORATION_ORACLES)
+    out.update(TVD_ORACLES)
+    out.update(ASSORT_ORACLES)
+    out.update(BASKETLIFT_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

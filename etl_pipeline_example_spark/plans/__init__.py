@@ -280,6 +280,34 @@ from etl_pipeline_example_spark.plans.seqgaps import (
     SEQGAPS_QUERIES,
     SEQGAPS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.cumdistinct import (
+    CUMDISTINCT_QUERIES,
+    CUMDISTINCT_ORACLES,
+)
+from etl_pipeline_example_spark.plans.stickiness import (
+    STICKINESS_QUERIES,
+    STICKINESS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.runs import (
+    RUNS_QUERIES,
+    RUNS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.proration import (
+    PRORATION_QUERIES,
+    PRORATION_ORACLES,
+)
+from etl_pipeline_example_spark.plans.tvd import (
+    TVD_QUERIES,
+    TVD_ORACLES,
+)
+from etl_pipeline_example_spark.plans.assort import (
+    ASSORT_QUERIES,
+    ASSORT_ORACLES,
+)
+from etl_pipeline_example_spark.plans.basketlift import (
+    BASKETLIFT_QUERIES,
+    BASKETLIFT_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -425,6 +453,20 @@ __all__ = [
     "CONCURRENCY_ORACLES",
     "SEQGAPS_QUERIES",
     "SEQGAPS_ORACLES",
+    "CUMDISTINCT_QUERIES",
+    "CUMDISTINCT_ORACLES",
+    "STICKINESS_QUERIES",
+    "STICKINESS_ORACLES",
+    "RUNS_QUERIES",
+    "RUNS_ORACLES",
+    "PRORATION_QUERIES",
+    "PRORATION_ORACLES",
+    "TVD_QUERIES",
+    "TVD_ORACLES",
+    "ASSORT_QUERIES",
+    "ASSORT_ORACLES",
+    "BASKETLIFT_QUERIES",
+    "BASKETLIFT_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

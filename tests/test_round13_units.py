@@ -93,3 +93,150 @@ def test_dataset_card_diff_versions_are_real_commits(spark, tmp_path):
         for d in os.listdir(os.path.join(path, "_manifests"))
         if not d.startswith(".")  # Hadoop .crc sidecars
     ) == ["v=000001.json", "v=000002.json"]
+
+
+def _events(spark, tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    from datetime import datetime
+
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        [
+            (i, datetime.fromisoformat(ts), u, et, v, "{}")
+            for i, ts, u, et, v in rows
+        ],
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+
+
+def test_cumulative_distinct_hand_computed(spark, tmp_path):
+    """u1 active d1+d2, u2 active d2, u3 active d3 → cumulative
+    distinct 1, 2, 3 with new-user counts 1, 1, 1."""
+    from etl_pipeline_example_spark.plans.cumdistinct import (
+        q_cumulative_distinct,
+    )
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T09:00:00", 1, "view", 1.0),  # same day, no-op
+        (3, "2024-01-02T08:00:00", 1, "view", 1.0),
+        (4, "2024-01-02T08:30:00", 2, "view", 1.0),
+        (5, "2024-01-03T08:00:00", 3, "view", 1.0),
+    ])
+    got = [
+        (str(r["d"]), r["n_active"], r["n_new"], r["cum_users"])
+        for r in q_cumulative_distinct(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("2024-01-01", 1, 1, 1),
+        ("2024-01-02", 2, 1, 2),
+        ("2024-01-03", 1, 1, 3),
+    ], got
+
+
+def test_stickiness_hand_computed(spark, tmp_path):
+    """One ISO week (2024-01-01 is a Monday): u1 active Mon+Tue, u2
+    Tue only → dau_sum 3 over 2 observed days, wau 2 → 3/(2·2)."""
+    from etl_pipeline_example_spark.plans.stickiness import q_stickiness
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "view", 1.0),
+        (2, "2024-01-02T08:00:00", 1, "view", 1.0),
+        (3, "2024-01-02T09:00:00", 2, "view", 1.0),
+    ])
+    got = [
+        (str(r["week"]), r["n_days"], r["dau_sum"], r["wau"], r["stickiness"])
+        for r in q_stickiness(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("2024-01-01", 2, 3, 2, 0.75)], got
+
+
+def test_event_runs_hand_computed(spark, tmp_path):
+    """u1's timeline A A B A → runs A×2, B×1, A×1; u2's B B → one
+    run of 2. Histogram pins every boundary."""
+    from etl_pipeline_example_spark.plans.runs import q_event_runs
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "A", 1.0),
+        (2, "2024-01-01T08:01:00", 1, "A", 1.0),
+        (3, "2024-01-01T08:02:00", 1, "B", 1.0),
+        (4, "2024-01-01T08:03:00", 1, "A", 1.0),
+        (5, "2024-01-01T08:00:00", 2, "B", 1.0),
+        (6, "2024-01-01T08:01:00", 2, "B", 1.0),
+    ])
+    got = [
+        (r["event_type"], r["run_len"], r["n_runs"])
+        for r in q_event_runs(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A", 1, 1), ("A", 2, 1), ("B", 1, 1), ("B", 2, 1)], got
+
+
+def test_proration_hand_computed(spark, tmp_path):
+    """3×$1.00 order: base 3333 each, one remainder point → line 1
+    gets 3334 (checksum 19999). 2-item $1/$3 order splits 2500/7500
+    exactly (checksum 17500). Every total lands on 10000."""
+    from etl_pipeline_example_spark.plans.proration import q_proration
+
+    _write(spark, tmp_path, "lineitem", [
+        (1, 1, 1.00), (1, 2, 1.00), (1, 3, 1.00),
+        (2, 1, 1.00), (2, 2, 3.00),
+    ], "l_orderkey bigint, l_linenumber int, l_extendedprice double")
+    got = [
+        (r["n_items"], r["n_orders"], r["total_bps"], r["bps_min"],
+         r["bps_max"], r["checksum"])
+        for r in q_proration(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (2, 1, 10000, 2500, 7500, 17500),
+        (3, 1, 10000, 3333, 3334, 19999),
+    ], got
+
+
+def test_drift_tvd_disjoint_halves(spark, tmp_path):
+    """Old era prices all in bucket 0, new era all in bucket 19 →
+    total variation distance exactly 1.0."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.plans.tvd import dq_drift_tvd
+
+    _write(spark, tmp_path, "orders", [
+        (1, datetime(2020, 1, 1), 1.00), (2, datetime(2020, 1, 2), 1.00),
+        (3, datetime(2020, 1, 11), 2.00), (4, datetime(2020, 1, 10), 2.00),
+    ], "o_orderkey bigint, o_orderdate timestamp, o_totalprice double")
+    rows = dq_drift_tvd(spark, str(tmp_path)).collect()
+    got = [(r["bucket"], r["n_old"], r["n_new"], int(r["contrib"])) for r in rows]
+    assert got == [(0, 2, 0, 4), (19, 0, 2, 4)], got
+    assert all(r["tvd"] == 1.0 for r in rows), rows
+
+
+def test_assortativity_path_graph(spark, tmp_path):
+    """Path 1–2–3 (two co-order baskets): every edge joins a
+    degree-1 leaf to the degree-2 center → perfectly disassortative,
+    r = −1."""
+    from etl_pipeline_example_spark.plans.assort import graph_assortativity
+
+    _write(spark, tmp_path, "lineitem", [
+        (1, 1), (1, 2), (2, 2), (2, 3),
+    ], "l_orderkey bigint, l_partkey bigint")
+    r = graph_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r["n_directed"] == 4
+    assert (int(r["sum_x"]), int(r["sum_xy"]), int(r["sum_x2"])) == (6, 8, 10)
+    assert r["assortativity"] == -1.0, r
+
+
+def test_basket_lift_hand_computed(spark, tmp_path):
+    """Baskets {1,2},{1,2},{1,3}: pair (1,2) appears twice → lift
+    2·3/(3·2)=1.0; pair (1,3) is below the support floor."""
+    from etl_pipeline_example_spark.plans.basketlift import q_basket_lift
+
+    _write(spark, tmp_path, "lineitem", [
+        (1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3),
+    ], "l_orderkey bigint, l_partkey bigint")
+    got = [
+        (r["part_a"], r["part_b"], r["n_a"], r["n_b"], r["n_ab"], r["lift"])
+        for r in q_basket_lift(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, 3, 2, 2, 1.0)], got
