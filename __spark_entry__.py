@@ -231,6 +231,16 @@ from etl_pipeline_example_spark.operators import (
     KNNJOIN_QUERIES,
     AUDIOZCR_ORACLES,
     AUDIOZCR_QUERIES,
+    GOPHER_ORACLES,
+    GOPHER_QUERIES,
+    CURRICULUM_ORACLES,
+    CURRICULUM_QUERIES,
+    RANKSHIFT_ORACLES,
+    RANKSHIFT_QUERIES,
+    SIGNSKETCH_ORACLES,
+    SIGNSKETCH_QUERIES,
+    MULTIPROBE_ORACLES,
+    MULTIPROBE_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -653,6 +663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
+    out.update(GOPHER_QUERIES)
+    out.update(CURRICULUM_QUERIES)
+    out.update(RANKSHIFT_QUERIES)
+    out.update(SIGNSKETCH_QUERIES)
+    out.update(MULTIPROBE_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -832,6 +847,11 @@ def oracle_sql() -> dict[str, str]:
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)
+    out.update(GOPHER_ORACLES)
+    out.update(CURRICULUM_ORACLES)
+    out.update(RANKSHIFT_ORACLES)
+    out.update(SIGNSKETCH_ORACLES)
+    out.update(MULTIPROBE_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

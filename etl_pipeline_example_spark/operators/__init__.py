@@ -232,6 +232,26 @@ from etl_pipeline_example_spark.operators.audiozcr import (
     AUDIOZCR_QUERIES,
     AUDIOZCR_ORACLES,
 )
+from etl_pipeline_example_spark.operators.gopher import (
+    GOPHER_QUERIES,
+    GOPHER_ORACLES,
+)
+from etl_pipeline_example_spark.operators.curriculum import (
+    CURRICULUM_QUERIES,
+    CURRICULUM_ORACLES,
+)
+from etl_pipeline_example_spark.operators.rankshift import (
+    RANKSHIFT_QUERIES,
+    RANKSHIFT_ORACLES,
+)
+from etl_pipeline_example_spark.operators.signsketch import (
+    SIGNSKETCH_QUERIES,
+    SIGNSKETCH_ORACLES,
+)
+from etl_pipeline_example_spark.operators.multiprobe import (
+    MULTIPROBE_QUERIES,
+    MULTIPROBE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -480,4 +500,14 @@ __all__ = [
     "KNNJOIN_ORACLES",
     "AUDIOZCR_QUERIES",
     "AUDIOZCR_ORACLES",
+    "GOPHER_QUERIES",
+    "GOPHER_ORACLES",
+    "CURRICULUM_QUERIES",
+    "CURRICULUM_ORACLES",
+    "RANKSHIFT_QUERIES",
+    "RANKSHIFT_ORACLES",
+    "SIGNSKETCH_QUERIES",
+    "SIGNSKETCH_ORACLES",
+    "MULTIPROBE_QUERIES",
+    "MULTIPROBE_ORACLES",
 ]

@@ -240,3 +240,110 @@ def test_basket_lift_hand_computed(spark, tmp_path):
         for r in q_basket_lift(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 2, 3, 2, 2, 1.0)], got
+
+
+def test_quality_gopher_hand_computed(spark, tmp_path):
+    """docA: 60 words incl. 'the'+'of' (mean len 237/60) → passes all
+    four rules; docB: 3 one-letter words → fails word count, mean
+    word length, and stop-word presence (alpha still passes)."""
+    from etl_pipeline_example_spark.operators.gopher import quality_gopher
+
+    doc_a = "the of " + " ".join(["word"] * 58)
+    doc_b = "a b c"
+    _docs(spark, tmp_path, [
+        (1, doc_a, "en", "X"),
+        (2, doc_b, "en", "X"),
+    ])
+    got = [
+        (r["source"], r["n_docs"], r["fail_wordcount"], r["fail_wordlen"],
+         r["fail_alpha"], r["fail_stop"], r["n_pass"])
+        for r in quality_gopher(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("X", 2, 1, 1, 0, 1, 1)], got
+
+
+def test_mix_curriculum_interleaves_deciles(spark, tmp_path):
+    """20 docs with n_chars 1..20 → two docs per decile; the
+    round-robin positions are exactly 1..20 with decile 10 leading
+    each cycle."""
+    from etl_pipeline_example_spark.operators.curriculum import (
+        mix_curriculum,
+    )
+
+    _docs(spark, tmp_path, [
+        (i, "x" * i, "en", "A") for i in range(1, 21)
+    ])
+    rows = mix_curriculum(spark, str(tmp_path)).collect()
+    assert sorted(r["global_pos"] for r in rows) == list(range(1, 21))
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r["decile"], []).append(r["n_chars"])
+    assert all(len(v) == 2 for v in by_decile.values()), by_decile
+    # decile i holds n_chars {2i-1, 2i}; position 1 is a decile-10 doc
+    assert sorted(by_decile[10]) == [19, 20]
+    first = next(r for r in rows if r["global_pos"] == 1)
+    assert first["decile"] == 10
+
+
+def test_vocab_rank_shift_reversed_preference(spark, tmp_path):
+    """Source A's ranking matches the global order (ρ=1); source B
+    prefers y over x while the global (tie broken by term) ranks x
+    first → perfect reversal over 2 items, ρ=−1."""
+    from etl_pipeline_example_spark.operators.rankshift import (
+        vocab_rank_shift,
+    )
+
+    _docs(spark, tmp_path, [
+        (1, "x x y", "en", "A"),
+        (2, "y y x", "en", "B"),
+    ])
+    got = {
+        r["source"]: (r["n_common"], r["sum_d2"], r["rho"])
+        for r in vocab_rank_shift(spark, str(tmp_path)).collect()
+    }
+    assert got["A"] == (2, 0, 1.0), got
+    assert got["B"] == (2, 2, -1.0), got
+
+
+def test_embed_sign_sketch_collisions(spark, tmp_path):
+    """Two all-positive vectors share sketch 4095; one vector with a
+    negative first dim sits alone in 4094 → 2 buckets, 2 collided."""
+    from etl_pipeline_example_spark.operators.signsketch import (
+        embed_sign_sketch,
+    )
+
+    pos = [1.0] * 16
+    neg = [-1.0] + [1.0] * 15
+    _write(spark, tmp_path, "embeddings", [
+        (0, pos, 7), (1, pos, 7), (2, neg, 7),
+    ], "vec_id bigint, embedding array<float>, label int")
+    got = [
+        (r["label"], r["n_vecs"], r["n_buckets"], r["max_bucket"],
+         r["n_collided"])
+        for r in embed_sign_sketch(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(7, 3, 2, 2, 2)], got
+
+
+def test_ann_multiprobe_finds_exact_duplicate(spark, tmp_path):
+    """vec 5 duplicates query 0 exactly → identical buckets in every
+    table, so multiprobe must return it at rank 1 with cosine 1.0."""
+    import random
+
+    from etl_pipeline_example_spark.operators.multiprobe import (
+        ann_multiprobe,
+    )
+
+    rng = random.Random(13)
+    vecs = [
+        [rng.uniform(-1, 1) for _ in range(64)] for _ in range(12)
+    ]
+    vecs[5] = list(vecs[0])
+    _write(spark, tmp_path, "embeddings", [
+        (i, v, 0) for i, v in enumerate(vecs)
+    ], "vec_id bigint, embedding array<float>, label int")
+    rows = ann_multiprobe(spark, str(tmp_path)).collect()
+    top0 = next(
+        r for r in rows if r["query_id"] == 0 and r["rank"] == 1
+    )
+    assert top0["neighbor_id"] == 5 and top0["cosine"] == 1.0, top0
