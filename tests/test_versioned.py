@@ -903,3 +903,75 @@ def test_expire_grace_window_fences_slow_writer(spark, tmp_path):
     assert os.path.exists(slow_vdir)  # fenced: younger than the window
     expire_versions(spark, path, keep=10)  # grace_ms=0, the old sweep
     assert not os.path.exists(slow_vdir)
+
+
+def test_bloom_cols_prune_point_lookups_on_unsorted_layout(spark, tmp_path):
+    """Min/max stats cannot prune a point lookup when every file spans
+    the key domain (the flat-layout contrast in the cluster_by test);
+    a per-file bloom can. Same shuffled frame, bloom_cols=['k'] →
+    k=123 opens exactly the file(s) holding it."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    rows = [(k, f"r{k}", 1) for k in range(800)]
+    shuffled = spark.createDataFrame(
+        rows, "k bigint, val string, ver int"
+    ).repartition(8)
+
+    path = str(tmp_path / "bloomed")
+    write_versioned(
+        spark, shuffled, path, stats_cols=["k"], bloom_cols=["k", "val"]
+    )
+    m = _read_manifest(spark, path, 1)
+    n_files = len(m["files"])
+    assert n_files >= 6
+    assert all(
+        set(e.get("bloom", {})) == {"k", "val"} for e in m["files"]
+    )
+
+    got = read_versioned(spark, path, where=("k", "=", 123))
+    # at 32768 bits / 4 hashes / ~100 keys per file, a false positive
+    # admitting a second file has probability ~1e-10 — assert exact
+    assert len(got.inputFiles()) == 1, got.inputFiles()
+    assert [(r["k"], r["val"]) for r in got.collect()] == [(123, "r123")]
+    # string column blooms prune the same way
+    got_s = read_versioned(spark, path, where=("val", "=", "r456"))
+    assert len(got_s.inputFiles()) == 1, got_s.inputFiles()
+    assert got_s.collect()[0]["k"] == 456
+    # absent key: every file's bloom proves it out → empty, zero files
+    absent = read_versioned(spark, path, where=("k", "=", 100000))
+    assert absent.count() == 0
+    # range predicates ignore blooms (min/max only) and stay sound
+    band = read_versioned(
+        spark, path, where=[("k", ">=", 100), ("k", "<", 110)]
+    ).collect()
+    assert sorted(r["k"] for r in band) == list(range(100, 110))
+
+
+def test_bloom_cols_inherited_through_upsert(spark, tmp_path):
+    """bloom_cols ride the manifest across commits: an upsert rewrites
+    only touched buckets, and the rewritten files get FRESH blooms
+    that see the new keys."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark,
+        _df(spark, [(k, f"r{k}", 1) for k in range(64)]),
+        path,
+        key="k",
+        bloom_cols=["k"],
+    )
+    upsert_versioned(
+        spark, path, _df(spark, [(999, "new", 2)]), "k", "ver"
+    )
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["bloom_cols"] == ["k"]
+    assert all("k" in e.get("bloom", {}) for e in m2["files"])
+    got = read_versioned(spark, path, where=("k", "=", 999))
+    assert [r["val"] for r in got.collect()] == ["new"]
+    # the new key lives in exactly one bucket file
+    assert len(got.inputFiles()) == 1, got.inputFiles()
