@@ -231,7 +231,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums = (
             sym.join(contrib, "s")
             .groupBy(F.col("d").alias("p"))
-            .agg(F.sum("c").alias("S"))
+            # decimal(38,0) unconditionally: S is bounded only by total
+            # rank mass (N·10¹²), so the 17·S damp product would wrap
+            # int64 once one node's incoming mass tops ~5.4e17 (a ~540k-
+            # node star) — the oracle's HUGEINT sum already has this
+            # headroom, and DIV on decimal returns bigint, so the output
+            # type is unchanged (round-12 ADVICE)
+            .agg(F.sum(F.expr("cast(c as decimal(38,0))")).alias("S"))
         )
         ranks = deg.join(sums, "p", "left").select(
             "p",

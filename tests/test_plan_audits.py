@@ -1150,3 +1150,121 @@ def test_ann_knn_join_shuffles_ids_not_vectors_for_candidates(
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         simcore.release_similarity_caches()
+
+
+def test_cumulative_distinct_has_no_distinct_in_window(spark, sf_dir):
+    """The scale claim: cumulative distinct is a running sum of
+    first-seen counts — the plan must contain NO count(distinct) and
+    only map-side-combinable aggregates; the one window runs over the
+    bounded day spine AFTER aggregation to day grain."""
+    from etl_pipeline_example_spark.plans.cumdistinct import (
+        q_cumulative_distinct,
+    )
+
+    plan = plan_str(q_cumulative_distinct(spark, sf_dir))
+    assert "distinct" not in plan.lower().replace(
+        "dropduplicates", ""
+    ) or "count(distinct" not in plan.lower(), plan
+    # partial aggregation present (map-side combine on the dedup pass)
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_proration_windows_are_order_partitioned(spark, sf_dir):
+    """Every window in the proration plan partitions by l_orderkey
+    (≤ basket-size state) — no unpartitioned window over the fact
+    table."""
+    from etl_pipeline_example_spark.plans.proration import q_proration
+
+    plan = plan_str(q_proration(spark, sf_dir))
+    import re
+
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert wins, plan
+    assert all("l_orderkey" in ln for ln in wins), wins
+
+
+def test_drift_tvd_is_one_fact_aggregate(spark, sf_dir):
+    """The corpus-scale work is ONE 20-cell aggregate: the scalar
+    bounds broadcast (BroadcastNestedLoopJoin of a 1-row frame), and
+    no exchange carries more than the bucket grain."""
+    from etl_pipeline_example_spark.plans.tvd import dq_drift_tvd
+
+    plan = plan_str(dq_drift_tvd(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # orders scans: one for the bounds, one for the histogram
+    assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_gopher_rules_fold_without_explode(spark, sf_dir):
+    """All four Gopher rules evaluate INSIDE the token array: the plan
+    must contain no Generate (explode) node — the shuffle carries only
+    the per-source census."""
+    from etl_pipeline_example_spark.operators.gopher import quality_gopher
+
+    plan = plan_str(quality_gopher(spark, sf_dir), mode="simple")
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_curriculum_has_no_global_sort_before_window(spark, sf_dir):
+    """Deciles come from broadcast percentile cuts and the position
+    window partitions by decile — the ONLY global sort allowed is the
+    final presentation ORDER BY, downstream of the window."""
+    from etl_pipeline_example_spark.operators.curriculum import (
+        mix_curriculum,
+    )
+    from etl_pipeline_example_spark.operators import simcore
+
+    try:
+        plan = plan_str(mix_curriculum(spark, sf_dir))
+        wins = [
+            ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+        ]
+        assert wins and all("decile" in ln for ln in wins), wins
+        # no ntile over an unpartitioned window anywhere ("percentile("
+        # contains "ntile(" as a substring — require the word boundary)
+        import re
+
+        assert not re.search(r"\bntile\(", plan), plan
+    finally:
+        simcore.release_similarity_caches()
+
+
+def test_multiprobe_expands_queries_not_corpus(spark, sf_dir):
+    """Multi-probe's scale claim: the Hamming-1 probe fan explodes the
+    broadcast QUERY side only — the corpus-side bucket table joins via
+    BroadcastHashJoin, and top-k plans as WindowGroupLimit (no global
+    sort)."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.operators.multiprobe import (
+        ann_multiprobe,
+    )
+
+    try:
+        plan = plan_str(ann_multiprobe(spark, sf_dir), mode="simple")
+        assert "BroadcastHashJoin" in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+        # the probe explode (Generate) must sit on the query branch —
+        # under the BroadcastExchange, never over the corpus scan
+        import re
+
+        bx = plan.find("BroadcastExchange")
+        gen = plan.find("Generate explode")
+        assert bx != -1 and gen != -1 and gen > bx, plan
+    finally:
+        simcore.release_similarity_caches()
+
+
+def test_assortativity_moment_pass_is_partial_aggregated(spark, sf_dir):
+    """The 2|E| moment pass must partial-aggregate map-side (the
+    shuffle carries moment partials, not edges) and reuse the
+    persisted edge/degree tables."""
+    from etl_pipeline_example_spark.operators import simcore
+    from etl_pipeline_example_spark.plans.assort import graph_assortativity
+
+    try:
+        plan = plan_str(graph_assortativity(spark, sf_dir))
+        assert "partial_sum" in plan or "partial" in plan, plan
+        assert plan.count("InMemoryTableScan") >= 2, plan
+    finally:
+        simcore.release_similarity_caches()
