@@ -241,6 +241,8 @@ from etl_pipeline_example_spark.operators import (
     SIGNSKETCH_QUERIES,
     MULTIPROBE_ORACLES,
     MULTIPROBE_QUERIES,
+    IVFBALANCE_ORACLES,
+    IVFBALANCE_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -379,6 +381,10 @@ from etl_pipeline_example_spark.plans import (
     ASSORT_QUERIES,
     BASKETLIFT_ORACLES,
     BASKETLIFT_QUERIES,
+    MOVERS_ORACLES,
+    MOVERS_QUERIES,
+    KEYCOLLISION_ORACLES,
+    KEYCOLLISION_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -660,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TVD_QUERIES)
     out.update(ASSORT_QUERIES)
     out.update(BASKETLIFT_QUERIES)
+    out.update(MOVERS_QUERIES)
+    out.update(KEYCOLLISION_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -668,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RANKSHIFT_QUERIES)
     out.update(SIGNSKETCH_QUERIES)
     out.update(MULTIPROBE_QUERIES)
+    out.update(IVFBALANCE_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -844,6 +853,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(TVD_ORACLES)
     out.update(ASSORT_ORACLES)
     out.update(BASKETLIFT_ORACLES)
+    out.update(MOVERS_ORACLES)
+    out.update(KEYCOLLISION_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)
@@ -852,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RANKSHIFT_ORACLES)
     out.update(SIGNSKETCH_ORACLES)
     out.update(MULTIPROBE_ORACLES)
+    out.update(IVFBALANCE_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

@@ -252,6 +252,10 @@ from etl_pipeline_example_spark.operators.multiprobe import (
     MULTIPROBE_QUERIES,
     MULTIPROBE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.ivfbalance import (
+    IVFBALANCE_QUERIES,
+    IVFBALANCE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -510,4 +514,6 @@ __all__ = [
     "SIGNSKETCH_ORACLES",
     "MULTIPROBE_QUERIES",
     "MULTIPROBE_ORACLES",
+    "IVFBALANCE_QUERIES",
+    "IVFBALANCE_ORACLES",
 ]

@@ -308,6 +308,14 @@ from etl_pipeline_example_spark.plans.basketlift import (
     BASKETLIFT_QUERIES,
     BASKETLIFT_ORACLES,
 )
+from etl_pipeline_example_spark.plans.movers import (
+    MOVERS_QUERIES,
+    MOVERS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.keycollision import (
+    KEYCOLLISION_QUERIES,
+    KEYCOLLISION_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -467,6 +475,10 @@ __all__ = [
     "ASSORT_ORACLES",
     "BASKETLIFT_QUERIES",
     "BASKETLIFT_ORACLES",
+    "MOVERS_QUERIES",
+    "MOVERS_ORACLES",
+    "KEYCOLLISION_QUERIES",
+    "KEYCOLLISION_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

@@ -347,3 +347,78 @@ def test_ann_multiprobe_finds_exact_duplicate(spark, tmp_path):
         r for r in rows if r["query_id"] == 0 and r["rank"] == 1
     )
     assert top0["neighbor_id"] == 5 and top0["cosine"] == 1.0, top0
+
+
+def test_top_movers_hand_computed(spark, tmp_path):
+    """Brand A: Jan 100 → Feb 150 (delta +50); brand B: Jan 10 →
+    Feb 5 (delta −5). A's swing ranks first; first observed months
+    emit no row."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.plans.movers import q_top_movers
+
+    _write(spark, tmp_path, "part", [(1, "A"), (2, "B")],
+           "p_partkey bigint, p_brand string")
+    _write(spark, tmp_path, "orders", [
+        (10, datetime(2024, 1, 5)), (11, datetime(2024, 2, 5)),
+    ], "o_orderkey bigint, o_orderdate timestamp")
+    _write(spark, tmp_path, "lineitem", [
+        (10, 1, 100.0, 0.0), (11, 1, 150.0, 0.0),
+        (10, 2, 10.0, 0.0), (11, 2, 5.0, 0.0),
+    ], "l_orderkey bigint, l_partkey bigint, l_extendedprice double,"
+       " l_discount double")
+    got = [
+        (r["p_brand"], str(r["month"]), r["rev"], r["prev_rev"], r["delta"])
+        for r in q_top_movers(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("A", "2024-02-01", 150.0, 100.0, 50.0),
+        ("B", "2024-02-01", 5.0, 10.0, -5.0),
+    ], got
+
+
+def test_key_collision_hand_computed(spark, tmp_path):
+    """part.p_name: 'Big Ring' and 'big ring' collapse to one
+    normalized key (1 colliding group, 2 trapped rows); every other
+    audited column is collision-free."""
+    from etl_pipeline_example_spark.plans.keycollision import (
+        dq_key_collision,
+    )
+
+    _write(spark, tmp_path, "part",
+           [(1, "Big Ring", "t"), (2, "big ring", "t"), (3, "bolt", "t")],
+           "p_partkey bigint, p_name string, p_type string")
+    _write(spark, tmp_path, "customer", [(1, "Customer#1"), (2, "Customer#2")],
+           "c_custkey bigint, c_name string")
+    _write(spark, tmp_path, "supplier", [(1, "S1")],
+           "s_suppkey bigint, s_name string")
+    got = {
+        r["table_col"]: (r["n_rows"], r["n_raw"], r["n_norm"],
+                         r["n_collide_groups"], r["n_collide_rows"])
+        for r in dq_key_collision(spark, str(tmp_path)).collect()
+    }
+    assert got["part.p_name"] == (3, 3, 2, 1, 2), got
+    assert got["part.p_type"] == (3, 1, 1, 0, 0), got
+    assert got["customer.c_name"] == (2, 2, 2, 0, 0), got
+    assert got["supplier.s_name"] == (1, 1, 1, 0, 0), got
+
+
+def test_ivf_balance_invariants(spark, tmp_path):
+    """Occupancies sum to N, imbalance shares sum to K (each cell's
+    share of the uniform ideal), distances are non-negative."""
+    import random
+
+    from etl_pipeline_example_spark.operators.ivfbalance import (
+        ann_ivf_balance,
+    )
+    from etl_pipeline_example_spark.operators.kmeans import KMEANS_K
+
+    rng = random.Random(7)
+    _write(spark, tmp_path, "embeddings", [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(40)
+    ], "vec_id bigint, embedding array<float>, label int")
+    rows = ann_ivf_balance(spark, str(tmp_path)).collect()
+    assert sum(r["n_vecs"] for r in rows) == 40
+    assert abs(sum(r["imbalance"] for r in rows) - KMEANS_K) < 1e-9
+    assert all(r["mean_dist"] >= 0 for r in rows)
+    assert len(rows) <= KMEANS_K
