@@ -69,9 +69,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return moments.select(
         "n_directed",
-        F.expr("cast(sum_x as decimal(38,0))").alias("sum_x"),
-        F.expr("cast(sum_xy as decimal(38,0))").alias("sum_xy"),
-        F.expr("cast(sum_x2 as decimal(38,0))").alias("sum_x2"),
+        # rendering only: the moments ACCUMULATE in decimal(38,0); both
+        # engines cast the identical exact decimal to double, so the
+        # comparison stays bit-exact (no-decimal-output policy)
+        F.expr("cast(sum_x as double)").alias("sum_x"),
+        F.expr("cast(sum_xy as double)").alias("sum_xy"),
+        F.expr("cast(sum_x2 as double)").alias("sum_x2"),
         F.expr(
             "(cast(n_directed as double) * cast(sum_xy as double)"
             " - cast(sum_x as double) * cast(sum_x as double))"
@@ -105,9 +108,9 @@ moments AS (
   JOIN degrees y ON directed.dst = y.p
 )
 SELECT n_directed,
-       cast(sum_x AS decimal(38,0)) AS sum_x,
-       cast(sum_xy AS decimal(38,0)) AS sum_xy,
-       cast(sum_x2 AS decimal(38,0)) AS sum_x2,
+       cast(sum_x AS double) AS sum_x,
+       cast(sum_xy AS double) AS sum_xy,
+       cast(sum_x2 AS double) AS sum_x2,
        (cast(n_directed AS double) * cast(sum_xy AS double)
         - cast(sum_x AS double) * cast(sum_x AS double))
        / (cast(n_directed AS double) * cast(sum_x2 AS double)

@@ -90,7 +90,16 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " * cast(sum(n_new) over () as double))"
             ),
         )
-        .select("bucket", "n_old", "n_new", "contrib", "tvd")
+        .select(
+            "bucket",
+            "n_old",
+            "n_new",
+            # rendering only: both engines cast the IDENTICAL exact
+            # decimal to double, so the comparison stays bit-exact
+            # (the registry-wide no-decimal-output policy)
+            F.expr("cast(contrib as double)").alias("contrib"),
+            "tvd",
+        )
         .orderBy("bucket")
     )
 
@@ -127,7 +136,8 @@ contribs AS (
          sum(n_new) OVER () AS tot_new
   FROM hist
 )
-SELECT cast(bucket AS bigint) AS bucket, n_old, n_new, contrib,
+SELECT cast(bucket AS bigint) AS bucket, n_old, n_new,
+       cast(contrib AS double) AS contrib,
        cast(sum(contrib) OVER () AS double)
          / (2.0 * cast(tot_old AS double) * cast(tot_new AS double)) AS tvd
 FROM contribs

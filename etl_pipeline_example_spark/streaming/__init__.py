@@ -40,6 +40,10 @@ from etl_pipeline_example_spark.streaming.ohlc import (
     OHLC_STREAM_QUERIES,
     OHLC_STREAM_ORACLES,
 )
+from etl_pipeline_example_spark.streaming.firstseen import (
+    FIRSTSEEN_STREAM_QUERIES,
+    FIRSTSEEN_STREAM_ORACLES,
+)
 
 STREAM_QUERIES.update(STATEFUL_QUERIES)
 STREAM_ORACLES.update(STATEFUL_ORACLES)
@@ -59,6 +63,8 @@ STREAM_QUERIES.update(TOPK_QUERIES)
 STREAM_ORACLES.update(TOPK_ORACLES)
 STREAM_QUERIES.update(OHLC_STREAM_QUERIES)
 STREAM_ORACLES.update(OHLC_STREAM_ORACLES)
+STREAM_QUERIES.update(FIRSTSEEN_STREAM_QUERIES)
+STREAM_ORACLES.update(FIRSTSEEN_STREAM_ORACLES)
 
 __all__ = [
     "STREAM_QUERIES",

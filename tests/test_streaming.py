@@ -250,3 +250,46 @@ def test_stream_sliding_double_counts_each_event(spark, tmp_path):
 def test_stream_ohlc_matches_batch_oracle(spark, duck, sf_dir):
     df = STREAM_QUERIES["stream_ohlc"](spark, sf_dir)
     assert_matches_oracle(df, duck, STREAM_ORACLES["stream_ohlc"])
+
+
+def test_stream_first_seen_matches_batch_oracle(spark, duck, sf_dir):
+    df = STREAM_QUERIES["stream_first_seen"](spark, sf_dir)
+    assert_matches_oracle(df, duck, STREAM_ORACLES["stream_first_seen"])
+
+
+def test_stream_first_seen_hand_computed(spark, tmp_path):
+    """u1 first on d1 (despite a later d2 event), u2 and u3 first on
+    d2 → counts 1, 2 and cumulative 1, 3 — min() is order-free, so
+    the drain is deterministic."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.streaming.firstseen import (
+        stream_first_seen,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 8), 1, "view", 1.0, "{}"),
+        (2, datetime(2024, 1, 2, 8), 1, "view", 1.0, "{}"),
+        (3, datetime(2024, 1, 2, 9), 2, "view", 1.0, "{}"),
+        (4, datetime(2024, 1, 2, 10), 3, "view", 1.0, "{}"),
+    ]
+    import glob as _glob
+    import shutil
+
+    staging = tmp_path / "staging"
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{staging}/events.parquet"
+    )
+    part = _glob.glob(f"{staging}/events.parquet/part-*.parquet")[0]
+    shutil.copy(part, corpus / "events.parquet")
+    got = [
+        (str(r["d"]), r["n_new"], r["cum_users"])
+        for r in stream_first_seen(spark, str(corpus)).collect()
+    ]
+    assert got == [("2024-01-01", 1, 1), ("2024-01-02", 2, 3)], got
