@@ -417,12 +417,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-14 PLAN (committed at round-13 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 16 round-13 additions, registration order:
+#   1. first evidence — the 17 round-13 additions, registration order:
 #      q_cumulative_distinct, q_stickiness, q_event_runs, q_proration,
 #      dq_drift_tvd, graph_assortativity, q_basket_lift, q_top_movers,
 #      dq_key_collision, quality_gopher, mix_curriculum,
 #      vocab_rank_shift, embed_sign_sketch, ann_multiprobe,
-#      ann_ivf_balance, dataset_card_diff;
+#      ann_ivf_balance, dataset_card_diff, stream_first_seen;
 #   2. the remaining r8-stale entries, oldest first: q_moving_avg,
 #      q_pivot_events, q_props_schema, q_running_sum, q_session_window,
 #      q_sessionize, q_set_ops, q_skew_join, q_stats, q_topn_window,
@@ -431,10 +431,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      stream_user_stats, tfidf_top, text_quality, text_langid,
 #      version_stamp, unpack_nested, token_count, text_charstats,
 #      stream_shard_feed (27);
-#   3. fill to exactly 50 with the 7 oldest r9-stale entries,
+#   3. fill to exactly 50 with the 6 oldest r9-stale entries,
 #      alphabetical: bigram_coverage, contamination_minhash,
-#      dedup_cluster, dedup_exact, dedup_minhash, dedup_simhash,
-#      dedup_substring — overflow rolls to r15. (The rows-only
+#      dedup_cluster, dedup_exact, dedup_minhash, dedup_simhash —
+#      overflow rolls to r15. (The rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry.)
