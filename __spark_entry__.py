@@ -385,6 +385,12 @@ from etl_pipeline_example_spark.plans import (
     MOVERS_QUERIES,
     KEYCOLLISION_ORACLES,
     KEYCOLLISION_QUERIES,
+    CLUSTERCOEFF_ORACLES,
+    CLUSTERCOEFF_QUERIES,
+    BOUNCE_ORACLES,
+    BOUNCE_QUERIES,
+    AUDIENCE_ORACLES,
+    AUDIENCE_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -417,10 +423,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-14 PLAN (committed at round-13 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 17 round-13 additions, registration order:
+#   1. first evidence — the 20 round-13 additions, registration order:
 #      q_cumulative_distinct, q_stickiness, q_event_runs, q_proration,
 #      dq_drift_tvd, graph_assortativity, q_basket_lift, q_top_movers,
-#      dq_key_collision, quality_gopher, mix_curriculum,
+#      dq_key_collision, graph_clustering_coeff, q_bounce_rate,
+#      q_audience_overlap, quality_gopher, mix_curriculum,
 #      vocab_rank_shift, embed_sign_sketch, ann_multiprobe,
 #      ann_ivf_balance, dataset_card_diff, stream_first_seen;
 #   2. the remaining r8-stale entries, oldest first: q_moving_avg,
@@ -431,10 +438,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      stream_user_stats, tfidf_top, text_quality, text_langid,
 #      version_stamp, unpack_nested, token_count, text_charstats,
 #      stream_shard_feed (27);
-#   3. fill to exactly 50 with the 6 oldest r9-stale entries,
+#   3. fill to exactly 50 with the 3 oldest r9-stale entries,
 #      alphabetical: bigram_coverage, contamination_minhash,
-#      dedup_cluster, dedup_exact, dedup_minhash, dedup_simhash —
-#      overflow rolls to r15. (The rows-only
+#      dedup_cluster — overflow rolls to r15. (The rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry.)
@@ -676,6 +682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BASKETLIFT_QUERIES)
     out.update(MOVERS_QUERIES)
     out.update(KEYCOLLISION_QUERIES)
+    out.update(CLUSTERCOEFF_QUERIES)
+    out.update(BOUNCE_QUERIES)
+    out.update(AUDIENCE_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -863,6 +872,9 @@ def oracle_sql() -> dict[str, str]:
     out.update(BASKETLIFT_ORACLES)
     out.update(MOVERS_ORACLES)
     out.update(KEYCOLLISION_ORACLES)
+    out.update(CLUSTERCOEFF_ORACLES)
+    out.update(BOUNCE_ORACLES)
+    out.update(AUDIENCE_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

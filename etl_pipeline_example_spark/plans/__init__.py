@@ -316,6 +316,18 @@ from etl_pipeline_example_spark.plans.keycollision import (
     KEYCOLLISION_QUERIES,
     KEYCOLLISION_ORACLES,
 )
+from etl_pipeline_example_spark.plans.clustercoeff import (
+    CLUSTERCOEFF_QUERIES,
+    CLUSTERCOEFF_ORACLES,
+)
+from etl_pipeline_example_spark.plans.bounce import (
+    BOUNCE_QUERIES,
+    BOUNCE_ORACLES,
+)
+from etl_pipeline_example_spark.plans.audience import (
+    AUDIENCE_QUERIES,
+    AUDIENCE_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -479,6 +491,12 @@ __all__ = [
     "MOVERS_ORACLES",
     "KEYCOLLISION_QUERIES",
     "KEYCOLLISION_ORACLES",
+    "CLUSTERCOEFF_QUERIES",
+    "CLUSTERCOEFF_ORACLES",
+    "BOUNCE_QUERIES",
+    "BOUNCE_ORACLES",
+    "AUDIENCE_QUERIES",
+    "AUDIENCE_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

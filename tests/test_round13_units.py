@@ -422,3 +422,68 @@ def test_ivf_balance_invariants(spark, tmp_path):
     assert abs(sum(r["imbalance"] for r in rows) - KMEANS_K) < 1e-9
     assert all(r["mean_dist"] >= 0 for r in rows)
     assert len(rows) <= KMEANS_K
+
+
+def test_clustering_coeff_triangle_plus_tail(spark, tmp_path):
+    """Triangle 1-2-3 plus pendant 4 on vertex 3: T=1, degrees
+    (1,2)→2, 3→3, 4→1 → wedges = 1+1+3+0 = 5, C = 3/5."""
+    from etl_pipeline_example_spark.plans.clustercoeff import (
+        graph_clustering_coeff,
+    )
+
+    # baskets: {1,2},{2,3},{1,3} form the triangle; {3,4} the tail
+    _write(spark, tmp_path, "lineitem", [
+        (1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 3), (4, 4),
+    ], "l_orderkey bigint, l_partkey bigint")
+    r = graph_clustering_coeff(spark, str(tmp_path)).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 4, 1)
+    assert r["n_wedges"] == 5.0
+    assert r["global_cc"] == 0.6, r
+
+
+def test_bounce_rate_hand_computed(spark, tmp_path):
+    """u1: two events 10 min apart → one 2-event session (no bounce);
+    u2: one event → bounce; u3: two events 40 min apart → two
+    1-event sessions (2 bounces). Day total: 4 sessions, 3 bounces."""
+    from etl_pipeline_example_spark.plans.bounce import q_bounce_rate
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T08:10:00", 1, "view", 1.0),
+        (3, "2024-01-01T09:00:00", 2, "view", 1.0),
+        (4, "2024-01-01T10:00:00", 3, "view", 1.0),
+        (5, "2024-01-01T10:40:00", 3, "view", 1.0),
+    ])
+    got = [
+        (str(r["day"]), r["n_sessions"], r["n_bounces"], r["bounce_rate"])
+        for r in q_bounce_rate(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("2024-01-01", 4, 3, 0.75)], got
+
+
+def test_audience_overlap_hand_computed(spark, tmp_path):
+    """users(A) = {1,2,3}, users(B) = {2,3}, users(C) = {3}:
+    A∩B = 2 → J = 2/3; A∩C = 1 → J = 1/3; B∩C = 1 → J = 1/2."""
+    from etl_pipeline_example_spark.plans.audience import (
+        q_audience_overlap,
+    )
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "A", 1.0),
+        (2, "2024-01-01T08:01:00", 2, "A", 1.0),
+        (3, "2024-01-01T08:02:00", 3, "A", 1.0),
+        (4, "2024-01-01T08:03:00", 2, "B", 1.0),
+        (5, "2024-01-01T08:04:00", 3, "B", 1.0),
+        (6, "2024-01-01T08:05:00", 3, "C", 1.0),
+        (7, "2024-01-01T08:06:00", 3, "C", 1.0),  # dup: lattice dedups
+    ])
+    got = [
+        (r["type_a"], r["type_b"], r["n_a"], r["n_b"], r["n_both"],
+         r["jaccard"])
+        for r in q_audience_overlap(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        ("A", "B", 3, 2, 2, 2.0 / 3.0),
+        ("A", "C", 3, 1, 1, 1.0 / 3.0),
+        ("B", "C", 2, 1, 1, 0.5),
+    ], got
