@@ -391,6 +391,8 @@ from etl_pipeline_example_spark.plans import (
     BOUNCE_QUERIES,
     AUDIENCE_ORACLES,
     AUDIENCE_QUERIES,
+    IVM_ORACLES,
+    IVM_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -423,13 +425,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-14 PLAN (committed at round-13 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 20 round-13 additions, registration order:
+#   1. first evidence — the 21 round-13 additions, registration order:
 #      q_cumulative_distinct, q_stickiness, q_event_runs, q_proration,
 #      dq_drift_tvd, graph_assortativity, q_basket_lift, q_top_movers,
 #      dq_key_collision, graph_clustering_coeff, q_bounce_rate,
-#      q_audience_overlap, quality_gopher, mix_curriculum,
-#      vocab_rank_shift, embed_sign_sketch, ann_multiprobe,
-#      ann_ivf_balance, dataset_card_diff, stream_first_seen;
+#      q_audience_overlap, cdc_ivm_rollup, quality_gopher,
+#      mix_curriculum, vocab_rank_shift, embed_sign_sketch,
+#      ann_multiprobe, ann_ivf_balance, dataset_card_diff,
+#      stream_first_seen;
 #   2. the remaining r8-stale entries, oldest first: q_moving_avg,
 #      q_pivot_events, q_props_schema, q_running_sum, q_session_window,
 #      q_sessionize, q_set_ops, q_skew_join, q_stats, q_topn_window,
@@ -438,9 +441,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      stream_user_stats, tfidf_top, text_quality, text_langid,
 #      version_stamp, unpack_nested, token_count, text_charstats,
 #      stream_shard_feed (27);
-#   3. fill to exactly 50 with the 3 oldest r9-stale entries,
-#      alphabetical: bigram_coverage, contamination_minhash,
-#      dedup_cluster — overflow rolls to r15. (The rows-only
+#   3. fill to exactly 50 with the 2 oldest r9-stale entries,
+#      alphabetical: bigram_coverage, contamination_minhash —
+#      overflow rolls to r15. (The rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry.)
@@ -685,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CLUSTERCOEFF_QUERIES)
     out.update(BOUNCE_QUERIES)
     out.update(AUDIENCE_QUERIES)
+    out.update(IVM_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -875,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CLUSTERCOEFF_ORACLES)
     out.update(BOUNCE_ORACLES)
     out.update(AUDIENCE_ORACLES)
+    out.update(IVM_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

@@ -328,6 +328,10 @@ from etl_pipeline_example_spark.plans.audience import (
     AUDIENCE_QUERIES,
     AUDIENCE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.ivm import (
+    IVM_QUERIES,
+    IVM_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -497,6 +501,8 @@ __all__ = [
     "BOUNCE_ORACLES",
     "AUDIENCE_QUERIES",
     "AUDIENCE_ORACLES",
+    "IVM_QUERIES",
+    "IVM_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

@@ -487,3 +487,28 @@ def test_audience_overlap_hand_computed(spark, tmp_path):
         ("A", "C", 3, 1, 1, 1.0 / 3.0),
         ("B", "C", 2, 1, 1, 0.5),
     ], got
+
+
+def test_ivm_rollup_hand_computed(spark, tmp_path):
+    """Base statuses (keys ∤3): k1 'O', k2 'O', k4 'F'. Log: k1→'A'
+    (update: O−1, A+1), k2 delete (O−1), k5 insert 'A' (A+1), k4
+    delete-of-R... plant ops precisely: expect O: 2→0, F: 1→1,
+    A: 0→2 — the incremental deltas must land the recompute state."""
+    from etl_pipeline_example_spark.plans.ivm import cdc_ivm_rollup
+
+    # BASE_PRED keeps o_orderkey % 3 != 0 → keys 1, 2, 4 stay
+    _write(spark, tmp_path, "orders", [
+        (1, "O", "p"), (2, "O", "p"), (3, "F", "p"), (4, "F", "p"),
+    ], "o_orderkey bigint, o_orderstatus string, o_orderpriority string")
+    # OP_EXPR: returnflag 'R' → delete, else update to l_linestatus
+    _write(spark, tmp_path, "lineitem", [
+        (1, 1, "N", "A"),   # update k1 → A
+        (2, 1, "R", "X"),   # delete k2
+        (5, 1, "N", "A"),   # insert k5 as A
+    ], "l_orderkey bigint, l_linenumber int, l_returnflag string,"
+       " l_linestatus string")
+    got = [
+        (r["status"], r["n_base"], r["delta"], r["n_new"])
+        for r in cdc_ivm_rollup(spark, str(tmp_path)).collect()
+    ]
+    assert got == [("A", 0, 2, 2), ("F", 1, 0, 1), ("O", 2, -2, 0)], got
