@@ -12,10 +12,11 @@ comes by inclusion–exclusion from the marginals instead of a second
 pass. Jaccard stays a single double division over exact integers
 (the HHI discipline).
 
-Scale: one map-side-combined (user, type) dedup shuffle feeds the
-lattice, the self-join co-locates on user_id (same key — no second
-exchange), marginals re-roll from the lattice, and the output is the
-type-pair matrix: bounded, SF-invariant.
+Scale: ONE map-side-combined (user, type) dedup shuffle builds the
+lattice, persisted so its three consumers (both self-join sides and
+the marginals) read the cache instead of re-running the corpus scan;
+every downstream exchange carries lattice- or type-grain rows, never
+raw events. Output is the type-pair matrix: bounded, SF-invariant.
 
 No reference counterpart (305-LoC Glue ETL); engine surface,
 SURVEY.md §2. Registered beyond the round-13 grading window — first
@@ -29,6 +30,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 
@@ -37,7 +42,12 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every ordered event-type pair."""
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_type")
     dp = spark.sparkContext.defaultParallelism
-    lattice = (
+    release_similarity_caches()
+    # PERSISTED (tracked): three consumers below (self-join twice +
+    # marginals) — without it each re-runs the dedup shuffle; the
+    # cached partitioning (user_id subset) also lets the self-join
+    # reuse the exchange instead of re-hashing both branches
+    lattice = tracked_persist(
         ev.repartition(dp, "user_id")
         .groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("_n"))
