@@ -243,6 +243,8 @@ from etl_pipeline_example_spark.operators import (
     MULTIPROBE_QUERIES,
     IVFBALANCE_ORACLES,
     IVFBALANCE_QUERIES,
+    COSINEHIST_ORACLES,
+    COSINEHIST_QUERIES,
 )
 from etl_pipeline_example_spark.plans import (
     LATEST_ORACLES,
@@ -393,6 +395,10 @@ from etl_pipeline_example_spark.plans import (
     AUDIENCE_QUERIES,
     IVM_ORACLES,
     IVM_QUERIES,
+    SESSIONDEPTH_ORACLES,
+    SESSIONDEPTH_QUERIES,
+    NULLCENSUS_ORACLES,
+    NULLCENSUS_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -425,13 +431,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-14 PLAN (committed at round-13 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 21 round-13 additions, registration order:
+#   1. first evidence — the 24 round-13 additions, registration order:
 #      q_cumulative_distinct, q_stickiness, q_event_runs, q_proration,
 #      dq_drift_tvd, graph_assortativity, q_basket_lift, q_top_movers,
 #      dq_key_collision, graph_clustering_coeff, q_bounce_rate,
-#      q_audience_overlap, cdc_ivm_rollup, quality_gopher,
-#      mix_curriculum, vocab_rank_shift, embed_sign_sketch,
-#      ann_multiprobe, ann_ivf_balance, dataset_card_diff,
+#      q_audience_overlap, cdc_ivm_rollup, q_session_depth_hist,
+#      dq_null_census, quality_gopher, mix_curriculum,
+#      vocab_rank_shift, embed_sign_sketch, ann_multiprobe,
+#      ann_ivf_balance, embed_cosine_hist, dataset_card_diff,
 #      stream_first_seen;
 #   2. the remaining r8-stale entries, oldest first: q_moving_avg,
 #      q_pivot_events, q_props_schema, q_running_sum, q_session_window,
@@ -440,10 +447,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      stream_enrich, stream_events, stream_join, stream_sessions,
 #      stream_user_stats, tfidf_top, text_quality, text_langid,
 #      version_stamp, unpack_nested, token_count, text_charstats,
-#      stream_shard_feed (27);
-#   3. fill to exactly 50 with the 2 oldest r9-stale entries,
-#      alphabetical: bigram_coverage, contamination_minhash —
-#      overflow rolls to r15. (The rows-only
+#      stream_shard_feed (27) — the final stream_shard_feed slot
+#      yields if needed so the window is exactly 50: 24 + 26 = 50,
+#      stream_shard_feed rolls to r15 with the rest. (The rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry.)
@@ -689,6 +695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BOUNCE_QUERIES)
     out.update(AUDIENCE_QUERIES)
     out.update(IVM_QUERIES)
+    out.update(SESSIONDEPTH_QUERIES)
+    out.update(NULLCENSUS_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -698,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SIGNSKETCH_QUERIES)
     out.update(MULTIPROBE_QUERIES)
     out.update(IVFBALANCE_QUERIES)
+    out.update(COSINEHIST_QUERIES)
     out.update(SURVIVOR_QUERIES)
     out.update(LANGEVAL_QUERIES)
     out.update(CHARTRIGRAM_QUERIES)
@@ -880,6 +889,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(BOUNCE_ORACLES)
     out.update(AUDIENCE_ORACLES)
     out.update(IVM_ORACLES)
+    out.update(SESSIONDEPTH_ORACLES)
+    out.update(NULLCENSUS_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)
@@ -889,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SIGNSKETCH_ORACLES)
     out.update(MULTIPROBE_ORACLES)
     out.update(IVFBALANCE_ORACLES)
+    out.update(COSINEHIST_ORACLES)
     out.update(SURVIVOR_ORACLES)
     out.update(LANGEVAL_ORACLES)
     out.update(CHARTRIGRAM_ORACLES)

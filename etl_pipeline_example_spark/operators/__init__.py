@@ -256,6 +256,10 @@ from etl_pipeline_example_spark.operators.ivfbalance import (
     IVFBALANCE_QUERIES,
     IVFBALANCE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.cosinehist import (
+    COSINEHIST_QUERIES,
+    COSINEHIST_ORACLES,
+)
 from etl_pipeline_example_spark.operators.clustertopics import (
     CLUSTERTOPICS_QUERIES,
     CLUSTERTOPICS_ORACLES,
@@ -516,4 +520,6 @@ __all__ = [
     "MULTIPROBE_ORACLES",
     "IVFBALANCE_QUERIES",
     "IVFBALANCE_ORACLES",
+    "COSINEHIST_QUERIES",
+    "COSINEHIST_ORACLES",
 ]

@@ -332,6 +332,14 @@ from etl_pipeline_example_spark.plans.ivm import (
     IVM_QUERIES,
     IVM_ORACLES,
 )
+from etl_pipeline_example_spark.plans.sessiondepth import (
+    SESSIONDEPTH_QUERIES,
+    SESSIONDEPTH_ORACLES,
+)
+from etl_pipeline_example_spark.plans.nullcensus import (
+    NULLCENSUS_QUERIES,
+    NULLCENSUS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -503,6 +511,10 @@ __all__ = [
     "AUDIENCE_ORACLES",
     "IVM_QUERIES",
     "IVM_ORACLES",
+    "SESSIONDEPTH_QUERIES",
+    "SESSIONDEPTH_ORACLES",
+    "NULLCENSUS_QUERIES",
+    "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",
     "PATTERN_QUERIES",

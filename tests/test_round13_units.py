@@ -512,3 +512,98 @@ def test_ivm_rollup_hand_computed(spark, tmp_path):
         for r in cdc_ivm_rollup(spark, str(tmp_path)).collect()
     ]
     assert got == [("A", 0, 2, 2), ("F", 1, 0, 1), ("O", 2, -2, 0)], got
+
+
+def test_session_depth_hist_hand_computed(spark, tmp_path):
+    """Sessions of depth 2, 1, 1, 1 (same fixture logic as the bounce
+    test) → hist: depth 1 ×3 (share 0.75), depth 2 ×1 (share 0.25)."""
+    from etl_pipeline_example_spark.plans.sessiondepth import (
+        q_session_depth_hist,
+    )
+
+    _events(spark, tmp_path, [
+        (1, "2024-01-01T08:00:00", 1, "view", 1.0),
+        (2, "2024-01-01T08:10:00", 1, "view", 1.0),
+        (3, "2024-01-01T09:00:00", 2, "view", 1.0),
+        (4, "2024-01-01T10:00:00", 3, "view", 1.0),
+        (5, "2024-01-01T10:40:00", 3, "view", 1.0),
+    ])
+    got = [
+        (r["depth"], r["n_sessions"], r["share"])
+        for r in q_session_depth_hist(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 3, 0.75), (2, 1, 0.25)], got
+
+
+def test_cosine_hist_duplicate_lands_in_top_bin(spark, tmp_path):
+    """vec 1 duplicates vec 0 → their candidate pair scores cosine
+    1.0, which must land in the top bin (19); total pair mass equals
+    the histogram mass."""
+    import random
+
+    from etl_pipeline_example_spark.operators.cosinehist import (
+        embed_cosine_hist,
+    )
+
+    rng = random.Random(99)
+    vecs = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(10)]
+    vecs[1] = list(vecs[0])
+    _write(spark, tmp_path, "embeddings", [
+        (i, v, 0) for i, v in enumerate(vecs)
+    ], "vec_id bigint, embedding array<float>, label int")
+    rows = embed_cosine_hist(spark, str(tmp_path)).collect()
+    by_bin = {r["bin"]: r["n_pairs"] for r in rows}
+    assert by_bin.get(19, 0) >= 1, by_bin
+    assert all(r["lo"] == -1.0 + r["bin"] / 10.0 for r in rows)
+
+
+def test_null_census_counts_planted_nulls(spark, tmp_path):
+    """Every testdata table gets a 1-row fixture; documents carries a
+    planted NULL lang and events a NULL props — the census must count
+    exactly those."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.plans.nullcensus import dq_null_census
+
+    _write(spark, tmp_path, "region", [(0, "r")],
+           "r_regionkey bigint, r_name string")
+    _write(spark, tmp_path, "nation", [(0, "n", 0)],
+           "n_nationkey bigint, n_name string, n_regionkey bigint")
+    _write(spark, tmp_path, "customer", [(1, "c", 0, 1.0, "SEG")],
+           "c_custkey bigint, c_name string, c_nationkey bigint,"
+           " c_acctbal double, c_mktsegment string")
+    _write(spark, tmp_path, "supplier", [(1, "s", 0, 1.0)],
+           "s_suppkey bigint, s_name string, s_nationkey bigint,"
+           " s_acctbal double")
+    _write(spark, tmp_path, "part", [(1, "p", "b", "t", 1, 1.0)],
+           "p_partkey bigint, p_name string, p_brand string,"
+           " p_type string, p_size int, p_retailprice double")
+    _write(spark, tmp_path, "orders",
+           [(1, 1, "O", 1.0, datetime(2024, 1, 1), "1-URGENT")],
+           "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+           " o_totalprice double, o_orderdate timestamp,"
+           " o_orderpriority string")
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+             datetime(2024, 1, 2))],
+           "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+           " l_linenumber int, l_quantity double, l_extendedprice double,"
+           " l_discount double, l_tax double, l_returnflag string,"
+           " l_linestatus string, l_shipdate timestamp")
+    _write(spark, tmp_path, "events",
+           [(1, datetime(2024, 1, 1), 1, "view", 1.0, None)],
+           "event_id bigint, ts timestamp, user_id bigint,"
+           " event_type string, value double, props string")
+    _write(spark, tmp_path, "documents", [(1, "t", None, "s", 1)],
+           "doc_id bigint, text string, lang string, source string,"
+           " n_chars bigint")
+    _write(spark, tmp_path, "embeddings", [(0, [1.0], 0)],
+           "vec_id bigint, embedding array<float>, label int")
+    got = {
+        r["table_col"]: (r["n_rows"], r["n_null"])
+        for r in dq_null_census(spark, str(tmp_path)).collect()
+    }
+    assert len(got) == 51  # 2+3+5+4+6+6+11+6+5+3 columns
+    assert got["documents.lang"] == (1, 1), got["documents.lang"]
+    assert got["events.props"] == (1, 1), got["events.props"]
+    assert sum(n for _, n in got.values()) == 2
