@@ -417,11 +417,31 @@ def _attach_file_blooms(
             e["bloom"] = by_rel[e["path"]]
 
 
-def _bloom_may_match(entry: dict, col: str, val) -> bool:
+_BLOOM_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _bloom_may_match(entry: dict, col: str, val, coltype: str) -> bool:
     """False only when the file's bloom PROVES ``col = val`` matches no
-    row; files without a bloom for ``col`` always pass."""
+    row; files without a bloom for ``col`` always pass.
+
+    The bloom is only consulted when the probe value's Python ``str()``
+    rendering provably equals Spark's cast-to-string of a matching
+    column value — an int probe against an int column, or a str probe
+    against a string column. Anything else (float probe on an int
+    column renders '7.0' vs '7', bool renders 'True' vs 'true') would
+    hash differently than the build side and SILENTLY prune files that
+    hold matching rows, so those probes fall through to min/max + row
+    filters (sound, just unpruned)."""
     bx = entry.get("bloom", {}).get(col)
     if not bx:
+        return True
+    if coltype in _BLOOM_INT_TYPES:
+        if not isinstance(val, int) or isinstance(val, bool):
+            return True
+    elif coltype == "string":
+        if not isinstance(val, str):
+            return True
+    else:
         return True
     mask = int(bx, 16)
     return all((mask >> p) & 1 for p in _bloom_pos_py(val))
@@ -534,6 +554,18 @@ def write_versioned(
             bloom_cols = prev.get("bloom_cols")
         if cluster_by is None and key is None:
             cluster_by = prev.get("cluster_by")
+            if cluster_by is not None:
+                cluster_files = prev.get("cluster_files", cluster_files)
+    # re-check AFTER key inheritance: an explicit cluster_by against a
+    # table whose (inherited) layout is keyed must fail loudly, not
+    # silently take the keyed branch while the manifest records a
+    # clustering that was never applied
+    if cluster_by is not None and key is not None:
+        raise ValueError(
+            "cluster_by requested but the table's inherited layout is"
+            f" hash-bucketed on key={key!r}; the layouts are mutually"
+            " exclusive — re-key or re-create the table"
+        )
     if cluster_by is not None:
         stats_cols = list(stats_cols or [])
         if cluster_by not in stats_cols:
@@ -568,6 +600,7 @@ def write_versioned(
             "stats_cols": stats_cols or [],
             "bloom_cols": bloom_cols or [],
             "cluster_by": cluster_by,
+            "cluster_files": cluster_files if cluster_by is not None else None,
             "files": files,
         },
     )
@@ -636,12 +669,18 @@ def read_versioned(
     manifest = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     preds = _normalize_where(where)
+    coltypes = {
+        f.name: f.dataType.simpleString() for f in schema.fields
+    }
     files = [
         e
         for e in manifest["files"]
         if all(
             _file_may_match(e, c, op, val)
-            and (op not in ("=", "==") or _bloom_may_match(e, c, val))
+            and (
+                op not in ("=", "==")
+                or _bloom_may_match(e, c, val, coltypes.get(c, ""))
+            )
             for c, op, val in preds
         )
     ]
@@ -854,6 +893,40 @@ def compact_versioned(
     version = _versions(spark, path)[-1] + 1
     schema = StructType.fromJson(json.loads(manifest["schema"]))
     fmt = data_format or manifest.get("format", "parquet")
+    cluster_by = manifest.get("cluster_by")
+    if cluster_by is not None:
+        # range layout: the bucket-granular coalesce below would merge
+        # every sorted stripe (they all share bucket 0) into ONE file
+        # and destroy the disjoint min/max stripes where= pruning relies
+        # on — so a clustered table compacts by RE-CLUSTERING back to
+        # its recorded stripe count instead, preserving the layout
+        cfiles = manifest.get("cluster_files") or DEFAULT_BUCKETS
+        if len(manifest["files"]) <= cfiles:
+            return current_v  # already at target granularity: no-op
+        df = read_versioned(spark, path, version=current_v)
+        files = _write_bucketed(
+            spark,
+            df,
+            path,
+            _new_vdir(path, version),
+            None,
+            1,
+            fmt,
+            cluster_by=cluster_by,
+            cluster_files=cfiles,
+        )
+        _attach_file_stats(
+            spark, path, files, manifest.get("stats_cols", []), fmt, schema
+        )
+        _attach_file_blooms(
+            spark, path, files, manifest.get("bloom_cols", []), fmt, schema
+        )
+        _commit_manifest(
+            spark, path, version,
+            {**manifest, "version": version, "files": files},
+        )
+        _write_pointer(spark, path, version)
+        return version
     by_bucket: dict[int, list[str]] = {}
     for e in manifest["files"]:
         by_bucket.setdefault(e["bucket"], []).append(e["path"])

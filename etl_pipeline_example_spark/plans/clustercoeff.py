@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from etl_pipeline_example_spark.operators.simcore import tracked_persist
 from etl_pipeline_example_spark.plans.graph import (
     GRAPH_TRIANGLES_SQL,
+    _EDGES_SQL,
     _degrees,
     _edges,
     graph_triangles,
@@ -75,22 +76,9 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_CLUSTERING_COEFF_SQL = f"""
 WITH tri3 AS ({GRAPH_TRIANGLES_SQL}),
 deg2 AS (
+  WITH {_EDGES_SQL}
   SELECT p, count(*) AS deg FROM (
-    SELECT u AS p FROM (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-        ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey
-    )
-    UNION ALL
-    SELECT v AS p FROM (
-      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-        ON a.l_orderkey = b.l_orderkey
-      WHERE a.l_partkey < b.l_partkey
-    )
+    SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges
   ) GROUP BY 1
 ),
 wed AS (

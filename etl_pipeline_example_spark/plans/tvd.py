@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.sources.readers import read_table
@@ -68,9 +68,6 @@ def dq_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
             F.sum(F.when(F.col("is_old"), 0).otherwise(1)).alias("n_new"),
         )
-    )
-    tot = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
     )
     return (
         cells.withColumn(

@@ -975,3 +975,79 @@ def test_bloom_cols_inherited_through_upsert(spark, tmp_path):
     assert [r["val"] for r in got.collect()] == ["new"]
     # the new key lives in exactly one bucket file
     assert len(got.inputFiles()) == 1, got.inputFiles()
+
+
+def test_bloom_ignores_type_mismatched_probes(spark, tmp_path):
+    """A float probe against a bigint bloom column renders '7.0' on
+    the probe side vs '7' on the build side — the bloom must NOT be
+    consulted (review finding: it silently pruned every file), and the
+    row filter still matches."""
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark,
+        spark.createDataFrame(
+            [(k, f"r{k}", 1) for k in range(100)],
+            "k bigint, val string, ver int",
+        ).repartition(4),
+        path,
+        bloom_cols=["k"],
+    )
+    got = read_versioned(spark, path, where=("k", "=", 7.0)).collect()
+    assert [(r["k"], r["val"]) for r in got] == [(7, "r7")]
+    # the exact-typed probe still prunes
+    typed = read_versioned(spark, path, where=("k", "=", 7))
+    assert len(typed.inputFiles()) <= 2
+
+
+def test_cluster_by_on_inherited_keyed_table_raises(spark, tmp_path):
+    """Review finding: cluster_by on a table whose layout is inherited
+    hash-bucketed silently took the keyed branch while the manifest
+    recorded a clustering that never happened — now it raises."""
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    with pytest.raises(ValueError, match="inherited layout is"):
+        write_versioned(
+            spark, _df(spark, [(2, "b", 1)]), path, cluster_by="ver"
+        )
+
+
+def test_compact_preserves_cluster_layout(spark, tmp_path):
+    """Review finding: bucket-granular compaction merged every sorted
+    stripe (all bucket 0) into ONE file, destroying the disjoint
+    min/max stripes while the manifest still claimed cluster_by. Now:
+    a tidy clustered table is a metadata no-op, and cluster_files is
+    persisted + inherited so later commits keep the granularity."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        compact_versioned,
+    )
+
+    rows = [(k, f"r{k}", 1) for k in range(800)]
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark,
+        spark.createDataFrame(
+            rows, "k bigint, val string, ver int"
+        ).repartition(8),
+        path,
+        cluster_by="k",
+        cluster_files=8,
+    )
+    # tidy table: compaction must NOT collapse the stripes
+    v = compact_versioned(spark, path)
+    assert v == 1  # no-op, no new version
+    m = _read_manifest(spark, path, 1)
+    assert len(m["files"]) == 8 and m["cluster_files"] == 8
+    pruned = read_versioned(spark, path, where=("k", "=", 123))
+    assert len(pruned.inputFiles()) <= 2
+    # a later unkeyed commit inherits BOTH cluster_by and cluster_files
+    write_versioned(
+        spark,
+        spark.createDataFrame(
+            rows, "k bigint, val string, ver int"
+        ).repartition(8),
+        path,
+    )
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["cluster_by"] == "k" and m2["cluster_files"] == 8
+    assert len(m2["files"]) == 8
