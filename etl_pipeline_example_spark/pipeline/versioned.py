@@ -381,9 +381,16 @@ def _attach_file_blooms(
         for f in schema.fields
         if f.name in cols
     }
-    usable = [c for c in cols if typed.get(c) in _BLOOM_TYPES]
-    if not usable:
-        return
+    bad = [c for c in cols if typed.get(c) not in _BLOOM_TYPES]
+    if bad:
+        # loud like the cluster_by-vs-key conflict: a silently dropped
+        # bloom column would leave the caller believing point lookups
+        # prune when they scan every file
+        raise ValueError(
+            f"bloom_cols {bad} absent from the schema or not a"
+            f" bloomable type (supported: {list(_BLOOM_TYPES)})"
+        )
+    usable = list(cols)
     paths = [posixpath.join(path, e["path"]) for e in entries]
     aggs = []
     for ci, c in enumerate(usable):
@@ -501,7 +508,7 @@ def write_versioned(
     nbuckets: int = DEFAULT_BUCKETS,
     stats_cols: list[str] | None = None,
     cluster_by: str | None = None,
-    cluster_files: int = DEFAULT_BUCKETS,
+    cluster_files: int | None = None,
     bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next version of ``path`` and swing the
@@ -554,8 +561,12 @@ def write_versioned(
             bloom_cols = prev.get("bloom_cols")
         if cluster_by is None and key is None:
             cluster_by = prev.get("cluster_by")
-            if cluster_by is not None:
-                cluster_files = prev.get("cluster_files", cluster_files)
+            if cluster_by is not None and cluster_files is None:
+                # inherit stripe granularity only when the caller did
+                # not pass one — None is the "not passed" sentinel, so
+                # an explicit cluster_files can re-stripe an inherited
+                # layout without re-passing cluster_by
+                cluster_files = prev.get("cluster_files")
     # re-check AFTER key inheritance: an explicit cluster_by against a
     # table whose (inherited) layout is keyed must fail loudly, not
     # silently take the keyed branch while the manifest records a
@@ -567,6 +578,8 @@ def write_versioned(
             " exclusive — re-key or re-create the table"
         )
     if cluster_by is not None:
+        if cluster_files is None:
+            cluster_files = DEFAULT_BUCKETS
         stats_cols = list(stats_cols or [])
         if cluster_by not in stats_cols:
             stats_cols.append(cluster_by)
@@ -892,7 +905,12 @@ def compact_versioned(
     manifest = _read_manifest(spark, path, current_v)
     version = _versions(spark, path)[-1] + 1
     schema = StructType.fromJson(json.loads(manifest["schema"]))
-    fmt = data_format or manifest.get("format", "parquet")
+    old_fmt = manifest.get("format", "parquet")
+    fmt = data_format or old_fmt
+    # a format override rewrites EVERY file (kept-by-reference files
+    # would otherwise stay in the old format while the manifest records
+    # the new one, and later reads would misparse them)
+    convert = fmt != old_fmt
     cluster_by = manifest.get("cluster_by")
     if cluster_by is not None:
         # range layout: the bucket-granular coalesce below would merge
@@ -901,7 +919,7 @@ def compact_versioned(
         # on — so a clustered table compacts by RE-CLUSTERING back to
         # its recorded stripe count instead, preserving the layout
         cfiles = manifest.get("cluster_files") or DEFAULT_BUCKETS
-        if len(manifest["files"]) <= cfiles:
+        if len(manifest["files"]) <= cfiles and not convert:
             return current_v  # already at target granularity: no-op
         df = read_versioned(spark, path, version=current_v)
         files = _write_bucketed(
@@ -923,7 +941,7 @@ def compact_versioned(
         )
         _commit_manifest(
             spark, path, version,
-            {**manifest, "version": version, "files": files},
+            {**manifest, "version": version, "files": files, "format": fmt},
         )
         _write_pointer(spark, path, version)
         return version
@@ -933,15 +951,17 @@ def compact_versioned(
     keep = [
         e
         for e in manifest["files"]
-        if len(by_bucket[e["bucket"]]) == 1
+        if len(by_bucket[e["bucket"]]) == 1 and not convert
     ]
     vdir = _new_vdir(path, version)
+    wrote = False
     for bucket, rels in sorted(by_bucket.items()):
-        if len(rels) == 1:
+        if len(rels) == 1 and not convert:
             continue
+        wrote = True
         (
             spark.read.schema(schema)
-            .format(fmt)
+            .format(old_fmt)
             .load([posixpath.join(path, r) for r in rels])
             .select(*schema.fieldNames())
             .coalesce(1)
@@ -949,11 +969,7 @@ def compact_versioned(
             .format(fmt)
             .save(f"{vdir}/{_BUCKET_COL}={bucket}")
         )
-    new_files = (
-        _list_written_files(spark, path, vdir)
-        if any(len(r) > 1 for r in by_bucket.values())
-        else []
-    )
+    new_files = _list_written_files(spark, path, vdir) if wrote else []
     _attach_file_stats(
         spark, path, new_files, manifest.get("stats_cols", []), fmt, schema
     )
@@ -964,7 +980,12 @@ def compact_versioned(
         spark,
         path,
         version,
-        {**manifest, "version": version, "files": keep + new_files},
+        {
+            **manifest,
+            "version": version,
+            "files": keep + new_files,
+            "format": fmt,
+        },
     )
     _write_pointer(spark, path, version)
     return version

@@ -1051,3 +1051,87 @@ def test_compact_preserves_cluster_layout(spark, tmp_path):
     m2 = _read_manifest(spark, path, 2)
     assert m2["cluster_by"] == "k" and m2["cluster_files"] == 8
     assert len(m2["files"]) == 8
+
+
+def test_compact_format_override_converts_all_files(spark, tmp_path):
+    """Round-14 review fixes: compact_versioned(data_format=...) must
+    (a) record the NEW format in the committed manifest and (b) rewrite
+    every file — a kept-by-reference file in the old format under a
+    manifest claiming the new one would misparse on read."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        compact_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    # second commit so one bucket holds two files and another holds one
+    upsert_versioned(
+        spark, path, _df(spark, [(1, "A", 2), (2, "b", 2)]), "k", "ver"
+    )
+    v = compact_versioned(spark, path, data_format="orc")
+    m = _read_manifest(spark, path, v)
+    assert m["format"] == "orc"
+    # every file was rewritten in the new format (no old-format keeps)
+    assert all(f"v={v:06d}" in e["path"] for e in m["files"]), m["files"]
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got == {1: "A", 2: "b"}
+    # clustered branch: format override also lands in the manifest
+    cpath = str(tmp_path / "ctbl")
+    rows = [(k, f"r{k}", 1) for k in range(100)]
+    write_versioned(
+        spark,
+        spark.createDataFrame(rows, "k bigint, val string, ver int"),
+        cpath,
+        cluster_by="k",
+        cluster_files=4,
+    )
+    cv = compact_versioned(spark, cpath, data_format="orc")
+    cm = _read_manifest(spark, cpath, cv)
+    assert cv == 2 and cm["format"] == "orc"
+    assert read_versioned(spark, cpath).count() == 100
+
+
+def test_cluster_files_explicit_overrides_inherited(spark, tmp_path):
+    """Round-14 review fix: an unkeyed commit that inherits cluster_by
+    may still pass an explicit cluster_files to change the stripe
+    granularity (None is the not-passed sentinel; the previous code
+    clobbered the explicit value with the inherited one)."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+    )
+
+    rows = [(k, f"r{k}", 1) for k in range(800)]
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark,
+        spark.createDataFrame(rows, "k bigint, val string, ver int"),
+        path,
+        cluster_by="k",
+        cluster_files=8,
+    )
+    # re-stripe WITHOUT re-passing cluster_by
+    write_versioned(
+        spark,
+        spark.createDataFrame(rows, "k bigint, val string, ver int"),
+        path,
+        cluster_files=4,
+    )
+    m2 = _read_manifest(spark, path, 2)
+    assert m2["cluster_by"] == "k" and m2["cluster_files"] == 4
+    assert len(m2["files"]) == 4
+
+
+def test_bloom_cols_bad_column_raises(spark, tmp_path):
+    """Round-14 review fix: a misspelled or non-bloomable bloom column
+    raises instead of silently recording a bloom that never prunes."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5)], "k bigint, val string, score double"
+    )
+    with pytest.raises(ValueError, match="bloom_cols"):
+        write_versioned(spark, df, path, bloom_cols=["kk"])  # misspelled
+    with pytest.raises(ValueError, match="bloom_cols"):
+        write_versioned(spark, df, path, bloom_cols=["score"])  # double
+    # valid columns still work
+    write_versioned(spark, df, str(tmp_path / "ok"), bloom_cols=["k", "val"])
