@@ -82,6 +82,20 @@ def build_sf1(spark, out_dir: str) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
+    # remaining tables: plain 10x replication (no key offsets) — enough
+    # for SCAN-SHAPED probes (dq_null_census: per-column null counts
+    # don't care about key aliasing); keyed/graph probes must use the
+    # offset-replicated lineitem/embeddings above
+    for tbl in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "events", "documents",
+    ]:
+        base = spark.read.parquet(f"{SF01}/{tbl}.parquet")
+        reps = base
+        for _ in range(REPLICAS - 1):
+            reps = reps.unionByName(base)
+        reps.write.mode("overwrite").parquet(f"{out_dir}/{tbl}.parquet")
+
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     n_span = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     reps = None
@@ -153,6 +167,9 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.operators.similarity import (
         dedup_embedding_lsh,
     )
+    from etl_pipeline_example_spark.plans.clustercoeff import (
+        graph_clustering_coeff,
+    )
     from etl_pipeline_example_spark.plans.graph import graph_triangles
     from etl_pipeline_example_spark.plans.graphiter import (
         graph_cc,
@@ -161,6 +178,7 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.plans.linkpred import (
         graph_common_neighbors,
     )
+    from etl_pipeline_example_spark.plans.nullcensus import dq_null_census
 
     return {
         "graph_triangles": graph_triangles,
@@ -170,6 +188,8 @@ def _ops() -> dict:
         "ann_knn_join": ann_knn_join,
         "graph_common_neighbors": graph_common_neighbors,
         "neardup_sparse_tau": neardup_sparse_tau,
+        "graph_clustering_coeff": graph_clustering_coeff,
+        "dq_null_census": dq_null_census,
     }
 
 
