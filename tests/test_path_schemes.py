@@ -1,0 +1,106 @@
+"""Path-scheme abstraction: the versioned-table layer and the
+catalog/zone swap helpers run through Hadoop FileSystem resolution, so
+a non-file:// URI must work end-to-end. The stand-in for an object
+store is Hadoop's built-in viewfs:// — a mount-table scheme that
+resolves through the same FileSystem plumbing an s3a:// deployment
+would (URI → FileSystem impl → open/rename/list), with zero extra
+libraries in the sandbox. This pins SURVEY §4's "path-agnostic" claim
+with a test instead of an assertion (round-13 verdict ask #6); a real
+S3 deployment swaps only the scheme and the fs.s3a.* credentials conf.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_pipeline_example_spark.pipeline.versioned import (
+    _read_manifest,
+    compact_versioned,
+    diff_versions,
+    expire_versions,
+    read_versioned,
+    upsert_versioned,
+    write_versioned,
+)
+
+
+@pytest.fixture()
+def viewfs_path(spark, tmp_path):
+    """A viewfs://<authority>/wh URI mounted onto tmp_path. The mount
+    table is snapshotted per AUTHORITY at first FileSystem resolution
+    (Hadoop caches the instance), so each test uses a fresh authority —
+    exactly how one session would address two different buckets."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    auth = "bkt" + tmp_path.name.replace("_", "").replace("-", "").lower()
+    hconf.set(
+        f"fs.viewfs.mounttable.{auth}.link./wh", f"file://{tmp_path}"
+    )
+    return f"viewfs://{auth}/wh"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, ver int")
+
+
+def test_versioned_lifecycle_over_viewfs(spark, viewfs_path):
+    """Write → upsert → time travel → diff → compact → expire, all
+    through the non-file scheme: every manifest read/write, pointer
+    rename, bucket write, and GC sweep resolves via the mounted
+    FileSystem — no os.path/pathlib shortcuts anywhere in the path."""
+    path = viewfs_path + "/tbl"
+    v1 = write_versioned(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1)]), path, key="k"
+    )
+    assert v1 == 1
+    v2 = upsert_versioned(
+        spark, path, _df(spark, [(2, "B", 2), (3, "c", 2)]), "k", "ver"
+    )
+    assert v2 == 2
+    latest = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert latest == {1: "a", 2: "B", 3: "c"}
+    old = {
+        r["k"]: r["val"]
+        for r in read_versioned(spark, path, version=1).collect()
+    }
+    assert old == {1: "a", 2: "b"}
+    d = diff_versions(spark, path, 1, 2, "k")
+    assert d.count() > 0
+    v3 = compact_versioned(spark, path)
+    assert read_versioned(spark, path).count() == 3
+    expire_versions(spark, path, keep=1)
+    assert {
+        r["k"]: r["val"] for r in read_versioned(spark, path).collect()
+    } == {1: "a", 2: "B", 3: "c"}
+    m = _read_manifest(spark, path, v3)
+    assert m["key"] == "k"
+
+
+def test_file_skipping_stats_over_viewfs(spark, viewfs_path):
+    """min/max file skipping prunes through the mounted scheme too —
+    the where= fast path lists and filters files via the same
+    FileSystem the manifest came from."""
+    rows = [(k, f"r{k}", 1) for k in range(200)]
+    path = viewfs_path + "/ctbl"
+    write_versioned(
+        spark,
+        spark.createDataFrame(rows, "k bigint, val string, ver int"),
+        path,
+        cluster_by="k",
+        cluster_files=4,
+    )
+    got = read_versioned(spark, path, where=("k", "=", 123))
+    assert len(got.inputFiles()) <= 2
+    assert [r["val"] for r in got.collect()] == ["r123"]
+
+
+def test_catalog_swap_over_viewfs(spark, viewfs_path):
+    """swap_into_place (the catalog/compaction staged-swap helper)
+    renames through the resolved FileSystem, not the local OS."""
+    from etl_pipeline_example_spark.fsutil import hadoop_fs, swap_into_place
+
+    spark.range(5).write.parquet(viewfs_path + "/dest")
+    spark.range(9).write.parquet(viewfs_path + "/stage")
+    swap_into_place(spark, viewfs_path + "/stage", viewfs_path + "/dest")
+    assert spark.read.parquet(viewfs_path + "/dest").count() == 9
+    fs, old = hadoop_fs(spark, viewfs_path + "/dest__old")
+    assert not fs.exists(old)
