@@ -64,6 +64,10 @@ from etl_pipeline_example_spark.operators.qlinear import (
     QLINEAR_QUERIES,
     QLINEAR_ORACLES,
 )
+from etl_pipeline_example_spark.operators.qtrain import (
+    QTRAIN_QUERIES,
+    QTRAIN_ORACLES,
+)
 from etl_pipeline_example_spark.operators.allocation import (
     ALLOCATION_QUERIES,
     ALLOCATION_ORACLES,
@@ -424,6 +428,8 @@ __all__ = [
     "SPANDUP_ORACLES",
     "QLINEAR_QUERIES",
     "QLINEAR_ORACLES",
+    "QTRAIN_QUERIES",
+    "QTRAIN_ORACLES",
     "ALLOCATION_QUERIES",
     "ALLOCATION_ORACLES",
     "CHARSTATS_QUERIES",
