@@ -68,6 +68,14 @@ from etl_pipeline_example_spark.operators.qtrain import (
     QTRAIN_QUERIES,
     QTRAIN_ORACLES,
 )
+from etl_pipeline_example_spark.operators.annradius import (
+    ANNRADIUS_QUERIES,
+    ANNRADIUS_ORACLES,
+)
+from etl_pipeline_example_spark.operators.audioclip import (
+    AUDIOCLIP_QUERIES,
+    AUDIOCLIP_ORACLES,
+)
 from etl_pipeline_example_spark.operators.allocation import (
     ALLOCATION_QUERIES,
     ALLOCATION_ORACLES,
@@ -430,6 +438,10 @@ __all__ = [
     "QLINEAR_ORACLES",
     "QTRAIN_QUERIES",
     "QTRAIN_ORACLES",
+    "ANNRADIUS_QUERIES",
+    "ANNRADIUS_ORACLES",
+    "AUDIOCLIP_QUERIES",
+    "AUDIOCLIP_ORACLES",
     "ALLOCATION_QUERIES",
     "ALLOCATION_ORACLES",
     "CHARSTATS_QUERIES",

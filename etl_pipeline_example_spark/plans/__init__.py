@@ -340,6 +340,18 @@ from etl_pipeline_example_spark.plans.nullcensus import (
     NULLCENSUS_QUERIES,
     NULLCENSUS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.mutualtop import (
+    MUTUALTOP_QUERIES,
+    MUTUALTOP_ORACLES,
+)
+from etl_pipeline_example_spark.plans.duprows import (
+    DUPROWS_QUERIES,
+    DUPROWS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.lagspearman import (
+    LAGSPEARMAN_QUERIES,
+    LAGSPEARMAN_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -514,6 +526,12 @@ __all__ = [
     "SESSIONDEPTH_QUERIES",
     "SESSIONDEPTH_ORACLES",
     "NULLCENSUS_QUERIES",
+    "MUTUALTOP_QUERIES",
+    "MUTUALTOP_ORACLES",
+    "DUPROWS_QUERIES",
+    "DUPROWS_ORACLES",
+    "LAGSPEARMAN_QUERIES",
+    "LAGSPEARMAN_ORACLES",
     "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",

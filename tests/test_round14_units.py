@@ -170,3 +170,148 @@ def test_quality_trained_deterministic(spark):
 
     d = "/root/testdata/sf0.001"
     assert train_quality_weights(spark, d) == train_quality_weights(spark, d)
+
+
+def test_mutual_top_pairs_hand(spark, tmp_path):
+    """Hand-built market: c1's top part is p1 (30 > 20) and p1's top
+    customer is c1 (30 > 25) -> mutual; c2's top is p1 but p1 prefers
+    c1 -> not mutual; c3/p3 exclusive pair -> mutual. Tie on spend
+    resolves to the smaller key on both sides."""
+    from etl_pipeline_example_spark.plans.mutualtop import (
+        q_mutual_top_pairs,
+    )
+
+    # orders: one per customer
+    _write(spark, tmp_path, "orders",
+           [(1, 1), (2, 2), (3, 3)],
+           "o_orderkey bigint, o_custkey bigint")
+    # lineitem: (orderkey, partkey, price)
+    _write(spark, tmp_path, "lineitem",
+           [(1, 1, 30.0), (1, 2, 20.0),
+            (2, 1, 25.0),
+            (3, 3, 7.0)],
+           "l_orderkey bigint, l_partkey bigint, l_extendedprice double")
+    got = {(r["c_custkey"], r["p_partkey"]): r["pair_spend"]
+           for r in q_mutual_top_pairs(spark, str(tmp_path)).collect()}
+    assert got == {(1, 1): 30.0, (3, 3): 7.0}, got
+
+
+def test_dq_dup_rows_hand(spark, tmp_path):
+    """Planted duplicates: region has one row twice (1 dup row, 1 dup
+    value) and nation is duplicate-free."""
+    import shutil
+
+    from etl_pipeline_example_spark.plans.duprows import dq_dup_rows
+
+    # full warehouse surface: copy sf0.001 tables, then overwrite two
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{tmp_path}/{t}.parquet")
+    _write(spark, tmp_path, "region",
+           [(1, "a"), (1, "a"), (2, "b"), (1, "x")],
+           "r_regionkey bigint, r_name string")
+    got = {r["tbl"]: r for r in dq_dup_rows(spark, str(tmp_path)).collect()}
+    r = got["region"]
+    assert (r["n_rows"], r["n_distinct"], r["n_dup_rows"],
+            r["n_dup_values"]) == (4, 3, 1, 1), r
+    n = got["nation"]
+    assert n["n_dup_rows"] == 0 and n["n_rows"] == n["n_distinct"]
+    assert len(got) == 10
+
+
+def test_ann_radius_planted(spark, tmp_path):
+    """Planted twin inside the radius, anti-parallel vector outside:
+    radius search returns exactly the qualifying candidates, no top-k
+    truncation (3 co-bucketed positives for query 0)."""
+    from etl_pipeline_example_spark.operators.annradius import ann_radius
+
+    def vec(axis, eps=0.0, eps_axis=1):
+        v = [0.0] * 64
+        v[axis] = 1.0
+        if eps:
+            v[eps_axis] = eps
+        return v
+
+    rows = [
+        (0, vec(0)),
+        (1, vec(0, 0.05)),      # cosine ~0.999 with q0
+        (2, vec(0, 0.30)),      # cosine ~0.958
+        (3, vec(0, 3.00)),      # cosine ~0.316 — still >= 0.2
+        (4, [-x for x in vec(0)]),  # cosine -1: outside radius
+    ]
+    _write(spark, tmp_path, "embeddings", rows,
+           "vec_id bigint, embedding array<float>")
+    got = ann_radius(spark, str(tmp_path)).collect()
+    q0 = {r["neighbor_id"]: r["cosine"] for r in got if r["query_id"] == 0}
+    # near-identical vectors share every bucket -> guaranteed in-radius;
+    # id 3 (cosine ~0.32) is in-radius only if LSH co-buckets it (the
+    # honest recall caveat), id 4 (anti-parallel) must never appear
+    assert {1, 2} <= set(q0) <= {1, 2, 3}, q0
+    assert q0[1] > q0[2] >= 0.2
+    assert all(r["cosine"] >= 0.2 for r in got)
+    assert all(r["neighbor_id"] != 4 for r in got if r["query_id"] == 0)
+
+
+def test_events_lag_spearman_hand(spark, tmp_path):
+    """14-day series: week 2 repeats week 1's counts exactly ->
+    spearman = 1.0 (7 paired days, perfectly monotone ranks); a
+    constant series -> NULL (zero variance)."""
+    from etl_pipeline_example_spark.plans.lagspearman import (
+        events_lag_spearman,
+    )
+
+    rows = []
+    eid = 0
+    counts = [1, 2, 3, 4, 5, 6, 7] * 2  # lag-7 pairs are identical
+    for day, c in enumerate(counts, start=1):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 10:00:00", "up"))
+    for day in range(1, 15):  # constant 2/day
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d} 11:00:00", "flat"))
+    from datetime import datetime
+
+    _write(spark, tmp_path, "events",
+           [(i, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), e)
+            for i, t, e in rows],
+           "event_id bigint, ts timestamp, event_type string")
+    got = {r["event_type"]: r for r in
+           events_lag_spearman(spark, str(tmp_path)).collect()}
+    assert got["up"]["n_days"] == 7 and got["up"]["spearman"] == 1.0
+    assert got["flat"]["spearman"] is None
+    assert got["up"]["lag_days"] == 7
+
+
+def test_audio_clip_census_matches_planted_lattice(spark, tmp_path):
+    """Per-segment peak and clip counts recomputed in numpy from the
+    planted lattice equal the decode-path output exactly."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.audioclip import (
+        CLIP_T,
+        multimodal_audio_clip,
+    )
+    from etl_pipeline_example_spark.operators.audiofeat import SEGS
+    from etl_pipeline_example_spark.operators.mediapixels import (
+        planted_samples,
+    )
+
+    _write(spark, tmp_path, "documents",
+           [(i,) for i in range(1, 9)], "doc_id bigint")
+    got = {(r["doc_id"], r["seg"]): r for r in
+           multimodal_audio_clip(spark, str(tmp_path)).collect()}
+    assert {d for d, _ in got} == {1, 3, 5, 7}  # odd ids = audio
+    for doc_id in (1, 3, 5, 7):
+        smp = planted_samples(doc_id)
+        n = smp.shape[0]
+        cuts = [(k * n) // SEGS for k in range(SEGS + 1)]
+        amp = np.abs(smp.astype(np.int64))
+        for seg in range(SEGS):
+            blk = amp[cuts[seg]:cuts[seg + 1], :]
+            r = got[(doc_id, seg)]
+            assert r["n_samples"] == blk.size
+            assert r["peak_abs"] == int(blk.max())
+            assert r["n_clipped"] == int((blk >= CLIP_T).sum())
