@@ -76,6 +76,14 @@ from etl_pipeline_example_spark.operators.audioclip import (
     AUDIOCLIP_QUERIES,
     AUDIOCLIP_ORACLES,
 )
+from etl_pipeline_example_spark.operators.splitleak import (
+    SPLITLEAK_QUERIES,
+    SPLITLEAK_ORACLES,
+)
+from etl_pipeline_example_spark.operators.langmargin import (
+    LANGMARGIN_QUERIES,
+    LANGMARGIN_ORACLES,
+)
 from etl_pipeline_example_spark.operators.allocation import (
     ALLOCATION_QUERIES,
     ALLOCATION_ORACLES,
@@ -442,6 +450,10 @@ __all__ = [
     "ANNRADIUS_ORACLES",
     "AUDIOCLIP_QUERIES",
     "AUDIOCLIP_ORACLES",
+    "SPLITLEAK_QUERIES",
+    "SPLITLEAK_ORACLES",
+    "LANGMARGIN_QUERIES",
+    "LANGMARGIN_ORACLES",
     "ALLOCATION_QUERIES",
     "ALLOCATION_ORACLES",
     "CHARSTATS_QUERIES",

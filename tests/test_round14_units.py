@@ -315,3 +315,54 @@ def test_audio_clip_census_matches_planted_lattice(spark, tmp_path):
             assert r["n_samples"] == blk.size
             assert r["peak_abs"] == int(blk.max())
             assert r["n_clipped"] == int((blk >= CLIP_T).sum())
+
+
+def test_split_leakage_composition(spark):
+    """The leakage grid is exactly dedup_minhash ⨝ sample_split: cell
+    sums equal the pair count, and every (pair, split) attribution
+    recomputes from the two registered ops."""
+    from etl_pipeline_example_spark.operators.dedup import dedup_minhash
+    from etl_pipeline_example_spark.operators.evaluation import sample_split
+    from etl_pipeline_example_spark.operators.splitleak import split_leakage
+
+    d = "/root/testdata/sf0.001"
+    grid = {(r["split_lo"], r["split_hi"]): r
+            for r in split_leakage(spark, d).collect()}
+    pairs = dedup_minhash(spark, d).collect()
+    splits = {r["doc_id"]: r["split"] for r in sample_split(spark, d).collect()}
+    expect = {}
+    for p in pairs:
+        key = tuple(sorted((splits[p["doc_a"]], splits[p["doc_b"]])))
+        n, mx = expect.get(key, (0, 0.0))
+        expect[key] = (n + 1, max(mx, p["jaccard"]))
+    assert {k: (r["n_pairs"], r["max_jaccard"]) for k, r in grid.items()} \
+        == expect
+    assert sum(r["n_pairs"] for r in grid.values()) == len(pairs)
+
+
+def test_lang_margin_hand(spark, tmp_path):
+    """Hand corpus: clear English (margin >= 2, confident), an en/fr
+    tie (margin 0, pred follows langid's tie order), and an empty doc
+    ('und', margin 0)."""
+    from etl_pipeline_example_spark.operators.langmargin import lang_margin
+    from etl_pipeline_example_spark.operators.text import text_langid
+
+    docs = [
+        (1, "the cat and the dog was in the house of it"),  # en-heavy
+        (2, "le et the of"),  # s_en=2, s_fr=2 tie -> en by tie order
+        (3, ""),  # und
+        (4, "der und von le les des"),  # fr 3 vs de 3 tie -> fr
+    ]
+    _write(spark, tmp_path, "documents", docs,
+           "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in lang_margin(spark, str(tmp_path)).collect()}
+    assert got[1]["pred_lang"] == "en" and got[1]["margin"] >= 2 \
+        and got[1]["confident"]
+    assert got[2]["pred_lang"] == "en" and got[2]["margin"] == 0 \
+        and not got[2]["confident"]
+    assert got[3]["pred_lang"] == "und" and got[3]["best_score"] == 0
+    assert got[4]["pred_lang"] == "fr" and got[4]["margin"] == 0
+    # argmax agrees with the registered langid bit-for-bit
+    lid = {r["doc_id"]: r["pred_lang"]
+           for r in text_langid(spark, str(tmp_path)).collect()}
+    assert {i: got[i]["pred_lang"] for i in got} == lid
