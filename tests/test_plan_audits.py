@@ -1268,3 +1268,75 @@ def test_assortativity_moment_pass_is_partial_aggregated(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan
     finally:
         simcore.release_similarity_caches()
+
+
+def test_mutual_top_pairs_prunes_and_rank1_windows(spark, sf_dir):
+    """The spend aggregate's scans read only the join/measure columns,
+    and both rank filters are WindowGroupLimit-prunable (rank-1)."""
+    from etl_pipeline_example_spark.plans.mutualtop import (
+        q_mutual_top_pairs,
+    )
+
+    plan = plan_str(q_mutual_top_pairs(spark, sf_dir))
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("l_comment" not in ln and "o_orderdate" not in ln
+               for ln in schema_lines), schema_lines
+    assert "WindowGroupLimit" in plan, "rank-1 filters must push into the window"
+
+
+def test_dq_dup_rows_one_partial_agg_scan_per_table(spark, sf_dir):
+    """Every per-table group-by-all aggregates map-side (partial_count
+    before the exchange) — duplicate-free tables shrink to unique rows
+    before any shuffle."""
+    from etl_pipeline_example_spark.plans.duprows import dq_dup_rows
+
+    plan = plan_str(dq_dup_rows(spark, sf_dir))
+    assert "partial_count" in plan, "group-by-all must partial-aggregate"
+    # 10 tables -> 10 scans, no more (no per-column scan explosion);
+    # simple mode so node names aren't double-counted by the detail
+    # section of formatted mode
+    simple = plan_str(dq_dup_rows(spark, sf_dir), "simple")
+    n_scans = simple.count("FileScan parquet")
+    assert n_scans == 10, n_scans
+
+
+def test_ann_radius_no_window_and_ids_only_on_shuffle(spark, sf_dir):
+    """The radius form has NO rank window (its whole point vs top-k),
+    and embeddings never ride an exchange (id-pairs only — the family
+    invariant)."""
+    from etl_pipeline_example_spark.operators.annradius import ann_radius
+
+    df = ann_radius(spark, sf_dir)
+    plan = plan_str(df)
+    assert "Window" not in plan, "radius search must not rank"
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "embedding#" in ln:
+            raise AssertionError(f"vectors on a shuffle: {ln}")
+
+
+def test_lang_margin_single_projection_no_exchange(spark, sf_dir):
+    """One scan, pure projection: no Exchange anywhere before the
+    output sort (cheapest possible per-doc panel)."""
+    from etl_pipeline_example_spark.operators.langmargin import lang_margin
+
+    # simple mode: node arguments inline, so the range-partition
+    # exemption can be tested per line
+    plan = plan_str(lang_margin(spark, sf_dir), "simple")
+    n_ex = sum(1 for ln in plan.splitlines()
+               if "Exchange" in ln and "rangepartitioning" not in ln)
+    assert n_ex == 0, plan
+
+
+def test_events_lag_spearman_partial_agg_daily(spark, sf_dir):
+    """The corpus-scale (type, day) aggregate partial-aggregates before
+    its exchange; the rank windows run on the bounded daily spine."""
+    from etl_pipeline_example_spark.plans.lagspearman import (
+        events_lag_spearman,
+    )
+
+    plan = plan_str(events_lag_spearman(spark, sf_dir))
+    assert "partial_count" in plan
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("props" not in ln and "user_id" not in ln
+               for ln in schema_lines), schema_lines
