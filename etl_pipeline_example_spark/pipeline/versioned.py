@@ -203,6 +203,11 @@ def _commit_manifest(
     unreferenced orphans the next expire_versions sweeps)."""
     fs, _ = hadoop_fs(spark, path)
     mp = _jpath(spark, _manifest_path(path, version))
+    # commit wall-clock for timestamp time travel (read_versioned
+    # as_of_ms): stamped unconditionally — a restore/compact/clone
+    # commit happens NOW even when its payload copies an older
+    # manifest, else as-of resolution loses monotonicity
+    manifest["committed_at_ms"] = int(time.time() * 1000)
     try:
         out = fs.create(mp, False)  # overwrite=false: exclusive
     except Exception as exc:  # py4j wraps FileAlreadyExistsException
@@ -662,14 +667,35 @@ def _file_may_match(entry: dict, col: str, op: str, val) -> bool:
         return True  # incomparable (e.g. stringified date vs object)
 
 
+def resolve_version_asof(
+    spark: SparkSession, path: str, as_of_ms: int
+) -> int:
+    """Newest version whose manifest committed at or before
+    ``as_of_ms`` (the Delta ``TIMESTAMP AS OF`` contract). Manifests
+    without a stamp (pre-feature history) count as committed at epoch
+    — always eligible. Raises if the table has no version that old."""
+    best: int | None = None
+    for v in _versions(spark, path):
+        m = _read_manifest(spark, path, v)
+        if int(m.get("committed_at_ms", 0)) <= as_of_ms:
+            best = v  # _versions is ascending: keep the newest eligible
+    if best is None:
+        raise ValueError(
+            f"no version of {path} existed at as_of_ms={as_of_ms}"
+        )
+    return best
+
+
 def read_versioned(
     spark: SparkSession,
     path: str,
     version: int | None = None,
     data_format: str = "parquet",
     where=None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Read the pointed-to version, or TIME-TRAVEL to ``version``.
+    """Read the pointed-to version, or TIME-TRAVEL to ``version`` /
+    the newest version committed at or before ``as_of_ms``.
 
     ``where`` — one ``(col, op, value)`` triple or a conjunctive list —
     prunes the manifest's file list against per-file min/max stats
@@ -678,6 +704,10 @@ def read_versioned(
     predicates as row filters for exactness. Files without stats for a
     predicate column are kept, so pruning is always sound.
     """
+    if version is not None and as_of_ms is not None:
+        raise ValueError("pass version OR as_of_ms, not both")
+    if version is None and as_of_ms is not None:
+        version = resolve_version_asof(spark, path, as_of_ms)
     v = _read_pointer(spark, path) if version is None else version
     manifest = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(manifest["schema"]))
@@ -891,6 +921,52 @@ def restore_versioned(spark: SparkSession, path: str, version: int) -> int:
     return new_version
 
 
+def clone_versioned(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+) -> int:
+    """ZERO-COPY shallow clone (the Delta SHALLOW CLONE shape): the
+    clone's v1 manifest references the SOURCE's data files by absolute
+    path — no bytes move, however large the table. Later commits into
+    the clone copy-on-write into the clone's OWN data dirs (upserts
+    rewrite only touched buckets, referencing untouched source buckets
+    by path), so the clone diverges without ever mutating the source —
+    the dev/test-against-prod and what-if-migration workflow.
+
+    Caveat (same as Delta's): the clone borrows the source's files, so
+    ``expire_versions`` on the SOURCE can garbage-collect files a clone
+    still references once no retained SOURCE manifest needs them.
+    Clone from a version you retain, or compact the clone
+    (``compact_versioned`` rewrites every referenced byte into the
+    clone's own dirs) to cut the dependency."""
+    if _versions(spark, dst_path):
+        raise ValueError(
+            f"clone target {dst_path} is already a versioned table"
+        )
+    v = _read_pointer(spark, src_path) if version is None else version
+    m = _read_manifest(spark, src_path, v)
+    files = [
+        {**e, "path": posixpath.join(src_path, e["path"])}
+        for e in m["files"]
+    ]
+    _commit_manifest(
+        spark,
+        dst_path,
+        1,
+        {
+            **m,
+            "version": 1,
+            "files": files,
+            "cloned_from": src_path,
+            "cloned_version": v,
+        },
+    )
+    _write_pointer(spark, dst_path, 1)
+    return 1
+
+
 def compact_versioned(
     spark: SparkSession, path: str, data_format: str | None = None
 ) -> int:
@@ -912,6 +988,13 @@ def compact_versioned(
     # the new one, and later reads would misparse them)
     convert = fmt != old_fmt
     cluster_by = manifest.get("cluster_by")
+
+    def _external(rel: str) -> bool:
+        # a shallow clone references source files by absolute path;
+        # compaction materializes them into THIS table's dirs, cutting
+        # the borrowed-file dependency (the documented clone escape)
+        return rel.startswith("/") or "://" in rel
+
     if cluster_by is not None:
         # range layout: the bucket-granular coalesce below would merge
         # every sorted stripe (they all share bucket 0) into ONE file
@@ -919,7 +1002,11 @@ def compact_versioned(
         # on — so a clustered table compacts by RE-CLUSTERING back to
         # its recorded stripe count instead, preserving the layout
         cfiles = manifest.get("cluster_files") or DEFAULT_BUCKETS
-        if len(manifest["files"]) <= cfiles and not convert:
+        if (
+            len(manifest["files"]) <= cfiles
+            and not convert
+            and not any(_external(e["path"]) for e in manifest["files"])
+        ):
             return current_v  # already at target granularity: no-op
         df = read_versioned(spark, path, version=current_v)
         files = _write_bucketed(
@@ -951,12 +1038,18 @@ def compact_versioned(
     keep = [
         e
         for e in manifest["files"]
-        if len(by_bucket[e["bucket"]]) == 1 and not convert
+        if len(by_bucket[e["bucket"]]) == 1
+        and not convert
+        and not _external(e["path"])
     ]
     vdir = _new_vdir(path, version)
     wrote = False
     for bucket, rels in sorted(by_bucket.items()):
-        if len(rels) == 1 and not convert:
+        if (
+            len(rels) == 1
+            and not convert
+            and not any(_external(r) for r in rels)
+        ):
             continue
         wrote = True
         (

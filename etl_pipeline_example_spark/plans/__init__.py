@@ -352,6 +352,10 @@ from etl_pipeline_example_spark.plans.lagspearman import (
     LAGSPEARMAN_QUERIES,
     LAGSPEARMAN_ORACLES,
 )
+from etl_pipeline_example_spark.plans.distinctcensus import (
+    DISTINCTCENSUS_QUERIES,
+    DISTINCTCENSUS_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -532,6 +536,8 @@ __all__ = [
     "DUPROWS_ORACLES",
     "LAGSPEARMAN_QUERIES",
     "LAGSPEARMAN_ORACLES",
+    "DISTINCTCENSUS_QUERIES",
+    "DISTINCTCENSUS_ORACLES",
     "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -366,3 +366,28 @@ def test_lang_margin_hand(spark, tmp_path):
     lid = {r["doc_id"]: r["pred_lang"]
            for r in text_langid(spark, str(tmp_path)).collect()}
     assert {i: got[i]["pred_lang"] for i in got} == lid
+
+
+def test_dq_distinct_census_hand(spark, tmp_path):
+    """Planted cardinalities: region has 3 distinct keys over 4 rows
+    and a name column with 2 distinct non-null values (NULL excluded
+    from count(distinct) on both engines)."""
+    import shutil
+
+    from etl_pipeline_example_spark.plans.distinctcensus import (
+        dq_distinct_census,
+    )
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{tmp_path}/{t}.parquet")
+    _write(spark, tmp_path, "region",
+           [(1, "a"), (1, "a"), (2, None), (3, "b")],
+           "r_regionkey bigint, r_name string")
+    got = {r["table_col"]: r for r in
+           dq_distinct_census(spark, str(tmp_path)).collect()}
+    assert got["region.r_regionkey"]["n_distinct"] == 3
+    assert got["region.r_regionkey"]["n_rows"] == 4
+    assert got["region.r_name"]["n_distinct"] == 2  # NULL not counted
+    assert len(got) == 51  # every column of every table

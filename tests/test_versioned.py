@@ -1135,3 +1135,84 @@ def test_bloom_cols_bad_column_raises(spark, tmp_path):
         write_versioned(spark, df, path, bloom_cols=["score"])  # double
     # valid columns still work
     write_versioned(spark, df, str(tmp_path / "ok"), bloom_cols=["k", "val"])
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """read_versioned(as_of_ms=...) resolves the newest version
+    committed at or before the stamp (Delta TIMESTAMP AS OF)."""
+    import time as _time
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        resolve_version_asof,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path, key="k")
+    t1 = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    upsert_versioned(spark, path, _df(spark, [(1, "A", 2)]), "k", "ver")
+    assert resolve_version_asof(spark, path, t1) == 1
+    old = read_versioned(spark, path, as_of_ms=t1).collect()
+    assert [(r["k"], r["val"]) for r in old] == [(1, "a")]
+    now = read_versioned(
+        spark, path, as_of_ms=int(_time.time() * 1000)
+    ).collect()
+    assert [(r["k"], r["val"]) for r in now] == [(1, "A")]
+    with pytest.raises(ValueError, match="no version"):
+        resolve_version_asof(spark, path, t1 - 10 * 365 * 86400 * 1000)
+    with pytest.raises(ValueError, match="not both"):
+        read_versioned(spark, path, version=1, as_of_ms=t1)
+
+
+def test_shallow_clone_zero_copy_then_cow_divergence(spark, tmp_path):
+    """clone_versioned references the source's files byte-free; an
+    upsert into the clone rewrites only its own buckets and the source
+    never changes."""
+    import os
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        clone_versioned,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    write_versioned(
+        spark, _df(spark, [(1, "a", 1), (2, "b", 1), (3, "c", 1)]),
+        src, key="k",
+    )
+    v = clone_versioned(spark, src, dst)
+    assert v == 1
+    # zero copy: the clone dir holds no data files at all yet
+    clone_files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(dst)
+        for f in fs
+        if not f.startswith("_") and "manifest" not in r
+    ]
+    assert all("data" not in p for p in clone_files), clone_files
+    got = {r["k"]: r["val"] for r in read_versioned(spark, dst).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # diverge the clone; source untouched
+    upsert_versioned(spark, dst, _df(spark, [(2, "X", 2)]), "k", "ver")
+    assert {
+        r["k"]: r["val"] for r in read_versioned(spark, dst).collect()
+    } == {1: "a", 2: "X", 3: "c"}
+    assert {
+        r["k"]: r["val"] for r in read_versioned(spark, src).collect()
+    } == {1: "a", 2: "b", 3: "c"}
+    # compacting the clone materializes every byte into its own dirs,
+    # cutting the dependency on source files
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        compact_versioned,
+    )
+
+    cv = compact_versioned(spark, dst)
+    m = _read_manifest(spark, dst, cv)
+    assert all(not e["path"].startswith(src) for e in m["files"]), m["files"]
+    assert {
+        r["k"]: r["val"] for r in read_versioned(spark, dst).collect()
+    } == {1: "a", 2: "X", 3: "c"}
+    # cloning onto an existing table refuses
+    with pytest.raises(ValueError, match="already"):
+        clone_versioned(spark, src, dst)
