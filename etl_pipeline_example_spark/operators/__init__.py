@@ -84,6 +84,14 @@ from etl_pipeline_example_spark.operators.langmargin import (
     LANGMARGIN_QUERIES,
     LANGMARGIN_ORACLES,
 )
+from etl_pipeline_example_spark.operators.blocklist import (
+    BLOCKLIST_QUERIES,
+    BLOCKLIST_ORACLES,
+)
+from etl_pipeline_example_spark.operators.shardbalance import (
+    SHARDBALANCE_QUERIES,
+    SHARDBALANCE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.allocation import (
     ALLOCATION_QUERIES,
     ALLOCATION_ORACLES,
@@ -454,6 +462,10 @@ __all__ = [
     "SPLITLEAK_ORACLES",
     "LANGMARGIN_QUERIES",
     "LANGMARGIN_ORACLES",
+    "BLOCKLIST_QUERIES",
+    "BLOCKLIST_ORACLES",
+    "SHARDBALANCE_QUERIES",
+    "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",
     "ALLOCATION_ORACLES",
     "CHARSTATS_QUERIES",

@@ -391,3 +391,46 @@ def test_dq_distinct_census_hand(spark, tmp_path):
     assert got["region.r_regionkey"]["n_rows"] == 4
     assert got["region.r_name"]["n_distinct"] == 2  # NULL not counted
     assert len(got) == 51  # every column of every table
+
+
+def test_quality_blocklist_hand(spark, tmp_path):
+    """Per-occurrence category counts: doc 1 has 2 quality + 1 spam
+    hits (keep=false), doc 2 is clean, doc 3 empty."""
+    from etl_pipeline_example_spark.operators.blocklist import (
+        quality_blocklist,
+    )
+
+    _write(spark, tmp_path, "documents",
+           [(1, "the slow join is slow spam today"),
+            (2, "clean fast merge"),
+            (3, "")],
+           "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in
+           quality_blocklist(spark, str(tmp_path)).collect()}
+    r1 = got[1]
+    assert (r1["n_quality"], r1["n_spam"], r1["n_unsafe"]) == (2, 1, 0)
+    assert r1["n_flagged"] == 3 and not r1["keep"] and r1["n_terms"] == 7
+    assert got[2]["keep"] and got[2]["n_flagged"] == 0
+    assert got[3]["keep"] and got[3]["n_terms"] == 0
+
+
+def test_shard_balance_audit_invariants(spark):
+    """The audit is exactly the sharder aggregated: loads sum to the
+    corpus total, dev_x_s sums to zero, every full shard's ratio is
+    near 1, and dev_x_s = S·load − T recomputes per row."""
+    from etl_pipeline_example_spark.operators.shard import shard_by_tokens
+    from etl_pipeline_example_spark.operators.shardbalance import (
+        shard_balance_audit,
+    )
+
+    d = "/root/testdata/sf0.001"
+    rows = shard_balance_audit(spark, d).collect()
+    assign = shard_by_tokens(spark, d).collect()
+    t = sum(r["n_tokens"] for r in assign)
+    s = len(rows)
+    assert sum(r["n_tokens"] for r in rows) == t
+    assert sum(r["dev_x_s"] for r in rows) == 0
+    for r in rows:
+        assert r["dev_x_s"] == s * r["n_tokens"] - t
+        assert abs(r["load_ratio"] - (s * r["n_tokens"]) / t) < 1e-12
+    assert sum(r["n_docs"] for r in rows) == len(assign)
