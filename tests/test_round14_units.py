@@ -434,3 +434,43 @@ def test_shard_balance_audit_invariants(spark):
         assert r["dev_x_s"] == s * r["n_tokens"] - t
         assert abs(r["load_ratio"] - (s * r["n_tokens"]) / t) < 1e-12
     assert sum(r["n_docs"] for r in rows) == len(assign)
+
+
+def test_stream_blocklist_quarantine_parity(spark, tmp_path):
+    """Stream/batch parity: the quarantine feed equals the batch op's
+    flagged set with identical category counts; clean docs never
+    appear. Planted single FILE named documents.parquet (the
+    pathGlobFilter contract)."""
+    import shutil
+
+    from etl_pipeline_example_spark.operators.blocklist import (
+        quality_blocklist,
+    )
+    from etl_pipeline_example_spark.streaming.blockgate import (
+        stream_blocklist_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the slow join is slow spam today", "en", "s", 1),
+         (2, "clean fast merge", "en", "s", 1),
+         (3, "exploit leak crash", "en", "s", 1)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    tmp = str(tmp_path / "stage")
+    df.coalesce(1).write.parquet(tmp)
+    import glob
+
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copyfile(part, f"{tmp_path}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in
+           stream_blocklist_quarantine(spark, str(tmp_path)).collect()}
+    batch = {r["doc_id"]: r for r in
+             quality_blocklist(spark, str(tmp_path)).collect()
+             if not r["keep"]}
+    assert set(got) == set(batch) == {1, 3}
+    for i in got:
+        for c in ("n_quality", "n_spam", "n_unsafe", "n_flagged"):
+            assert got[i][c] == batch[i][c], (i, c)
+    assert got[3]["n_unsafe"] == 3
