@@ -356,6 +356,10 @@ from etl_pipeline_example_spark.plans.distinctcensus import (
     DISTINCTCENSUS_QUERIES,
     DISTINCTCENSUS_ORACLES,
 )
+from etl_pipeline_example_spark.plans.fano import (
+    FANO_QUERIES,
+    FANO_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -538,6 +542,8 @@ __all__ = [
     "LAGSPEARMAN_ORACLES",
     "DISTINCTCENSUS_QUERIES",
     "DISTINCTCENSUS_ORACLES",
+    "FANO_QUERIES",
+    "FANO_ORACLES",
     "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",

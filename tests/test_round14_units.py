@@ -474,3 +474,32 @@ def test_stream_blocklist_quarantine_parity(spark, tmp_path):
         for c in ("n_quality", "n_spam", "n_unsafe", "n_flagged"):
             assert got[i][c] == batch[i][c], (i, c)
     assert got[3]["n_unsafe"] == 3
+
+
+def test_events_fano_hand(spark, tmp_path):
+    """Constant series -> fano 0; planted dispersed series -> exact
+    hand value ((n·Σx²−T²)/((n−1)·T)); single-day series -> NULL."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.plans.fano import events_fano
+
+    rows = []
+    eid = 0
+    for day, c in enumerate([2, 2, 2, 2], start=1):  # constant
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, day, 9), "flat"))
+    for day, c in enumerate([1, 5, 1, 5], start=1):  # bursty
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, day, 9), "burst"))
+    eid += 1
+    rows.append((eid, datetime(2024, 1, 1, 9), "once"))  # n_days=1
+    _write(spark, tmp_path, "events", rows,
+           "event_id bigint, ts timestamp, event_type string")
+    got = {r["event_type"]: r for r in
+           events_fano(spark, str(tmp_path)).collect()}
+    assert got["flat"]["fano"] == 0.0
+    # burst: n=4, T=12, Σx²=52 -> (4·52−144)/(3·12) = 64/36
+    assert abs(got["burst"]["fano"] - 64 / 36) < 1e-12
+    assert got["once"]["fano"] is None
