@@ -68,12 +68,20 @@ def build_sf1(spark, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     li = spark.read.parquet(f"{SF01}/lineitem.parquet")
-    # spans derived from the input so replica keys can never alias
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    # spans derived from the input so replica keys can never alias; the
+    # ORDERKEY span is shared between lineitem and orders so the
+    # lineitem⋈orders join holds inside every replica (a lineitem-only
+    # span silently stranded replicas 1..9 joinless — measured as a
+    # constant-output q_mutual_top_pairs probe before this fix)
     mx = li.agg(
         F.max("l_orderkey").alias("o"), F.max("l_partkey").alias("p")
     ).first()
-    o_span = int(mx["o"]) + 1
+    o_span = max(
+        int(mx["o"]), int(orders.agg(F.max("o_orderkey")).first()[0])
+    ) + 1
     p_span = int(mx["p"]) + 1
+    c_span = int(orders.agg(F.max("o_custkey")).first()[0]) + 1
     reps = None
     for i in range(REPLICAS):
         r = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * o_span)).withColumn(
@@ -82,13 +90,33 @@ def build_sf1(spark, out_dir: str) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
 
+    # orders: offset replication consistent with lineitem (same o_span)
+    # plus disjoint customers per replica -> 10 disjoint markets
+    reps = None
+    for i in range(REPLICAS):
+        r = orders.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * o_span)
+        ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * c_span))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    # documents: offset doc_ids so per-doc spines (hashed features,
+    # dedup keys, distinct censuses) genuinely grow 10x — duplicate ids
+    # would COLLAPSE group-bys and flatter the probe
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    d_span = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    reps = None
+    for i in range(REPLICAS):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_span))
+        reps = r if reps is None else reps.unionByName(r)
+    reps.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
     # remaining tables: plain 10x replication (no key offsets) — enough
     # for SCAN-SHAPED probes (dq_null_census: per-column null counts
     # don't care about key aliasing); keyed/graph probes must use the
-    # offset-replicated lineitem/embeddings above
+    # offset-replicated lineitem/orders/documents/embeddings above
     for tbl in [
-        "region", "nation", "customer", "supplier", "part", "orders",
-        "events", "documents",
+        "region", "nation", "customer", "supplier", "part", "events",
     ]:
         base = spark.read.parquet(f"{SF01}/{tbl}.parquet")
         reps = base
@@ -178,6 +206,13 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.plans.linkpred import (
         graph_common_neighbors,
     )
+    from etl_pipeline_example_spark.operators.qtrain import quality_trained
+    from etl_pipeline_example_spark.plans.distinctcensus import (
+        dq_distinct_census,
+    )
+    from etl_pipeline_example_spark.plans.mutualtop import (
+        q_mutual_top_pairs,
+    )
     from etl_pipeline_example_spark.plans.nullcensus import dq_null_census
 
     return {
@@ -190,6 +225,9 @@ def _ops() -> dict:
         "neardup_sparse_tau": neardup_sparse_tau,
         "graph_clustering_coeff": graph_clustering_coeff,
         "dq_null_census": dq_null_census,
+        "q_mutual_top_pairs": q_mutual_top_pairs,
+        "quality_trained": quality_trained,
+        "dq_distinct_census": dq_distinct_census,
     }
 
 
