@@ -360,6 +360,10 @@ from etl_pipeline_example_spark.plans.fano import (
     FANO_QUERIES,
     FANO_ORACLES,
 )
+from etl_pipeline_example_spark.plans.partchecksum import (
+    PARTCHECKSUM_QUERIES,
+    PARTCHECKSUM_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -544,6 +548,8 @@ __all__ = [
     "DISTINCTCENSUS_ORACLES",
     "FANO_QUERIES",
     "FANO_ORACLES",
+    "PARTCHECKSUM_QUERIES",
+    "PARTCHECKSUM_ORACLES",
     "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",

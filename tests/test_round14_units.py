@@ -503,3 +503,53 @@ def test_events_fano_hand(spark, tmp_path):
     # burst: n=4, T=12, Σx²=52 -> (4·52−144)/(3·12) = 64/36
     assert abs(got["burst"]["fano"] - 64 / 36) < 1e-12
     assert got["once"]["fano"] is None
+
+
+def test_table_checksum_parts_localizes_divergence(spark, tmp_path):
+    """Two warehouses differing in exactly one order row: the grids
+    agree everywhere except that order's month, and per-month sums
+    recompute from the hash construct."""
+    import hashlib
+    import shutil
+    from datetime import date
+
+    from etl_pipeline_example_spark.plans.partchecksum import (
+        table_checksum_parts,
+    )
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        shutil.copyfile(f"/root/testdata/sf0.001/{t}.parquet",
+                        f"{tmp_path}/{t}.parquet")
+    rows = [(1, 10, "HIGH", date(2024, 1, 5)),
+            (2, 11, "LOW", date(2024, 1, 20)),
+            (3, 12, "LOW", date(2024, 2, 3))]
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string,"
+           " o_orderdate date")
+    grid = {(r["table_name"], r["part"]): r for r in
+            table_checksum_parts(spark, str(tmp_path)).collect()}
+
+    def h(k, c, p):
+        return int(hashlib.md5(f"{k}|{c}|{p}".encode()).hexdigest()[:15], 16)
+
+    assert grid[("orders", "2024-01")]["n_rows"] == 2
+    assert grid[("orders", "2024-01")]["checksum"] == str(
+        h(1, 10, "HIGH") + h(2, 11, "LOW"))
+    assert grid[("orders", "2024-02")]["checksum"] == str(h(3, 12, "LOW"))
+
+    # divergent copy: one row changed in Feb only
+    d2 = tmp_path / "w2"
+    d2.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"]:
+        shutil.copyfile(f"{tmp_path}/{t}.parquet", f"{d2}/{t}.parquet")
+    rows2 = rows[:2] + [(3, 12, "HIGH", date(2024, 2, 3))]
+    _write(spark, d2, "orders", rows2,
+           "o_orderkey bigint, o_custkey bigint, o_orderpriority string,"
+           " o_orderdate date")
+    grid2 = {(r["table_name"], r["part"]): r["checksum"] for r in
+             table_checksum_parts(spark, str(d2)).collect()}
+    diffs = [k for k in grid2
+             if k in grid and grid2[k] != grid[k]["checksum"]]
+    assert diffs == [("orders", "2024-02")], diffs
