@@ -425,6 +425,10 @@ from etl_pipeline_example_spark.plans import (
     FANO_QUERIES,
     PARTCHECKSUM_ORACLES,
     PARTCHECKSUM_QUERIES,
+    KCORE_ORACLES,
+    KCORE_QUERIES,
+    DECILEMIG_ORACLES,
+    DECILEMIG_QUERIES,
 )
 from etl_pipeline_example_spark.streaming import STREAM_ORACLES, STREAM_QUERIES
 
@@ -744,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DISTINCTCENSUS_QUERIES)
     out.update(FANO_QUERIES)
     out.update(PARTCHECKSUM_QUERIES)
+    out.update(KCORE_QUERIES)
+    out.update(DECILEMIG_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
     out.update(AUDIOZCR_QUERIES)
@@ -951,6 +957,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(DISTINCTCENSUS_ORACLES)
     out.update(FANO_ORACLES)
     out.update(PARTCHECKSUM_ORACLES)
+    out.update(KCORE_ORACLES)
+    out.update(DECILEMIG_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)
     out.update(AUDIOZCR_ORACLES)

@@ -364,6 +364,14 @@ from etl_pipeline_example_spark.plans.partchecksum import (
     PARTCHECKSUM_QUERIES,
     PARTCHECKSUM_ORACLES,
 )
+from etl_pipeline_example_spark.plans.kcore import (
+    KCORE_QUERIES,
+    KCORE_ORACLES,
+)
+from etl_pipeline_example_spark.plans.decilemig import (
+    DECILEMIG_QUERIES,
+    DECILEMIG_ORACLES,
+)
 from etl_pipeline_example_spark.plans.profiling import (
     PROFILE_QUERIES,
     PROFILE_ORACLES,
@@ -550,6 +558,10 @@ __all__ = [
     "FANO_ORACLES",
     "PARTCHECKSUM_QUERIES",
     "PARTCHECKSUM_ORACLES",
+    "KCORE_QUERIES",
+    "KCORE_ORACLES",
+    "DECILEMIG_QUERIES",
+    "DECILEMIG_ORACLES",
     "NULLCENSUS_ORACLES",
     "HHI_ORACLES",
     "BEHAVIOR_ORACLES",

@@ -1,0 +1,133 @@
+"""Bounded k-core peel over the co-purchase graph.
+
+The k-core (maximal subgraph where every vertex keeps degree ≥ k) is
+the standard "dense backbone" extraction — recommendation seeding,
+community pre-filtering, spam-ring detection all start by discarding
+the tree-like fringe. Exact k-core is an iterative PEEL: remove
+sub-k vertices, recompute degrees, repeat to fixpoint. Unbounded
+iteration can't be oracle-unrolled, so this registers the BOUNDED
+form — K=3, R=4 peel rounds — plus a ``converged`` flag that reports
+whether round R removed nobody (i.e. the bounded answer IS the exact
+k-core; on the benchmark graph it converges well inside the budget,
+which the flag certifies per run instead of assuming). The
+graph_pagerank precedent: fixed-round iteration, oracle unrolls the
+identical rounds as chained CTEs.
+
+Exactness: degrees and survivor sets are integer/set operations only;
+``converged`` compares two survivor COUNTS (peeling is monotone —
+alive_R ⊆ alive_{R-1} — so count equality is set equality).
+
+Scale shape: the symmetric adjacency is persisted once (the graphiter
+discipline); each round is two semi-joins against the current
+survivor set + one map-side-combined degree count — R bounded rounds
+of keyed exchanges, no all-pairs anything; survivor counts are the
+only driver scalars (the graph_cc convergence-probe precedent).
+
+Reference: N/A (305-LoC Glue ETL); engine surface, SURVEY.md §2.
+Registered beyond the round-14 grading window — first driver slot
+round 15.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.simcore import tracked_persist
+from etl_pipeline_example_spark.plans.graphiter import _EDGES2_SQL, _co_edges
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def graph_kcore3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, core_deg, converged): survivors of R=4 peel rounds at
+    K=3 with their in-core degree; converged=true certifies the
+    bounded peel reached the exact 3-core fixpoint."""
+    dp = spark.sparkContext.defaultParallelism
+    edges = _co_edges(spark, sf_dir)
+    sym = tracked_persist(
+        edges.select(F.col("u").alias("c"), F.col("v").alias("n"))
+        .unionAll(
+            edges.select(F.col("u").alias("n"), F.col("v").alias("c"))
+            .select("c", "n")
+        )
+        .repartition(dp, "c")
+    )
+    alive = sym.select(F.col("c").alias("node")).distinct()
+    counts = []
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            sym.join(alive.select(F.col("node").alias("c")), "c")
+            .join(alive.select(F.col("node").alias("n")), "n")
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        alive = tracked_persist(
+            deg.filter(F.col("deg") >= KCORE_K).select(
+                F.col("c").alias("node")
+            )
+        )
+        counts.append(alive.count())  # bounded driver scalar per round
+    converged = counts[-1] == counts[-2]
+    final_deg = (
+        sym.join(alive.select(F.col("node").alias("c")), "c")
+        .join(alive.select(F.col("node").alias("n")), "n")
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+    )
+    return final_deg.select(
+        F.col("c").alias("node"),
+        "core_deg",
+        F.lit(converged).alias("converged"),
+    ).orderBy("node")
+
+
+def _round_ctes(rounds: int, k: int) -> str:
+    parts = [
+        "alive0 AS (SELECT DISTINCT u AS node FROM edges2"
+        " UNION SELECT DISTINCT v FROM edges2)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"deg{r} AS (SELECT s.c, count(*) AS deg FROM sym s"
+            f" JOIN alive{r - 1} x ON s.c = x.node"
+            f" JOIN alive{r - 1} y ON s.n = y.node GROUP BY s.c)"
+        )
+        parts.append(
+            f"alive{r} AS (SELECT c AS node FROM deg{r} WHERE deg >= {k})"
+        )
+    return ",\n".join(parts)
+
+
+GRAPH_KCORE3_SQL = f"""
+WITH {_EDGES2_SQL},
+sym AS (
+  SELECT u AS c, v AS n FROM edges2
+  UNION ALL
+  SELECT v AS c, u AS n FROM edges2
+),
+{_round_ctes(KCORE_ROUNDS, KCORE_K)},
+final_deg AS (
+  SELECT s.c AS node, count(*) AS core_deg FROM sym s
+  JOIN alive{KCORE_ROUNDS} x ON s.c = x.node
+  JOIN alive{KCORE_ROUNDS} y ON s.n = y.node
+  GROUP BY s.c
+)
+SELECT node, core_deg,
+       (SELECT count(*) FROM alive{KCORE_ROUNDS - 1})
+         = (SELECT count(*) FROM alive{KCORE_ROUNDS}) AS converged
+FROM final_deg
+ORDER BY node
+"""
+
+
+KCORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "graph_kcore3": graph_kcore3,
+}
+
+KCORE_ORACLES: dict[str, str] = {
+    "graph_kcore3": GRAPH_KCORE3_SQL,
+}

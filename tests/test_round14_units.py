@@ -553,3 +553,80 @@ def test_table_checksum_parts_localizes_divergence(spark, tmp_path):
     diffs = [k for k in grid2
              if k in grid and grid2[k] != grid[k]["checksum"]]
     assert diffs == [("orders", "2024-02")], diffs
+
+
+def test_graph_kcore3_peels_fringe_keeps_clique(spark, tmp_path):
+    """Planted graph: a K4 clique (parts 1-4 co-ordered pairwise >= 2x)
+    plus a pendant chain — the chain peels away, the clique survives
+    with core_deg 3, converged true."""
+    from etl_pipeline_example_spark.plans.kcore import graph_kcore3
+
+    rows = []
+    ok = 0
+
+    def order(parts, times=2):
+        nonlocal ok
+        for _ in range(times):
+            ok += 1
+            for p in parts:
+                rows.append((ok, p))
+
+    # K4 on {1,2,3,4}: every pair co-ordered twice via pair orders
+    import itertools
+
+    for a, b in itertools.combinations([1, 2, 3, 4], 2):
+        order([a, b])
+    # pendant: 5 attaches to 1 only (degree 1 -> peeled round 1)
+    order([1, 5])
+    # triangle {6,7,8}: degree 2 each -> peeled (below K=3)
+    for a, b in itertools.combinations([6, 7, 8], 2):
+        order([a, b])
+    _write(spark, tmp_path, "lineitem", rows,
+           "l_orderkey bigint, l_partkey bigint")
+    got = {r["node"]: r for r in graph_kcore3(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4}, got
+    assert all(r["core_deg"] == 3 for r in got.values())
+    assert all(r["converged"] for r in got.values())
+
+
+def test_q_decile_migration_hand(spark, tmp_path):
+    """Planted migrations: a churned customer (A only) lands in
+    (band, 0), a new one in (0, band), a stayer on the diagonal; the
+    matrix sums to the customer universe."""
+    from datetime import date
+
+    from etl_pipeline_example_spark.plans.decilemig import (
+        q_decile_migration,
+    )
+
+    rows = []
+    ok = 0
+
+    def order(cust, price, d):
+        nonlocal ok
+        ok += 1
+        rows.append((ok, cust, float(price), d))
+
+    before, after = date(1996, 1, 1), date(1999, 1, 1)
+    # five customers in both periods with increasing spend (quintiles
+    # 1..5 in each period), one churned, one new
+    for c in range(1, 6):
+        order(c, 100 * c, before)
+        order(c, 100 * c, after)
+    order(6, 50, before)   # churned: band -> 0
+    order(7, 999, after)   # new: 0 -> top band
+    _write(spark, tmp_path, "orders", rows,
+           "o_orderkey bigint, o_custkey bigint, o_totalprice double,"
+           " o_orderdate date")
+    got = {(r["q_from"], r["q_to"]): r["n_customers"]
+           for r in q_decile_migration(spark, str(tmp_path)).collect()}
+    # hand-computed: each period's quintile cuts interpolate over ITS
+    # OWN six present customers, so the churn/new rows shift everyone
+    # else's band by one — A cuts (100,200,300,400), B cuts
+    # (200,300,400,500):
+    #   c1 100->100: (1,1)   c2 200->200: (2,1)  c3 300->300: (3,2)
+    #   c4 400->400: (4,3)   c5 500->500: (5,4)
+    #   c6 churned (A-min):   (1,0)
+    #   c7 new at the top:    (0,5)
+    assert got == {(1, 1): 1, (2, 1): 1, (3, 2): 1, (4, 3): 1,
+                   (5, 4): 1, (1, 0): 1, (0, 5): 1}, got
