@@ -460,19 +460,20 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-15 PLAN (committed at round-14 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 14 round-14 additions, registration order:
+#   1. first evidence — the 16 round-14 additions, registration order:
 #      quality_trained, ann_radius, multimodal_audio_clip,
 #      split_leakage, lang_margin, quality_blocklist,
 #      shard_balance_audit, q_mutual_top_pairs, dq_dup_rows,
 #      events_lag_spearman, dq_distinct_census, events_fano,
-#      table_checksum_parts, stream_blocklist_quarantine;
+#      table_checksum_parts, graph_kcore3, q_decile_migration,
+#      stream_blocklist_quarantine;
 #   2. ann_knn_join — RE-grade: driver-green r13 at the fixed 6-bit
 #      shape, but round 14 re-registered it at the corpus-size-derived
 #      bit-width (operators/knnjoin.py changed, freeze evidence void;
 #      strict drivercheck green at sf0.01 [identical 6-bit output] and
 #      at a planted 5000-vector corpus [7 bits], judge-checkable in
 #      tests/test_round14_units.py);
-#   3. fill to exactly 50 with the 35 oldest-stale entries (r8/r9
+#   3. fill to exactly 50 with the 33 oldest-stale entries (r8/r9
 #      evidence), oldest first: quality_linear, sample_allocation,
 #      retrieve_overlap, stream_shard_feed (rolled from r14),
 #      q_range_join, contamination_minhash, embed_normalize,
@@ -484,9 +485,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      dedup_cluster, multimodal_decode, dup_cluster_sizes,
 #      bigram_coverage, simhash_hamming_hist, doc_len_gini,
 #      source_overlap_matrix, text_readability,
-#      minhash_band_occupancy, token_budget_curve, q_rank_family,
-#      q_latest_event. (events_rollup_multi and stream_neardup_gate
-#      are the next two stale and roll to r16; the rows-only
+#      minhash_band_occupancy, token_budget_curve — 33 fill slots
+#      (16 + 1 + 33 = 50). (q_rank_family, q_latest_event,
+#      events_rollup_multi and stream_neardup_gate are the next four
+#      stale and roll to r16; the rows-only
 #      dq_profile_approx/embed_pca stay out per the full-oracle window
 #      rule; quality_compress remains the documented no-oracle
 #      pytest-contract entry.)
