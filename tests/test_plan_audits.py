@@ -1340,3 +1340,80 @@ def test_events_lag_spearman_partial_agg_daily(spark, sf_dir):
     schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert all("props" not in ln and "user_id" not in ln
                for ln in schema_lines), schema_lines
+
+
+def test_quality_trained_text_never_shuffles_weights_broadcast(
+    spark, sf_dir
+):
+    """The trained gate's scoring plan: the weight table enters as a
+    broadcast join and document text never rides an exchange (only the
+    narrow (doc_id, y, b, c) spine shuffles)."""
+    from etl_pipeline_example_spark.operators.qtrain import quality_trained
+
+    df = quality_trained(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "text#" in ln:
+            raise AssertionError(f"text on a shuffle: {ln}")
+
+
+def test_quality_blocklist_lexicon_broadcasts(spark, sf_dir):
+    """The categorized gate joins the exploded tokens against a
+    BROADCAST lexicon (never a literal indexed in a lambda), and text
+    never rides an exchange."""
+    from etl_pipeline_example_spark.operators.blocklist import (
+        quality_blocklist,
+    )
+
+    plan = plan_str(quality_blocklist(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "text#" in ln:
+            raise AssertionError(f"text on a shuffle: {ln}")
+
+
+def test_table_checksum_parts_partial_aggregates_three_scans(
+    spark, sf_dir
+):
+    """One scan per fact table, decimal checksum partial-aggregated
+    map-side before the calendar-key exchange."""
+    from etl_pipeline_example_spark.plans.partchecksum import (
+        table_checksum_parts,
+    )
+
+    simple = plan_str(table_checksum_parts(spark, sf_dir), "simple")
+    assert simple.count("FileScan parquet") == 3, simple
+    assert "partial_count" in plan_str(
+        table_checksum_parts(spark, sf_dir)
+    )
+
+
+def test_q_decile_migration_one_scan_broadcast_cuts_no_window(
+    spark, sf_dir
+):
+    """Both periods' revenues come from ONE orders scan (conditional
+    aggregate, not two scans); the quintile cuts broadcast back; no
+    global window anywhere."""
+    from etl_pipeline_example_spark.plans.decilemig import (
+        q_decile_migration,
+    )
+
+    df = q_decile_migration(spark, sf_dir)
+    simple = plan_str(df, "simple")
+    assert simple.count("FileScan parquet") <= 2, simple  # per + cuts reuse
+    assert "Window" not in simple
+    assert "Broadcast" in simple
+
+
+def test_graph_kcore3_no_cartesian_and_reuses_persisted_adjacency(
+    spark, sf_dir
+):
+    """Every peel round joins on node keys (no cartesian product), and
+    the symmetric adjacency is served from the tracked persist."""
+    from etl_pipeline_example_spark.plans.kcore import graph_kcore3
+
+    df = graph_kcore3(spark, sf_dir)
+    simple = plan_str(df, "simple")
+    assert "CartesianProduct" not in simple
+    assert "InMemoryTableScan" in simple, "adjacency must be persisted"
