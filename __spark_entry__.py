@@ -465,7 +465,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #      split_leakage, lang_margin, quality_blocklist,
 #      shard_balance_audit, q_mutual_top_pairs, dq_dup_rows,
 #      events_lag_spearman, dq_distinct_census, events_fano,
-#      table_checksum_parts, graph_kcore3, q_decile_migration,
+#      table_checksum_parts, graph_kcore2, q_decile_migration,
 #      stream_blocklist_quarantine;
 #   2. ann_knn_join — RE-grade: driver-green r13 at the fixed 6-bit
 #      shape, but round 14 re-registered it at the corpus-size-derived

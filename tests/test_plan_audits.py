@@ -1406,14 +1406,14 @@ def test_q_decile_migration_one_scan_broadcast_cuts_no_window(
     assert "Broadcast" in simple
 
 
-def test_graph_kcore3_no_cartesian_and_reuses_persisted_adjacency(
+def test_graph_kcore2_no_cartesian_and_reuses_persisted_adjacency(
     spark, sf_dir
 ):
     """Every peel round joins on node keys (no cartesian product), and
     the symmetric adjacency is served from the tracked persist."""
-    from etl_pipeline_example_spark.plans.kcore import graph_kcore3
+    from etl_pipeline_example_spark.plans.kcore import graph_kcore2
 
-    df = graph_kcore3(spark, sf_dir)
+    df = graph_kcore2(spark, sf_dir)
     simple = plan_str(df, "simple")
     assert "CartesianProduct" not in simple
     assert "InMemoryTableScan" in simple, "adjacency must be persisted"

@@ -555,11 +555,11 @@ def test_table_checksum_parts_localizes_divergence(spark, tmp_path):
     assert diffs == [("orders", "2024-02")], diffs
 
 
-def test_graph_kcore3_peels_fringe_keeps_clique(spark, tmp_path):
-    """Planted graph: a K4 clique (parts 1-4 co-ordered pairwise >= 2x)
-    plus a pendant chain — the chain peels away, the clique survives
-    with core_deg 3, converged true."""
-    from etl_pipeline_example_spark.plans.kcore import graph_kcore3
+def test_graph_kcore2_peels_fringe_keeps_cycles(spark, tmp_path):
+    """Planted graph: a K4 clique and a triangle both survive the
+    2-core (every node on a cycle) with their exact in-core degrees;
+    the pendant vertex peels away; converged true."""
+    from etl_pipeline_example_spark.plans.kcore import graph_kcore2
 
     rows = []
     ok = 0
@@ -578,14 +578,15 @@ def test_graph_kcore3_peels_fringe_keeps_clique(spark, tmp_path):
         order([a, b])
     # pendant: 5 attaches to 1 only (degree 1 -> peeled round 1)
     order([1, 5])
-    # triangle {6,7,8}: degree 2 each -> peeled (below K=3)
+    # triangle {6,7,8}: degree 2 each -> SURVIVES the 2-core
     for a, b in itertools.combinations([6, 7, 8], 2):
         order([a, b])
     _write(spark, tmp_path, "lineitem", rows,
            "l_orderkey bigint, l_partkey bigint")
-    got = {r["node"]: r for r in graph_kcore3(spark, str(tmp_path)).collect()}
-    assert set(got) == {1, 2, 3, 4}, got
-    assert all(r["core_deg"] == 3 for r in got.values())
+    got = {r["node"]: r for r in graph_kcore2(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2, 3, 4, 6, 7, 8}, got
+    assert all(got[n]["core_deg"] == 3 for n in (1, 2, 3, 4))
+    assert all(got[n]["core_deg"] == 2 for n in (6, 7, 8))
     assert all(r["converged"] for r in got.values())
 
 

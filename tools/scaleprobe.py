@@ -214,6 +214,7 @@ def _ops() -> dict:
         q_mutual_top_pairs,
     )
     from etl_pipeline_example_spark.plans.nullcensus import dq_null_census
+    from etl_pipeline_example_spark.plans.kcore import graph_kcore2
 
     return {
         "graph_triangles": graph_triangles,
@@ -228,6 +229,7 @@ def _ops() -> dict:
         "q_mutual_top_pairs": q_mutual_top_pairs,
         "quality_trained": quality_trained,
         "dq_distinct_census": dq_distinct_census,
+        "graph_kcore2": graph_kcore2,
     }
 
 
