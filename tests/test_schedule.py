@@ -103,3 +103,31 @@ def test_malformed_and_unsatisfiable_specs_fail_loudly():
         parse_cron("a * * * *")
     with pytest.raises(ValueError, match="never fires"):
         next_fire("0 0 30 2 *", datetime(2026, 1, 1))  # Feb 30
+
+
+def test_due_now_drives_pipeline_run_end_to_end():
+    """The orchestrator loop in miniature, frozen clock: a weekly DAG
+    misses three Sundays; one due_now() call enqueues exactly one
+    catchup-skipped run, run() executes the tasks in dependency
+    order, and after recording last_run the next tick is not due."""
+    ran = []
+    p = Pipeline("weekly", schedule=REF)
+    p.task("extract", lambda: ran.append("extract") or "e")
+    p.task("transform", lambda: ran.append("transform") or "t",
+           after=["extract"])
+
+    last_run = datetime(2026, 7, 5, 13, 30)
+    now = datetime(2026, 8, 1, 0, 0)
+    due = due_now(p, now, last_run=last_run)
+    assert due == [datetime(2026, 7, 26, 13, 30)]
+    for _tick in due:
+        results = p.run()
+        last_run = _tick
+    assert ran == ["extract", "transform"]
+    assert results["transform"] == "t"
+    assert p.last_state["extract"]["status"] == "success"
+    # the loop is quiescent until the next Sunday 13:30
+    assert due_now(p, datetime(2026, 8, 1, 12, 0), last_run=last_run) == []
+    assert due_now(p, datetime(2026, 8, 2, 13, 30), last_run=last_run) == [
+        datetime(2026, 8, 2, 13, 30)
+    ]
