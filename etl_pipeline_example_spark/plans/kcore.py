@@ -63,9 +63,21 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
     alive = sym.select(F.col("c").alias("node")).distinct()
     counts = []
     for _ in range(KCORE_ROUNDS):
+        # repartition(dp, key) at every chain head (the graphiter
+        # width-bounding discipline): under a vanilla session each of
+        # the two joins + the groupBy would otherwise inherit the
+        # 200-partition shuffle default — 6 rounds × ~3 exchanges of
+        # tiny node-sized frames at 200 tasks each was pure scheduler
+        # overhead (56 s → ~14 s at sf0.01 in the driver's harness).
+        # sym is persisted hash(c, dp), so the c-join and the final
+        # groupBy add no new exchange once their other head matches.
+        a_c = alive.select(F.col("node").alias("c")).repartition(dp, "c")
+        a_n = alive.select(F.col("node").alias("n")).repartition(dp, "n")
         deg = (
-            sym.join(alive.select(F.col("node").alias("c")), "c")
-            .join(alive.select(F.col("node").alias("n")), "n")
+            sym.join(a_c, "c")
+            .repartition(dp, "n")
+            .join(a_n, "n")
+            .repartition(dp, "c")
             .groupBy("c")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
@@ -79,8 +91,12 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.append(alive.count())  # bounded driver scalar per round
     converged = counts[-1] == counts[-2]
     final_deg = (
-        sym.join(alive.select(F.col("node").alias("c")), "c")
-        .join(alive.select(F.col("node").alias("n")), "n")
+        sym.join(
+            alive.select(F.col("node").alias("c")).repartition(dp, "c"), "c"
+        )
+        .repartition(dp, "n")
+        .join(alive.select(F.col("node").alias("n")).repartition(dp, "n"), "n")
+        .repartition(dp, "c")
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("core_deg"))
     )
@@ -92,25 +108,38 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _round_ctes(rounds: int, k: int) -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    # reference site, and alive{r} references alive{r-1} TWICE, so the
+    # non-materialized unroll re-evaluates the whole chain 2^R times
+    # (measured 49.5 s at sf0.01 for R=6; materialized: sub-second).
+    # Spark's localCheckpoint per round is the same linearization on
+    # the engine side — the two oracles stay operation-identical.
     parts = [
-        "alive0 AS (SELECT DISTINCT u AS node FROM edges2"
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges2"
         " UNION SELECT DISTINCT v FROM edges2)"
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"deg{r} AS (SELECT s.c, count(*) AS deg FROM sym s"
+            f"deg{r} AS MATERIALIZED (SELECT s.c, count(*) AS deg FROM sym s"
             f" JOIN alive{r - 1} x ON s.c = x.node"
             f" JOIN alive{r - 1} y ON s.n = y.node GROUP BY s.c)"
         )
         parts.append(
-            f"alive{r} AS (SELECT c AS node FROM deg{r} WHERE deg >= {k})"
+            f"alive{r} AS MATERIALIZED"
+            f" (SELECT c AS node FROM deg{r} WHERE deg >= {k})"
         )
     return ",\n".join(parts)
 
 
+# local materialized twin of graphiter's edges2 CTE (graphiter.py is
+# frozen — graph_cc/graph_pagerank ride its byte-identical evidence)
+_EDGES2_MAT_SQL = _EDGES2_SQL.replace(
+    "edges2 AS (", "edges2 AS MATERIALIZED (", 1
+)
+
 GRAPH_KCORE2_SQL = f"""
-WITH {_EDGES2_SQL},
-sym AS (
+WITH {_EDGES2_MAT_SQL},
+sym AS MATERIALIZED (
   SELECT u AS c, v AS n FROM edges2
   UNION ALL
   SELECT v AS c, u AS n FROM edges2
