@@ -28,7 +28,11 @@ def swap_into_place(spark: SparkSession, tmp_path: str, dest_path: str) -> None:
 
     Note: directory rename is atomic on HDFS/local FS; on S3 it is a
     copy+delete, where a real deployment uses a table format's commit
-    protocol instead — this helper is the plain-filesystem fallback.
+    protocol instead — this helper is the plain-filesystem fallback for
+    the in-place zone/catalog tables. The versioned-table layer
+    (pipeline/versioned.py) needs no such fallback: its commit protocol
+    is rename-free end-to-end (create-exclusive manifest + overwrite
+    pointer PUT, torn-tolerant readers) and is the object-store path.
     """
     jvm = spark.sparkContext._jvm
     fs, dest = hadoop_fs(spark, dest_path)

@@ -137,6 +137,30 @@ def next_fire(spec: str, after: datetime) -> datetime:
     raise ValueError(f"cron spec never fires within 5 years: {spec!r}")
 
 
+def prev_fire(spec: str, at: datetime) -> datetime:
+    """Last schedule tick AT or BEFORE ``at`` (minute precision) — the
+    backward twin of ``next_fire``, same five-year scan bound."""
+    minute, hour, dom, month, dow = parse_cron(spec)
+    minutes = (
+        sorted(minute, reverse=True)
+        if minute is not None
+        else range(59, -1, -1)
+    )
+    hours = (
+        sorted(hour, reverse=True) if hour is not None else range(23, -1, -1)
+    )
+    d = at.date()
+    for _ in range(_MAX_SCAN_DAYS):
+        if _day_matches(d, dom, month, dow):
+            for hh in hours:
+                for mm in minutes:
+                    cand = datetime.combine(d, time(hh, mm))
+                    if cand <= at:
+                        return cand
+        d = d - timedelta(days=1)
+    raise ValueError(f"cron spec never fired within 5 years: {spec!r}")
+
+
 def due_runs(
     spec: str,
     now: datetime,
@@ -156,6 +180,14 @@ def due_runs(
             "due_runs needs last_run or start: a never-run DAG without a"
             " start date has no well-defined first tick"
         )
+    if not catchup:
+        # resolve the latest tick directly (one backward scan): the
+        # forward enumeration below would walk — and at >100000 missed
+        # ticks, cap out on — every tick a frequent schedule missed
+        # while idle, just to keep the last one; Airflow's
+        # catchup=False runs that pipeline fine (round-14 ADVICE, low)
+        t = prev_fire(spec, now)
+        return [t] if t > floor else []
     ticks: list[datetime] = []
     t = floor
     while True:
@@ -168,8 +200,6 @@ def due_runs(
                 f"more than 100000 due ticks for {spec!r}; narrow the"
                 " window or backfill explicitly"
             )
-    if not catchup and len(ticks) > 1:
-        return [ticks[-1]]
     return ticks
 
 

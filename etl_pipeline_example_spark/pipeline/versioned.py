@@ -38,12 +38,19 @@ immutable data files — not a full snapshot directory:
   min/max spans the domain — equality predicates in ``where=`` skip
   every file whose bloom proves the key absent (round 13).
 
-Concurrency contract (round-10/11 ADVICE hardening):
-- the pointer swap is a single FileContext rename with
-  ``Options.Rename.OVERWRITE`` — atomic on HDFS/local, no
-  delete-then-rename gap; and ``_read_pointer`` falls back to the
-  newest committed manifest if the pointer file is momentarily absent
-  (crash recovery), so a reader NEVER sees a missing table;
+Concurrency contract (round-10/11 ADVICE hardening; round-15
+rename-free commit):
+- the commit protocol uses NO renames anywhere (object stores —
+  S3 included — implement rename as a non-atomic copy+delete): the
+  create-exclusive MANIFEST write is the authoritative commit (a
+  conditional PUT on S3, ``O_EXCL`` create on HDFS/local), and the
+  ``_latest`` pointer is a best-effort read HINT written LAST as one
+  plain overwrite PUT. ``_read_pointer`` reconciles the hint against
+  the newest committed manifest (torn/empty/stale/missing pointer →
+  the manifest listing wins), so a reader NEVER sees a torn or
+  missing table and a writer NEVER merges against a stale head — a
+  crash between manifest commit and pointer PUT costs the next
+  reader one directory listing, nothing else;
 - version-number allocation is coordinated by the manifest create
   itself: the manifest file is created with ``overwrite=false``
   (create-exclusive), so two racing writers cannot both commit the
@@ -122,6 +129,24 @@ def _bucket_expr(key: str, nbuckets: int):
     return F.pmod(F.xxhash64(F.col(key)), F.lit(nbuckets))
 
 
+def _is_external(ref: str) -> bool:
+    """True for a manifest file entry that references a file OUTSIDE
+    this table's directory — a shallow clone's borrowed source files,
+    stored absolute (``/abs/path`` on a plain FS, ``scheme://...`` on
+    anything URI-addressed: s3a, hdfs, viewfs)."""
+    return ref.startswith("/") or "://" in ref
+
+
+def _resolve_ref(path: str, ref: str) -> str:
+    """Manifest entry → loadable path. Table-relative entries join
+    under the table root; external (clone-borrowed) entries pass
+    through UNCHANGED — ``posixpath.join`` only passes through refs
+    starting with ``/``, so a scheme-qualified ref (``s3a://...``)
+    would otherwise concatenate into a garbage path and make every
+    clone of a non-local table unreadable (round-14 ADVICE, medium)."""
+    return ref if _is_external(ref) else posixpath.join(path, ref)
+
+
 def _versions(spark: SparkSession, path: str) -> list[int]:
     fs, _ = hadoop_fs(spark, path)
     mdir = _jpath(spark, f"{path}/{_MANIFESTS}")
@@ -136,46 +161,57 @@ def _versions(spark: SparkSession, path: str) -> list[int]:
 
 
 def _read_pointer(spark: SparkSession, path: str) -> int:
-    """Pointer read with crash recovery: if the pointer file is absent
-    but committed manifests exist, the newest manifest IS the latest
-    version (manifests commit create-exclusive in increasing order, and
-    expiry never deletes the newest)."""
+    """Latest-version resolution, torn-proof: the pointer file is a
+    best-effort HINT; the newest committed manifest is the truth (every
+    commit path creates manifest N = head+1 create-exclusive BEFORE
+    touching the pointer, and expiry never deletes the newest). The
+    reconciliation is ``max(hint, newest manifest)``:
+
+    - pointer missing (crash before the first pointer PUT) → listing;
+    - pointer torn (a reader catching a plain-FS overwrite mid-create
+      sees empty/partial bytes) → listing;
+    - pointer STALE (crash between manifest commit and pointer PUT —
+      the window a rename-based swap also had) → the newer manifest
+      wins, so a subsequent upsert can never merge against the stale
+      head and silently drop the crashed commit's rows.
+
+    The cost is one ``_manifests/`` listStatus per resolution — the
+    Delta/Iceberg log-listing read path, and the price of a commit
+    protocol with no renames for an object store to botch."""
     fs, _ = hadoop_fs(spark, path)
     ptr = _jpath(spark, f"{path}/{_PTR}")
+    hinted: int | None = None
     if fs.exists(ptr):
-        stream = fs.open(ptr)
         try:
-            raw = bytes(stream.readAllBytes()).decode().strip()
-        finally:
-            stream.close()
-        return int(raw)
+            stream = fs.open(ptr)
+            try:
+                hinted = int(bytes(stream.readAllBytes()).decode().strip())
+            finally:
+                stream.close()
+        except Exception:  # torn/unreadable hint: the listing decides
+            hinted = None
     committed = _versions(spark, path)
     if committed:
-        return committed[-1]
+        return max(hinted or 0, committed[-1])
+    if hinted is not None:
+        return hinted
     raise FileNotFoundError(f"no {_PTR} pointer under {path}")
 
 
 def _write_pointer(spark: SparkSession, path: str, version: int) -> None:
-    """Atomic: write a tmp pointer, rename OVER the live one in one
-    FileContext op (Options.Rename.OVERWRITE) — no delete-then-rename
-    gap for a concurrent reader to fall into."""
-    jvm = spark.sparkContext._jvm
-    gw = spark.sparkContext._gateway
+    """Best-effort read hint, written LAST — one plain overwrite create
+    (a single PUT on an object store; NO tmp file, NO rename: S3 rename
+    is a non-atomic copy+delete). The create-exclusive manifest commit
+    that already happened is the authoritative commit; a reader that
+    catches this overwrite mid-write, or a crash that skips it
+    entirely, falls back to the manifest listing in ``_read_pointer``
+    — a torn pointer can never produce a torn table."""
     fs, _ = hadoop_fs(spark, path)
-    tmp = _jpath(spark, f"{path}/.{_PTR}.tmp")
-    out = fs.create(tmp, True)
+    out = fs.create(_jpath(spark, f"{path}/{_PTR}"), True)
     try:
         out.write(f"{version}\n".encode())
     finally:
         out.close()
-    live = _jpath(spark, f"{path}/{_PTR}")
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        live.toUri(), conf
-    )
-    overwrite = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
-    overwrite[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
-    fc.rename(tmp, live, overwrite)
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -206,8 +242,25 @@ def _commit_manifest(
     # commit wall-clock for timestamp time travel (read_versioned
     # as_of_ms): stamped unconditionally — a restore/compact/clone
     # commit happens NOW even when its payload copies an older
-    # manifest, else as-of resolution loses monotonicity
-    manifest["committed_at_ms"] = int(time.time() * 1000)
+    # manifest, else as-of resolution loses monotonicity. Clamped
+    # monotonic against the newest retained manifest (the Delta
+    # in-commit-timestamp rule): wall-clock skew between writers could
+    # otherwise stamp version N+1 earlier than N, and the ascending
+    # as-of scan would resolve an as_of_ms predating N+1's real commit
+    # to N+1 (round-14 ADVICE, low).
+    stamp = int(time.time() * 1000)
+    prior = _versions(spark, path)
+    if prior:
+        try:
+            prev = int(
+                _read_manifest(spark, path, prior[-1]).get(
+                    "committed_at_ms", 0
+                )
+            )
+        except FileNotFoundError:  # racing expiry swept it mid-read
+            prev = 0
+        stamp = max(stamp, prev + 1)
+    manifest["committed_at_ms"] = stamp
     try:
         out = fs.create(mp, False)  # overwrite=false: exclusive
     except Exception as exc:  # py4j wraps FileAlreadyExistsException
@@ -297,7 +350,7 @@ def _attach_file_stats(
     usable = [c for c in cols if typed.get(c) in _STATS_TYPES]
     if not usable:
         return
-    paths = [posixpath.join(path, e["path"]) for e in entries]
+    paths = [_resolve_ref(path, e["path"]) for e in entries]
     aggs = []
     for i, c in enumerate(usable):
         aggs.append(F.min(c).alias(f"__lo{i}"))
@@ -396,7 +449,7 @@ def _attach_file_blooms(
             f" bloomable type (supported: {list(_BLOOM_TYPES)})"
         )
     usable = list(cols)
-    paths = [posixpath.join(path, e["path"]) for e in entries]
+    paths = [_resolve_ref(path, e["path"]) for e in entries]
     aggs = []
     for ci, c in enumerate(usable):
         for i, pos in enumerate(_bloom_pos_exprs(c)):
@@ -729,7 +782,7 @@ def read_versioned(
     ]
     if not files:
         return spark.createDataFrame([], schema)
-    paths = [posixpath.join(path, entry["path"]) for entry in files]
+    paths = [_resolve_ref(path, entry["path"]) for entry in files]
     # read under the MANIFEST schema: columns a file predates (added by
     # add_columns_versioned after it was written) come back null — the
     # zero-rewrite evolution contract; the select drops any layout
@@ -812,7 +865,7 @@ def upsert_versioned(
             base = (
                 spark.read.schema(schema)
                 .format(fmt)
-                .load([posixpath.join(path, e["path"]) for e in touched])
+                .load([_resolve_ref(path, e["path"]) for e in touched])
                 .select(*schema.fieldNames())
             )
         else:
@@ -948,7 +1001,7 @@ def clone_versioned(
     v = _read_pointer(spark, src_path) if version is None else version
     m = _read_manifest(spark, src_path, v)
     files = [
-        {**e, "path": posixpath.join(src_path, e["path"])}
+        {**e, "path": _resolve_ref(src_path, e["path"])}
         for e in m["files"]
     ]
     _commit_manifest(
@@ -989,11 +1042,10 @@ def compact_versioned(
     convert = fmt != old_fmt
     cluster_by = manifest.get("cluster_by")
 
-    def _external(rel: str) -> bool:
-        # a shallow clone references source files by absolute path;
-        # compaction materializes them into THIS table's dirs, cutting
-        # the borrowed-file dependency (the documented clone escape)
-        return rel.startswith("/") or "://" in rel
+    # a shallow clone references source files by absolute/scheme path;
+    # compaction materializes them into THIS table's dirs, cutting the
+    # borrowed-file dependency (the documented clone escape)
+    _external = _is_external
 
     if cluster_by is not None:
         # range layout: the bucket-granular coalesce below would merge
@@ -1055,7 +1107,7 @@ def compact_versioned(
         (
             spark.read.schema(schema)
             .format(old_fmt)
-            .load([posixpath.join(path, r) for r in rels])
+            .load([_resolve_ref(path, r) for r in rels])
             .select(*schema.fieldNames())
             .coalesce(1)
             .write.mode("errorifexists")

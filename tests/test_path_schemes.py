@@ -104,3 +104,47 @@ def test_catalog_swap_over_viewfs(spark, viewfs_path):
     assert spark.read.parquet(viewfs_path + "/dest").count() == 9
     fs, old = hadoop_fs(spark, viewfs_path + "/dest__old")
     assert not fs.exists(old)
+
+
+def test_clone_over_viewfs_reads_upserts_and_compacts(spark, viewfs_path):
+    """Round-14 ADVICE (medium): a shallow clone of a scheme-qualified
+    table stores borrowed files as ``viewfs://...`` refs; resolution
+    must pass them through unchanged (``posixpath.join`` would
+    concatenate them into a garbage path). Covers the read, the
+    partial-COW upsert that still references borrowed source buckets,
+    and the documented compact-the-clone escape."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        clone_versioned,
+        compact_versioned,
+    )
+
+    src = viewfs_path + "/src"
+    dst = viewfs_path + "/clone"
+    write_versioned(
+        spark,
+        _df(spark, [(k, f"s{k}", 1) for k in range(40)]),
+        src,
+        key="k",
+        nbuckets=8,
+    )
+    clone_versioned(spark, src, dst)
+    m = _read_manifest(spark, dst, 1)
+    assert all("://" in e["path"] for e in m["files"]), "absolute refs"
+    assert read_versioned(spark, dst).count() == 40
+    # partial COW upsert: the untouched buckets stay borrowed refs
+    upsert_versioned(spark, dst, _df(spark, [(0, "C", 2)]), "k", "ver")
+    m2 = _read_manifest(spark, dst, 2)
+    assert any("://" in e["path"] for e in m2["files"]), "still borrowing"
+    assert any("://" not in e["path"] for e in m2["files"]), "own COW files"
+    got = {r["k"]: r["val"] for r in read_versioned(spark, dst).collect()}
+    assert got[0] == "C" and got[7] == "s7" and len(got) == 40
+    # the clone escape: compaction materializes every borrowed byte
+    v3 = compact_versioned(spark, dst)
+    m3 = _read_manifest(spark, dst, v3)
+    assert all("://" not in e["path"] for e in m3["files"]), "dependency cut"
+    # source can now expire/GC freely; the clone still reads
+    assert read_versioned(spark, dst, version=v3).count() == 40
+    # and the SOURCE was never mutated
+    assert {
+        r["val"] for r in read_versioned(spark, src).collect()
+    } == {f"s{k}" for k in range(40)}

@@ -131,3 +131,40 @@ def test_due_now_drives_pipeline_run_end_to_end():
     assert due_now(p, datetime(2026, 8, 2, 13, 30), last_run=last_run) == [
         datetime(2026, 8, 2, 13, 30)
     ]
+
+
+def test_prev_fire_backward_twin():
+    from etl_pipeline_example_spark.pipeline.schedule import prev_fire
+
+    # at a tick: the tick itself (AT or before)
+    assert prev_fire(REF, datetime(2026, 8, 16, 13, 30)) == datetime(
+        2026, 8, 16, 13, 30
+    )
+    # one minute before the Sunday tick: the PREVIOUS Sunday
+    assert prev_fire(REF, datetime(2026, 8, 16, 13, 29)) == datetime(
+        2026, 8, 9, 13, 30
+    )
+
+
+def test_catchup_false_survives_long_idle_minutely_spec():
+    """Round-14 ADVICE (low): catchup=False used to enumerate every
+    missed tick and raise the 100000-tick cap for a minutely spec idle
+    ~69 days+ — Airflow's catchup=False runs that pipeline fine. Now it
+    resolves the latest tick with one backward scan."""
+    last = datetime(2025, 8, 16, 12, 0)  # a full year idle
+    now = datetime(2026, 8, 16, 12, 34, 56)
+    got = due_runs("* * * * *", now, last_run=last, catchup=False)
+    assert got == [datetime(2026, 8, 16, 12, 34)]
+    # catchup=True still caps loudly instead of silently enumerating
+    with pytest.raises(ValueError, match="100000"):
+        due_runs("* * * * *", now, last_run=last, catchup=True)
+    # nothing due: latest tick at-or-before now is not after last_run
+    assert (
+        due_runs(
+            REF,
+            datetime(2026, 8, 15, 23, 59),
+            last_run=datetime(2026, 8, 9, 13, 30),
+            catchup=False,
+        )
+        == []
+    )

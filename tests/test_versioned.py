@@ -1216,3 +1216,83 @@ def test_shallow_clone_zero_copy_then_cow_divergence(spark, tmp_path):
     # cloning onto an existing table refuses
     with pytest.raises(ValueError, match="already"):
         clone_versioned(spark, src, dst)
+
+
+def test_rename_free_commit_survives_torn_and_stale_pointer(spark, tmp_path):
+    """Round-15: the commit protocol is rename-free (object stores turn
+    rename into a non-atomic copy+delete). The manifest create IS the
+    commit; the pointer is a best-effort hint. Simulate every botched
+    pointer state a non-atomic overwrite can produce and prove readers
+    AND writers still resolve the newest committed manifest."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path)
+    upsert_versioned(spark, path, _df(spark, [(1, "b", 2)]), "k", "ver")
+    ptr = os.path.join(path, "_latest")
+    # torn mid-overwrite: empty file
+    with open(ptr, "w"):
+        pass
+    assert read_versioned(spark, path).collect()[0]["val"] == "b"
+    # torn mid-overwrite: garbage bytes
+    with open(ptr, "wb") as f:
+        f.write(b"\x00ga rbage")
+    assert read_versioned(spark, path).collect()[0]["val"] == "b"
+    # STALE: crash between manifest commit and pointer PUT left the
+    # pointer at v1 while v2 is committed — the newer manifest must win
+    # for readers, and an upsert must merge against v2 (not silently
+    # drop v2's rows by merging against the stale head)
+    with open(ptr, "w") as f:
+        f.write("1\n")
+    assert read_versioned(spark, path).collect()[0]["val"] == "b"
+    v3 = upsert_versioned(spark, path, _df(spark, [(2, "c", 3)]), "k", "ver")
+    assert v3 == 3
+    got = {r["k"]: r["val"] for r in read_versioned(spark, path).collect()}
+    assert got == {1: "b", 2: "c"}, got
+    # no tmp-pointer or staged-rename artifacts anywhere in the table
+    # (._latest.crc is the local-FS checksum sidecar, not an artifact)
+    names = set(os.listdir(path))
+    assert ".%s.tmp" % "_latest" not in names, names
+
+
+def test_no_rename_in_versioned_commit_path():
+    """The versioned layer must never call a filesystem rename: object
+    stores implement it as copy+delete and every crash window in
+    between is a torn table someone ships. Pin it at the source level
+    so a regression is loud."""
+    import inspect
+
+    import etl_pipeline_example_spark.pipeline.versioned as versioned
+
+    src = inspect.getsource(versioned)
+    assert ".rename(" not in src, "rename crept back into the commit path"
+    assert "FileContext" not in src
+
+
+def test_committed_at_ms_monotonic_under_clock_skew(spark, tmp_path, monkeypatch):
+    """Round-14 ADVICE (low): wall-clock skew between writers could
+    stamp version N+1 earlier than N, making as-of resolution return
+    the newer version for a timestamp predating its real commit. The
+    stamp now clamps to prev+1 (the Delta in-commit-timestamp rule)."""
+    import time as _time
+
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        _read_manifest,
+        resolve_version_asof,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path)
+    s1 = _read_manifest(spark, path, 1)["committed_at_ms"]
+    # second writer's clock is an hour BEHIND
+    real = _time.time
+    monkeypatch.setattr(
+        "etl_pipeline_example_spark.pipeline.versioned.time.time",
+        lambda: real() - 3600,
+    )
+    upsert_versioned(spark, path, _df(spark, [(1, "b", 2)]), "k", "ver")
+    s2 = _read_manifest(spark, path, 2)["committed_at_ms"]
+    assert s2 == s1 + 1, (s1, s2)  # clamped, strictly increasing
+    # as-of at v1's stamp resolves v1, never the skewed v2
+    assert resolve_version_asof(spark, path, s1) == 1
+    assert resolve_version_asof(spark, path, s2) == 2
