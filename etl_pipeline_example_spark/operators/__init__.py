@@ -88,6 +88,10 @@ from etl_pipeline_example_spark.operators.blocklist import (
     BLOCKLIST_QUERIES,
     BLOCKLIST_ORACLES,
 )
+from etl_pipeline_example_spark.operators.bm25 import (
+    BM25_QUERIES,
+    BM25_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -464,6 +468,8 @@ __all__ = [
     "LANGMARGIN_ORACLES",
     "BLOCKLIST_QUERIES",
     "BLOCKLIST_ORACLES",
+    "BM25_QUERIES",
+    "BM25_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

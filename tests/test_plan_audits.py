@@ -1417,3 +1417,22 @@ def test_graph_kcore2_no_cartesian_and_reuses_persisted_adjacency(
     simple = plan_str(df, "simple")
     assert "CartesianProduct" not in simple
     assert "InMemoryTableScan" in simple, "adjacency must be persisted"
+
+
+def test_bm25_text_never_shuffles_window_partitioned(spark, sf_dir):
+    """BM25's scoring join moves only (ids, integers): document text
+    never rides an exchange; the bigram spine is served from the
+    tracked persist; the top-K window partitions by query_id (a
+    WindowGroupLimit-prunable partitioned rank, never a global sort);
+    corpus stats arrive on a broadcast, not a shuffle."""
+    from etl_pipeline_example_spark.operators.bm25 import bm25_rank
+
+    df = bm25_rank(spark, sf_dir)
+    simple = plan_str(df, "simple")
+    for ln in simple.splitlines():
+        if "Exchange" in ln and "text#" in ln:
+            raise AssertionError(f"text on a shuffle: {ln}")
+    assert "InMemoryTableScan" in simple, "bigram spine must be persisted"
+    assert "CartesianProduct" not in simple  # stats ride a broadcast NLJ
+    win = [ln for ln in simple.splitlines() if "Window" in ln]
+    assert win and all("query_id" in ln for ln in win), win
