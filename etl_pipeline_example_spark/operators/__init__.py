@@ -92,6 +92,10 @@ from etl_pipeline_example_spark.operators.bm25 import (
     BM25_QUERIES,
     BM25_ORACLES,
 )
+from etl_pipeline_example_spark.operators.jpegdecode import (
+    JPEGDECODE_QUERIES,
+    JPEGDECODE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -470,6 +474,8 @@ __all__ = [
     "BLOCKLIST_ORACLES",
     "BM25_QUERIES",
     "BM25_ORACLES",
+    "JPEGDECODE_QUERIES",
+    "JPEGDECODE_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

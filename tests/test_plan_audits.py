@@ -1436,3 +1436,17 @@ def test_bm25_text_never_shuffles_window_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in simple  # stats ride a broadcast NLJ
     win = [ln for ln in simple.splitlines() if "Window" in ln]
     assert win and all("query_id" in ln for ln in win), win
+
+
+def test_jpeg_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
+    """The JPEG decode is one Arrow-batched mapInPandas over doc_ids —
+    no shuffle, no join, no state (the mediapixels class)."""
+    from etl_pipeline_example_spark.operators.jpegdecode import (
+        multimodal_decode_jpeg,
+    )
+
+    plan = plan_str(multimodal_decode_jpeg(spark, sf_dir), mode="simple")
+    # the only exchange allowed is the deliberate round-robin work
+    # spread (parallel=True); never a key shuffle of payload/stat rows
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

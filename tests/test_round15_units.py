@@ -72,3 +72,113 @@ def test_bm25_rank_deterministic_integer_tiebreak(spark, tmp_path):
     got = bm25_rank(spark, str(tmp_path)).collect()
     assert [(r["doc_id"], r["rank"]) for r in got] == [(4, 1), (5, 2)]
     assert got[0]["score"] == got[1]["score"]
+
+
+def test_jpeg_roundtrip_coefficients_and_dc_exact_pixels():
+    """Coefficient-level entropy-decode truth and DC-only pixel
+    exactness, checked against the planted pattern for a spread of
+    doc_ids (no Spark needed — the codec is pure)."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.jpegdecode import (
+        _grid,
+        decode_jpeg,
+        encode_jpeg,
+        planted_acs,
+        planted_dcq,
+    )
+
+    for doc_id in (0, 3, 17, 254):
+        planes, quant = decode_jpeg(encode_jpeg(doc_id))
+        nbx, nby = _grid(doc_id)
+        assert planes[0].shape == (nby * 8, nbx * 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                acs = planted_acs(doc_id, bx, by)
+                for c in range(3):
+                    zz = quant[by, bx, c]
+                    assert zz[0] == planted_dcq(doc_id, bx, by, c)
+                    exp = np.zeros(64, dtype=np.int32)
+                    for p, v in acs:
+                        exp[p] = v
+                    assert (zz[1:] == exp[1:]).all()
+                    if not acs:
+                        blk = planes[c][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ]
+                        assert (
+                            blk == planted_dcq(doc_id, bx, by, c) + 128
+                        ).all()
+
+
+def test_jpeg_ac_block_pixels_match_numpy_idct_replay():
+    """AC-bearing blocks run the full dequantize + IDCT; replay one
+    independently (explicit double-loop cosine IDCT straight from the
+    T.81 formula) and require identical rounded pixels."""
+    import math
+
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators.jpegdecode import (
+        Q_LUMA,
+        ZIGZAG,
+        _grid,
+        decode_jpeg,
+        encode_jpeg,
+        planted_acs,
+    )
+
+    doc_id = 5
+    planes, quant = decode_jpeg(encode_jpeg(doc_id))
+    nbx, nby = _grid(doc_id)
+    checked = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if not planted_acs(doc_id, bx, by):
+                continue
+            zz = quant[by, bx, 0]
+            nat = np.zeros((8, 8))
+            for i in range(64):
+                nat[ZIGZAG[i] // 8, ZIGZAG[i] % 8] = zz[i] * Q_LUMA[i]
+            ref = np.zeros((8, 8))
+            for y in range(8):
+                for x in range(8):
+                    s = 0.0
+                    for u in range(8):
+                        for v in range(8):
+                            cu = math.sqrt(0.5) if u == 0 else 1.0
+                            cv = math.sqrt(0.5) if v == 0 else 1.0
+                            s += (
+                                cu * cv * nat[u, v]
+                                * math.cos((2 * y + 1) * u * math.pi / 16)
+                                * math.cos((2 * x + 1) * v * math.pi / 16)
+                            )
+                    ref[y, x] = s / 4.0
+            want = np.clip(np.rint(ref + 128.0), 0, 255).astype(np.uint8)
+            got = planes[0][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert (got == want).all(), (bx, by)
+            checked += 1
+    assert checked > 0
+
+
+def test_jpeg_byte_stuffing_really_exercised_and_sof2_rejected():
+    """At least one synthesized doc's scan contains a stuffed FF00 and
+    still decodes exactly; a progressive (SOF2) marker is rejected
+    loudly instead of misdecoded."""
+    import pytest
+
+    from etl_pipeline_example_spark.operators.jpegdecode import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    stuffed_doc = next(
+        d for d in range(500) if b"\xff\x00" in encode_jpeg(d)[2:-2]
+    )
+    planes, quant = decode_jpeg(encode_jpeg(stuffed_doc))
+    assert quant.any()
+    b = bytearray(encode_jpeg(3))
+    i = bytes(b).index(b"\xff\xc0")
+    b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
