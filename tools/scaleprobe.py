@@ -111,6 +111,42 @@ def build_sf1(spark, out_dir: str) -> None:
         reps = r if reps is None else reps.unionByName(r)
     reps.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
 
+    # text-DISJOINT documents for near-dup-shaped probes (split_leakage):
+    # a per-replica token-suffix BIJECTION keeps every intra-replica
+    # shingle relation exactly as at sf0.1 while cross-replica Jaccard
+    # drops to zero — plain offset-id replication would leave 10
+    # identical copies of every text, and the 10-fold cross-replica
+    # near-dup cliques (45 pairs per text) would measure output
+    # explosion, not engine scaling (the replication-fidelity rule)
+    td = None
+    for i in range(REPLICAS):
+        r = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_span))
+        if i:
+            r = r.withColumn(
+                "text",
+                F.expr(
+                    "concat_ws(' ', transform(split(text, ' '),"
+                    f" t -> concat(t, 'q{i}')))"
+                ),
+            )
+        td = r if td is None else td.unionByName(r)
+    os.makedirs(f"{out_dir}_text", exist_ok=True)
+    td.write.mode("overwrite").parquet(f"{out_dir}_text/documents.parquet")
+
+    # single-FILE documents.parquet for streaming probes: readStream's
+    # pathGlobFilter matches files, not the directory Spark writes
+    import glob
+    import shutil
+
+    os.makedirs(f"{out_dir}_stream", exist_ok=True)
+    tmp = f"{out_dir}_stream/_docs_tmp"
+    spark.read.parquet(f"{out_dir}/documents.parquet").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(f"{tmp}/part-*.parquet")[0]
+    shutil.copy(part, f"{out_dir}_stream/documents.parquet")
+    shutil.rmtree(tmp)
+
     # remaining tables: plain 10x replication (no key offsets) — enough
     # for SCAN-SHAPED probes (dq_null_census: per-column null counts
     # don't care about key aliasing); keyed/graph probes must use the
@@ -216,7 +252,44 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.plans.nullcensus import dq_null_census
     from etl_pipeline_example_spark.plans.kcore import graph_kcore2
 
+    def _splitleak_probe(spark, d):
+        from etl_pipeline_example_spark.operators.splitleak import (
+            split_leakage,
+        )
+
+        # sf1 side reads the text-disjoint replication (see build_sf1)
+        return split_leakage(spark, d if d == SF01 else f"{d}_text")
+
+    def _blockgate_probe(spark, d):
+        from etl_pipeline_example_spark.streaming.blockgate import (
+            stream_blocklist_quarantine,
+        )
+
+        # sf0.1 testdata is already a single file; the sf1 replication
+        # is re-laid as one for the stream's pathGlobFilter
+        return stream_blocklist_quarantine(
+            spark, d if d == SF01 else f"{d}_stream"
+        )
+
+    def _bm25_probe(spark, d):
+        from etl_pipeline_example_spark.operators.bm25 import bm25_rank
+
+        # text-disjoint replication: each replica's eval queries match
+        # only their own replica's candidates (true 10x workload)
+        return bm25_rank(spark, d if d == SF01 else f"{d}_text")
+
+    def _jpeg_probe(spark, d):
+        from etl_pipeline_example_spark.operators.jpegdecode import (
+            multimodal_decode_jpeg,
+        )
+
+        return multimodal_decode_jpeg(spark, d)
+
     return {
+        "split_leakage": _splitleak_probe,
+        "stream_blocklist_quarantine": _blockgate_probe,
+        "bm25_rank": _bm25_probe,
+        "multimodal_decode_jpeg": _jpeg_probe,
         "graph_triangles": graph_triangles,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "graph_cc": graph_cc,
