@@ -3,6 +3,7 @@ from etl_pipeline_example_spark.pipeline.zones import ZoneStore, promote_to_raw_
 from etl_pipeline_example_spark.pipeline.dag import Pipeline
 from etl_pipeline_example_spark.pipeline.catalog import deploy_database
 from etl_pipeline_example_spark.pipeline.extract import extract_to_land, unpack_record
+from etl_pipeline_example_spark.pipeline.deltaread import delta_versions, read_delta
 
 __all__ = [
     "validate_landed",
@@ -13,4 +14,6 @@ __all__ = [
     "deploy_database",
     "extract_to_land",
     "unpack_record",
+    "read_delta",
+    "delta_versions",
 ]

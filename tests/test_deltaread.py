@@ -1,0 +1,243 @@
+"""Delta Lake log-replay reader (pipeline/deltaread.py): tables built
+BY HAND to the public PROTOCOL.md format — JSON commits, parquet
+checkpoint, _last_checkpoint-free listing — then read back without any
+delta jar. Round-15: closes the round-14 verdict's "no external-format
+read path" boundary at the read level."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_pipeline_example_spark.pipeline.deltaread import (
+    delta_versions,
+    read_delta,
+)
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {
+                "name": "val",
+                "type": "string",
+                "nullable": True,
+                "metadata": {},
+            },
+        ],
+    }
+)
+
+
+def _data_file(spark, root, name, rows):
+    """One physical parquet file under the table root; returns its
+    table-relative path."""
+    tmp = f"{root}/_stage_{name}"
+    spark.createDataFrame(rows, "k bigint, val string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.makedirs(os.path.dirname(f"{root}/{name}") or root, exist_ok=True)
+    os.replace(f"{tmp}/{part}", f"{root}/{name}")
+    import shutil
+
+    shutil.rmtree(tmp)
+    return name
+
+
+def _commit(root, version, actions):
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    with open(f"{root}/_delta_log/{version:020d}.json", "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_json=SCHEMA_JSON, partition_cols=None, conf=None):
+    return {
+        "metaData": {
+            "id": "t",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": partition_cols or [],
+            "configuration": conf or {},
+        }
+    }
+
+
+def _add(path, pv=None):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": pv or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+def test_read_latest_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "dtbl")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a"), (2, "b")])
+    f1 = _data_file(spark, root, "f1.parquet", [(3, "c")])
+    f2 = _data_file(spark, root, "f2.parquet", [(2, "B2"), (4, "d")])
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+            _add(f0),
+            _add(f1),
+        ],
+    )
+    # v1: overwrite f0 with f2 (remove + add) — Delta's MERGE shape
+    _commit(root, 1, [{"remove": {"path": f0, "dataChange": True}}, _add(f2)])
+    assert delta_versions(spark, root) == [0, 1]
+    latest = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    assert latest == {3: "c", 2: "B2", 4: "d"}, latest
+    v0 = {r["k"]: r["val"] for r in read_delta(spark, root, version=0).collect()}
+    assert v0 == {1: "a", 2: "b", 3: "c"}, v0
+    with pytest.raises(ValueError, match="version 7"):
+        read_delta(spark, root, version=7)
+
+
+def test_partition_values_injected_and_cast(spark, tmp_path):
+    """Partition columns are NOT in the data files; values come from
+    each add's partitionValues strings, cast to the schema's types."""
+    root = str(tmp_path / "ptbl")
+    os.makedirs(root)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "val", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "ds", "type": "date", "nullable": True, "metadata": {}},
+                {"name": "bucket", "type": "integer", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    fa = _data_file(spark, root, "ds=2026-08-01/fa.parquet", [(1, "a")])
+    fb = _data_file(spark, root, "ds=2026-08-02/fb.parquet", [(2, "b")])
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(schema, ["ds", "bucket"]),
+            _add("ds=2026-08-01/fa.parquet", {"ds": "2026-08-01", "bucket": "7"}),
+            _add("ds=2026-08-02/fb.parquet", {"ds": "2026-08-02", "bucket": None}),
+        ],
+    )
+    df = read_delta(spark, root)
+    assert df.columns == ["k", "val", "ds", "bucket"]
+    assert dict(df.dtypes)["ds"] == "date"
+    got = {r["k"]: (str(r["ds"]), r["bucket"]) for r in df.collect()}
+    assert got == {1: ("2026-08-01", 7), 2: ("2026-08-02", None)}, got
+    assert fa and fb
+
+
+def test_checkpoint_seeds_replay_with_expired_commits(spark, tmp_path):
+    """Commits before a checkpoint may be vacuumed; the reader must
+    seed state from the checkpoint parquet and apply only the later
+    JSON commits — the _last_checkpoint-less listing path."""
+    root = str(tmp_path / "ctbl")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    f1 = _data_file(spark, root, "f1.parquet", [(2, "b")])
+    f2 = _data_file(spark, root, "f2.parquet", [(3, "c")])
+    # checkpoint at version 1: metaData + protocol + the surviving f1
+    # (f0 was added and removed before the checkpoint)
+    cp_rows = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+        _add(f1),
+    ]
+    os.makedirs(f"{root}/_delta_log", exist_ok=True)
+    spark.createDataFrame(
+        [(json.dumps(r),) for r in cp_rows], "j string"
+    ).selectExpr(
+        "from_json(j, 'protocol struct<minReaderVersion:int,minWriterVersion:int>,"
+        " metaData struct<id:string,schemaString:string,"
+        "partitionColumns:array<string>>,"
+        " add struct<path:string,partitionValues:map<string,string>,"
+        "size:bigint,modificationTime:bigint,dataChange:boolean>') AS a"
+    ).select("a.*").coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/_delta_log/_cp_stage"
+    )
+    part = next(
+        f
+        for f in os.listdir(f"{root}/_delta_log/_cp_stage")
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(
+        f"{root}/_delta_log/_cp_stage/{part}",
+        f"{root}/_delta_log/{1:020d}.checkpoint.parquet",
+    )
+    import shutil
+
+    shutil.rmtree(f"{root}/_delta_log/_cp_stage")
+    # only the post-checkpoint commit exists as JSON (0 and 1 vacuumed)
+    _commit(root, 2, [_add(f2)])
+    got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    assert got == {2: "b", 3: "c"}, got
+    assert f0 in os.listdir(root)  # physically present, logically gone
+    assert delta_versions(spark, root) == [1, 2]
+
+
+def test_unsupported_reader_requirements_raise(spark, tmp_path):
+    root = str(tmp_path / "utbl")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    _commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta(),
+            _add(f0),
+        ],
+    )
+    with pytest.raises(ValueError, match="deletionVectors"):
+        read_delta(spark, root)
+    # column mapping would silently null every column — reject loudly
+    root2 = str(tmp_path / "cmtbl")
+    os.makedirs(root2)
+    f1 = _data_file(spark, root2, "f0.parquet", [(1, "a")])
+    _commit(
+        root2,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _meta(conf={"delta.columnMapping.mode": "name"}),
+            _add(f1),
+        ],
+    )
+    with pytest.raises(ValueError, match="columnMapping"):
+        read_delta(spark, root2)
+
+
+def test_empty_table_and_not_a_delta_table(spark, tmp_path):
+    root = str(tmp_path / "etbl")
+    os.makedirs(root)
+    _commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(),
+    ])
+    df = read_delta(spark, root)
+    assert df.columns == ["k", "val"] and df.count() == 0
+    with pytest.raises(FileNotFoundError, match="not a Delta table"):
+        read_delta(spark, str(tmp_path / "nope"))
