@@ -96,6 +96,10 @@ from etl_pipeline_example_spark.operators.jpegdecode import (
     JPEGDECODE_QUERIES,
     JPEGDECODE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.cmsketch import (
+    CMSKETCH_QUERIES,
+    CMSKETCH_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -476,6 +480,8 @@ __all__ = [
     "BM25_ORACLES",
     "JPEGDECODE_QUERIES",
     "JPEGDECODE_ORACLES",
+    "CMSKETCH_QUERIES",
+    "CMSKETCH_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

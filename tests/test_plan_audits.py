@@ -1450,3 +1450,19 @@ def test_jpeg_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
     # spread (parallel=True); never a key shuffle of payload/stat rows
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_cms_sketch_bounded_state_broadcast_probe_takeordered_topk(
+    spark, sf_dir
+):
+    """The sketch counter table (D*W = 256 rows, input-size-free) joins
+    the probe side as a BROADCAST; the exact top-K is
+    TakeOrderedAndProject, never a global sort; no window anywhere."""
+    from etl_pipeline_example_spark.operators.cmsketch import (
+        sketch_cms_topk,
+    )
+
+    plan = plan_str(sketch_cms_topk(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan

@@ -182,3 +182,62 @@ def test_jpeg_byte_stuffing_really_exercised_and_sof2_rejected():
     b[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(bytes(b))
+
+
+def test_sketch_cms_topk_matches_hashlib_replay(spark, tmp_path):
+    """CMS estimates replayed independently in pure Python (hashlib
+    md5 slots over the same 'cms<j>:<user>' keys): exact_n from the
+    planted counts, cms_n = min over 4 rows of colliding mass, and the
+    never-undercount contract."""
+    import hashlib
+    from collections import Counter
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.cmsketch import (
+        CMS_D,
+        CMS_K,
+        CMS_W,
+        sketch_cms_topk,
+    )
+
+    # 30 users, user u occurs (u % 7) + 1 times: known counts, forced
+    # collisions at W=64 only via hash coincidence — replay decides
+    occ = [(u, u % 7 + 1) for u in range(30)]
+    rows = []
+    eid = 0
+    for u, n in occ:
+        for _ in range(n):
+            rows.append(
+                (eid, datetime(2024, 1, 1), u, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+
+    def slot(j, u):
+        h = hashlib.md5(f"cms{j}:{u}".encode()).hexdigest()
+        return int(h[:15], 16) % CMS_W
+
+    counters = [Counter() for _ in range(CMS_D)]
+    for u, n in occ:
+        for j in range(CMS_D):
+            counters[j][slot(j, u)] += n
+    exact = dict(occ)
+    expect_cms = {
+        u: min(counters[j][slot(j, u)] for j in range(CMS_D)) for u in exact
+    }
+    topk = sorted(exact, key=lambda u: (-exact[u], u))[:CMS_K]
+
+    got = sketch_cms_topk(spark, str(tmp_path)).collect()
+    assert [r["user_id"] for r in got] == topk
+    for r in got:
+        u = r["user_id"]
+        assert r["exact_n"] == exact[u]
+        assert r["cms_n"] == expect_cms[u], (u, r["cms_n"], expect_cms[u])
+        assert r["overcount"] == expect_cms[u] - exact[u] >= 0
