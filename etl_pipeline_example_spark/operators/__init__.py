@@ -100,6 +100,10 @@ from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
 )
+from etl_pipeline_example_spark.operators.retragree import (
+    RETRAGREE_QUERIES,
+    RETRAGREE_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -482,6 +486,8 @@ __all__ = [
     "JPEGDECODE_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
+    "RETRAGREE_QUERIES",
+    "RETRAGREE_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

@@ -241,3 +241,40 @@ def test_sketch_cms_topk_matches_hashlib_replay(spark, tmp_path):
         assert r["exact_n"] == exact[u]
         assert r["cms_n"] == expect_cms[u], (u, r["cms_n"], expect_cms[u])
         assert r["overcount"] == expect_cms[u] - exact[u] >= 0
+
+
+def test_retrieval_agreement_hand_planted(spark, tmp_path):
+    """Planted corpus where the two scorers provably agree on the
+    winner for one query: q10 'red fox jumps' retrieves d1 first under
+    BOTH scorers (d1 shares two bigrams / the rare 5-gram is absent so
+    overlap falls back to... no — overlap uses 5-token shingles, so
+    docs need >= 5 shared tokens for overlap to fire). Corpus built so
+    overlap and bm25 both retrieve d1 (exact 6-token copy) and bm25
+    additionally retrieves d2 (partial bigram match) — n_common = 1,
+    rank1_agree = true."""
+    from etl_pipeline_example_spark.operators.retragree import (
+        retrieval_agreement,
+    )
+
+    q = "red fox jumps over lazy dog"
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            (1, q, "en", "srcA", len(q)),  # exact copy: both scorers hit
+            (2, "red fox something else entirely here", "en", "srcA", 30),
+            (3, "blue whale swims deep tonight alone", "en", "srcA", 30),
+            (10, q, "en", "src0", len(q)),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    got = retrieval_agreement(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["query_id"] == 10
+    assert r["rank1_agree"] is True  # d1 wins under both scorers
+    assert r["n_common"] >= 1
+    assert r["n_bm25"] >= r["n_common"]
+    assert r["n_overlap"] >= r["n_common"]
