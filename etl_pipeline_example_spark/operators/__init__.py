@@ -104,6 +104,10 @@ from etl_pipeline_example_spark.operators.retragree import (
     RETRAGREE_QUERIES,
     RETRAGREE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.editdist import (
+    EDITDIST_QUERIES,
+    EDITDIST_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -488,6 +492,8 @@ __all__ = [
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",
     "RETRAGREE_ORACLES",
+    "EDITDIST_QUERIES",
+    "EDITDIST_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

@@ -1466,3 +1466,17 @@ def test_cms_sketch_bounded_state_broadcast_probe_takeordered_topk(
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_editdist_prefixes_not_full_text_on_join(spark, sf_dir):
+    """The Levenshtein verifier joins 64-char PREFIX projections, so
+    full document text never rides the pair join's exchanges."""
+    from etl_pipeline_example_spark.operators.editdist import (
+        dedup_editdist,
+    )
+
+    plan = plan_str(dedup_editdist(spark, sf_dir), mode="simple")
+    assert "levenshtein" in plan, plan
+    for ln in plan.splitlines():
+        if "Exchange" in ln and "text#" in ln:
+            raise AssertionError(f"full text on a shuffle: {ln}")

@@ -278,3 +278,62 @@ def test_retrieval_agreement_hand_planted(spark, tmp_path):
     assert r["n_common"] >= 1
     assert r["n_bm25"] >= r["n_common"]
     assert r["n_overlap"] >= r["n_common"]
+
+
+def test_dedup_editdist_hand_planted_distances(spark, tmp_path):
+    """Two near-dup docs whose minhash pair survives, with a known
+    prefix edit distance (one word substituted inside the first 64
+    normalized chars: 'silver' vs 'golden' = 4 substitutions), and a
+    verbatim pair at distance 0."""
+    from etl_pipeline_example_spark.operators.editdist import (
+        dedup_editdist,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the silver "
+        "moon rises slowly over the quiet harbor town tonight and the "
+        "fishing boats rest against the old wooden pier"
+    )
+    twin = base.replace("silver", "golden")
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            (1, base, "en", "srcA", len(base)),
+            (2, twin, "en", "srcA", len(twin)),
+            (3, base, "en", "srcB", len(base)),
+            (4, "completely unrelated text about database engines and "
+                "distributed query planning with columnar storage formats "
+                "and vectorized execution pipelines everywhere", "en",
+             "srcB", 100),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["prefix_dist"]
+        for r in dedup_editdist(spark, str(tmp_path)).collect()
+    }
+    assert got.get((1, 3)) == 0, got  # verbatim copy
+    # 'silver' -> 'golden': s/g, i/o, v/d, e/e(keep), r/n -> check by hand:
+    # silver vs golden = substitutions at 4 positions (l<->l, e<->e match)
+    import re
+
+    def norm(t):
+        return re.sub("[^a-z0-9]+", " ", t.lower()).strip()[:64]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    want = lev(norm(base), norm(twin))
+    assert want == 4  # silver -> golden: 4 substitutions in the prefix
+    assert got[(1, 2)] == want and got[(2, 3)] == want, got
+    assert all(4 not in pair for pair in got), got  # unrelated doc absent
