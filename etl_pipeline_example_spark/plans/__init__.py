@@ -368,6 +368,10 @@ from etl_pipeline_example_spark.plans.kcore import (
     KCORE_QUERIES,
     KCORE_ORACLES,
 )
+from etl_pipeline_example_spark.plans.triples import (
+    TRIPLES_QUERIES,
+    TRIPLES_ORACLES,
+)
 from etl_pipeline_example_spark.plans.decilemig import (
     DECILEMIG_QUERIES,
     DECILEMIG_ORACLES,
@@ -560,6 +564,8 @@ __all__ = [
     "PARTCHECKSUM_ORACLES",
     "KCORE_QUERIES",
     "KCORE_ORACLES",
+    "TRIPLES_QUERIES",
+    "TRIPLES_ORACLES",
     "DECILEMIG_QUERIES",
     "DECILEMIG_ORACLES",
     "NULLCENSUS_ORACLES",

@@ -1,0 +1,151 @@
+"""Frequent 3-itemsets via A-priori candidate pruning.
+
+``q_basket_pairs`` ships the 2-itemset census; real market-basket
+mining continues up the lattice, and the step that decides whether it
+survives at scale is A-PRIORI PRUNING (Agrawal & Srikant '94): a
+triple can only be frequent if ALL THREE of its pairs are, so
+candidates are generated from the frequent-pair set L2 — never by a
+cubic self-join of the item table. The plan below is that discipline
+verbatim:
+
+1. L2 = pairs with support ≥ ``TRIPLE_MIN_SUP`` (one keyed self-join +
+   aggregate, the certified q_basket_pairs shape), persisted — it is
+   referenced three times;
+2. candidate instances = L2-pair occurrences per order extended by a
+   third same-order item c > part_b (fan-out bounded by basket width
+   × L2 instance count, never |items|³);
+3. both remaining sub-pairs (a,c) and (b,c) must be in L2 — two
+   left-semi probes BEFORE the support count, so infrequent-pair
+   extensions never reach the aggregation;
+4. support count + threshold, full (small) result ordered
+   deterministically — frequent triples at min-support are few by
+   construction; no top-K cap needed.
+
+All counting integer-exact. The oracle mirrors the same lattice walk
+with L2 MATERIALIZED (it is referenced three times; DuckDB inlines
+plain CTEs per reference — the kcore lesson).
+
+Scale: the cubic blowup is designed out — candidate volume is
+|L2 instances| × basket width, both support-bounded; the semi-joins
+prune before the wide aggregation; everything shuffles on
+order/pair keys.
+
+Reference: N/A (305-LoC Glue ETL); engine surface, SURVEY.md §2.
+Registered beyond the round-15 grading window — first driver slot
+round 16.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
+from etl_pipeline_example_spark.sources.readers import read_table
+
+TRIPLE_MIN_SUP = 2
+
+
+def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, part_c, n_orders): frequent 3-itemsets
+    (support ≥ TRIPLE_MIN_SUP, part_a < part_b < part_c), A-priori
+    pruned — candidates extend frequent pairs only."""
+    release_similarity_caches()
+    dp = spark.sparkContext.defaultParallelism
+    li = tracked_persist(
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(dp, "l_orderkey")
+        .distinct()
+    )
+    pair_inst = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.expr("a.l_partkey < b.l_partkey"))
+        .select(
+            "l_orderkey",
+            F.expr("a.l_partkey").alias("pa"),
+            F.expr("b.l_partkey").alias("pb"),
+        )
+    )
+    l2 = tracked_persist(
+        pair_inst.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= TRIPLE_MIN_SUP)
+        .select("pa", "pb")
+    )
+    freq_inst = pair_inst.join(l2, ["pa", "pb"], "left_semi")
+    cand = (
+        freq_inst.join(
+            li.select("l_orderkey", F.col("l_partkey").alias("pc")),
+            "l_orderkey",
+        )
+        .filter(F.col("pc") > F.col("pb"))
+        # a-priori: (pa,pc) and (pb,pc) must themselves be frequent
+        .join(
+            l2.select(F.col("pa").alias("pa"), F.col("pb").alias("pc")),
+            ["pa", "pc"],
+            "left_semi",
+        )
+        .join(
+            l2.select(F.col("pa").alias("pb"), F.col("pb").alias("pc")),
+            ["pb", "pc"],
+            "left_semi",
+        )
+    )
+    return (
+        cand.groupBy("pa", "pb", "pc")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= TRIPLE_MIN_SUP)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("part_c"),
+            "n_orders",
+        )
+        .orderBy("part_a", "part_b", "part_c")
+    )
+
+
+Q_BASKET_TRIPLES_SQL = f"""
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pair_inst AS MATERIALIZED (
+  SELECT a.l_orderkey, a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+),
+l2 AS MATERIALIZED (
+  SELECT pa, pb FROM pair_inst GROUP BY 1, 2
+  HAVING count(*) >= {TRIPLE_MIN_SUP}
+),
+cand AS (
+  SELECT f.pa, f.pb, c.l_partkey AS pc
+  FROM (SELECT p.* FROM pair_inst p SEMI JOIN l2 USING (pa, pb)) f
+  JOIN li c USING (l_orderkey)
+  WHERE c.l_partkey > f.pb
+    AND EXISTS (SELECT 1 FROM l2 WHERE l2.pa = f.pa
+                AND l2.pb = c.l_partkey)
+    AND EXISTS (SELECT 1 FROM l2 WHERE l2.pa = f.pb
+                AND l2.pb = c.l_partkey)
+)
+SELECT pa AS part_a, pb AS part_b, pc AS part_c, count(*) AS n_orders
+FROM cand GROUP BY 1, 2, 3
+HAVING count(*) >= {TRIPLE_MIN_SUP}
+ORDER BY part_a, part_b, part_c
+"""
+
+
+TRIPLES_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_basket_triples": q_basket_triples,
+}
+
+TRIPLES_ORACLES: dict[str, str] = {
+    "q_basket_triples": Q_BASKET_TRIPLES_SQL,
+}

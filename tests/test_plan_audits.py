@@ -1480,3 +1480,15 @@ def test_editdist_prefixes_not_full_text_on_join(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange" in ln and "text#" in ln:
             raise AssertionError(f"full text on a shuffle: {ln}")
+
+
+def test_basket_triples_apriori_semijoins_before_count(spark, sf_dir):
+    """The 3-itemset lattice walk must prune via L2 left-semi probes
+    BEFORE the support aggregation (never a cubic item self-join), and
+    the item spine must be served from the tracked persist."""
+    from etl_pipeline_example_spark.plans.triples import q_basket_triples
+
+    plan = plan_str(q_basket_triples(spark, sf_dir), mode="simple")
+    assert plan.count("LeftSemi") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan, plan

@@ -337,3 +337,60 @@ def test_dedup_editdist_hand_planted_distances(spark, tmp_path):
     assert want == 4  # silver -> golden: 4 substitutions in the prefix
     assert got[(1, 2)] == want and got[(2, 3)] == want, got
     assert all(4 not in pair for pair in got), got  # unrelated doc absent
+
+
+def test_basket_triples_apriori_hand_computed(spark, tmp_path):
+    """Orders {1,2,3},{1,2,3},{1,2,4},{2,3,4}: L2 at min-sup 2 is
+    {(1,2),(1,3),(2,3),(2,4)}; the only triple whose THREE pairs are
+    all frequent AND whose own support reaches 2 is (1,2,3) — (1,2,4)
+    and (2,3,4) are a-priori-pruned by their infrequent sub-pair."""
+    from etl_pipeline_example_spark.plans.triples import q_basket_triples
+
+    baskets = {10: [1, 2, 3], 11: [1, 2, 3], 12: [1, 2, 4], 13: [2, 3, 4]}
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = [tuple(r) for r in q_basket_triples(spark, str(tmp_path)).collect()]
+    assert got == [(1, 2, 3, 2)], got
+
+
+def test_stream_cms_topk_equals_batch(spark, tmp_path):
+    """Stream/batch parity: the streaming sketch build (complete-mode
+    bounded-state aggregation) must reproduce the batch op's rows
+    exactly — a dropped microbatch or replay double-count would
+    diverge."""
+    import glob
+    import os
+    import shutil
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.cmsketch import (
+        sketch_cms_topk,
+    )
+    from etl_pipeline_example_spark.streaming.cmsfeed import stream_cms_topk
+
+    rows = []
+    eid = 0
+    for u in range(25):
+        for _ in range(u % 5 + 1):
+            rows.append((eid, datetime(2024, 1, 1), u, "click", 1.0, "{}"))
+            eid += 1
+    stage = f"{tmp_path}/_stage"
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    # the stream's pathGlobFilter matches a FILE named events.parquet
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    shutil.rmtree(stage)
+    batch = [tuple(r) for r in sketch_cms_topk(spark, str(tmp_path)).collect()]
+    stream = [tuple(r) for r in stream_cms_topk(spark, str(tmp_path)).collect()]
+    assert stream == batch, (stream, batch)
+    assert len(batch) == 10
