@@ -108,6 +108,14 @@ from etl_pipeline_example_spark.operators.editdist import (
     EDITDIST_QUERIES,
     EDITDIST_ORACLES,
 )
+from etl_pipeline_example_spark.operators.rrf import (
+    RRF_QUERIES,
+    RRF_ORACLES,
+)
+from etl_pipeline_example_spark.operators.hll import (
+    HLL_QUERIES,
+    HLL_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -494,6 +502,10 @@ __all__ = [
     "RETRAGREE_ORACLES",
     "EDITDIST_QUERIES",
     "EDITDIST_ORACLES",
+    "RRF_QUERIES",
+    "RRF_ORACLES",
+    "HLL_QUERIES",
+    "HLL_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

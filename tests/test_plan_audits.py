@@ -1492,3 +1492,18 @@ def test_basket_triples_apriori_semijoins_before_count(spark, sf_dir):
     assert plan.count("LeftSemi") >= 3, plan
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_hll_registers_ladder_broadcasts_output_register_bounded(
+    spark, sf_dir
+):
+    """The bitlen ladder joins as a BROADCAST (55 rows) and the final
+    aggregate is register-keyed — output 2^P rows regardless of input;
+    no window, no cartesian against data-sized frames."""
+    from etl_pipeline_example_spark.operators.hll import (
+        sketch_hll_registers,
+    )
+
+    plan = plan_str(sketch_hll_registers(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Window" not in plan

@@ -394,3 +394,76 @@ def test_stream_cms_topk_equals_batch(spark, tmp_path):
     stream = [tuple(r) for r in stream_cms_topk(spark, str(tmp_path)).collect()]
     assert stream == batch, (stream, batch)
     assert len(batch) == 10
+
+
+def test_retrieval_rrf_hand_planted(spark, tmp_path):
+    """Planted corpus from the agreement test: d1 tops BOTH lists
+    (rrf = 1/61 + 1/61); d2 is bm25-only at some rank r (rrf =
+    1/(60+r)); the fused winner is d1 with the exact double score."""
+    from etl_pipeline_example_spark.operators.rrf import retrieval_rrf
+
+    q = "red fox jumps over lazy dog"
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [
+            (1, q, "en", "srcA", len(q)),
+            (2, "red fox something else entirely here", "en", "srcA", 30),
+            (3, "blue whale swims deep tonight alone", "en", "srcB", 30),
+            (10, q, "en", "src0", len(q)),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    got = retrieval_rrf(spark, str(tmp_path)).collect()
+    assert got[0]["query_id"] == 10 and got[0]["doc_id"] == 1
+    assert got[0]["rank"] == 1
+    assert got[0]["rrf"] == 1 / 61 + 1 / 61  # both lists, rank 1 each
+    by_doc = {r["doc_id"]: r for r in got}
+    if 2 in by_doc:  # bm25-only doc: overlap term contributes exactly 0
+        r = by_doc[2]
+        assert r["rank_ov"] is None
+        assert r["rrf"] == 1 / (60 + r["rank_bm"])
+
+
+def test_sketch_hll_registers_matches_hashlib_replay(spark, tmp_path):
+    """Registers replayed independently with hashlib md5: register =
+    h % 64, w = h // 64, rho = 55 - bitlen(w); max per register and
+    the distinct-pattern count must match exactly."""
+    import hashlib
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.hll import (
+        HLL_P,
+        HLL_Q,
+        sketch_hll_registers,
+    )
+
+    users = list(range(40))
+    rows = [
+        (i, datetime(2024, 1, 1), u, "click", 1.0, "{}")
+        for i, u in enumerate(users + users)  # duplicates: distinct first
+    ]
+    _write(
+        spark,
+        tmp_path,
+        "events",
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    m = 1 << HLL_P
+    regs: dict[int, set[int]] = {}
+    for u in users:
+        h = int(hashlib.md5(f"hll:{u}".encode()).hexdigest()[:15], 16)
+        regs.setdefault(h % m, set()).add(h // m)
+    expect = {
+        r: (max(HLL_Q - w.bit_length() + 1 for w in ws), len(ws))
+        for r, ws in regs.items()
+    }
+    got = {
+        r["register"]: (r["reg_val"], r["n_keys"])
+        for r in sketch_hll_registers(spark, str(tmp_path)).collect()
+    }
+    assert got == expect, (got, expect)
