@@ -116,6 +116,10 @@ from etl_pipeline_example_spark.operators.hll import (
     HLL_QUERIES,
     HLL_ORACLES,
 )
+from etl_pipeline_example_spark.operators.jpegdchash import (
+    JPEGDCHASH_QUERIES,
+    JPEGDCHASH_ORACLES,
+)
 from etl_pipeline_example_spark.operators.shardbalance import (
     SHARDBALANCE_QUERIES,
     SHARDBALANCE_ORACLES,
@@ -506,6 +510,8 @@ __all__ = [
     "RRF_ORACLES",
     "HLL_QUERIES",
     "HLL_ORACLES",
+    "JPEGDCHASH_QUERIES",
+    "JPEGDCHASH_ORACLES",
     "SHARDBALANCE_QUERIES",
     "SHARDBALANCE_ORACLES",
     "ALLOCATION_QUERIES",

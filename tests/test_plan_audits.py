@@ -1507,3 +1507,14 @@ def test_hll_registers_ladder_broadcasts_output_register_bounded(
     plan = plan_str(sketch_hll_registers(spark, sf_dir), mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_jpeg_dchash_is_shuffle_free_single_arrow_pass(spark, sf_dir):
+    """Like the full decode: one mapInPandas, never a key shuffle."""
+    from etl_pipeline_example_spark.operators.jpegdchash import (
+        multimodal_jpeg_dchash,
+    )
+
+    plan = plan_str(multimodal_jpeg_dchash(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

@@ -467,3 +467,42 @@ def test_sketch_hll_registers_matches_hashlib_replay(spark, tmp_path):
         for r in sketch_hll_registers(spark, str(tmp_path)).collect()
     }
     assert got == expect, (got, expect)
+
+
+def test_jpeg_dchash_matches_planted_arithmetic(spark, tmp_path):
+    """DC-map aHash replayed independently from the planted DC
+    formula (no decode): bits, popcount, and the packed bigint must
+    match the really-decoded pipeline exactly."""
+    from etl_pipeline_example_spark.operators.jpegdchash import (
+        multimodal_jpeg_dchash,
+    )
+
+    doc_ids = [0, 1, 2, 7, 41]
+    _write(
+        spark,
+        tmp_path,
+        "documents",
+        [(d, "x", "en", "srcA", 1) for d in doc_ids],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+
+    def replay(d):
+        nbx, nby = 2 + d % 6, 2 + (d * 3) % 6
+        dcs = [
+            (d + 5 * (i % nbx) + 11 * (i // nbx)) % 256 - 128
+            for i in range(nbx * nby)
+        ]
+        n, total = len(dcs), sum(dcs)
+        bits = [v * n > total for v in dcs]
+        return (
+            n,
+            sum(bits),
+            sum(1 << i for i, b in enumerate(bits) if b),
+        )
+
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_above"], r["dc_hash"])
+        for r in multimodal_jpeg_dchash(spark, str(tmp_path)).collect()
+    }
+    assert got == {d: replay(d) for d in doc_ids}, got
