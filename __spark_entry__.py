@@ -484,7 +484,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_freeze.py): previously-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# (The ROUND-16 plan is enumerated at round-15 end, per house mechanics.)
+# ROUND-16 PLAN (committed at round-15 end, execute next round):
+# _REGISTER_FIRST := exactly these 50, in this order —
+#   1. first evidence — the 10 round-15 additions, registration order:
+#      bm25_rank, multimodal_decode_jpeg, sketch_cms_topk,
+#      retrieval_agreement, dedup_editdist, retrieval_rrf,
+#      sketch_hll_registers, multimodal_jpeg_dchash, q_basket_triples,
+#      stream_cms_topk;
+#   2. fill to exactly 50 with the 40 oldest-stale entries (r9/r10
+#      evidence), oldest first, registration order within a round:
+#      q_rank_family, q_latest_event, events_rollup_multi,
+#      stream_neardup_gate (the four rolled from r15),
+#      stream_neardup_gate_indexed, q_calculated, q1_pricing,
+#      q3_shipping, q5_local_supplier, q_rollup, q6_forecast,
+#      q4_late_orders, q_cust_no_orders, q14_promo,
+#      quality_repetition, quality_charlm, pii_scrub,
+#      boilerplate_chunks, domain_cap, q_active_users, dq_rules,
+#      join_skew_profile, length_drift_ks, ann_recall_matrix,
+#      quality_agreement, dedup_prefix, lexicon_stats,
+#      contamination_bloom, sample_weighted, ann_bruteforce, ann_lsh,
+#      ann_ivf, dedup_embedding_lsh, embed_quantize, kmeans_assign,
+#      semdedup_prune_2l, semdedup_canonical, ann_int8_rerank,
+#      ann_pq_adc, ann_ivfpq — 40 fill slots (10 + 40 = 50).
+#      (multimodal_meta, multimodal_framesample, q_range_frame and
+#      q_unpivot_measures are the next four stale and roll to r17;
+#      the rows-only dq_profile_approx/embed_pca stay out per the
+#      full-oracle window rule; quality_compress remains the
+#      documented no-oracle pytest-contract entry.)
 _REGISTER_FIRST = [
     "quality_trained",
     "ann_radius",
