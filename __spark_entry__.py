@@ -443,6 +443,8 @@ from etl_pipeline_example_spark.plans import (
     PARTCHECKSUM_QUERIES,
     KCORE_ORACLES,
     KCORE_QUERIES,
+    NODEJACCARD_ORACLES,
+    NODEJACCARD_QUERIES,
     TRIPLES_ORACLES,
     TRIPLES_QUERIES,
     DECILEMIG_ORACLES,
@@ -486,12 +488,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-16 PLAN (committed at round-15 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 10 round-15 additions, registration order:
+#   1. first evidence — the 12 round-15 additions, registration order:
 #      bm25_rank, multimodal_decode_jpeg, sketch_cms_topk,
 #      retrieval_agreement, dedup_editdist, retrieval_rrf,
 #      sketch_hll_registers, multimodal_jpeg_dchash, q_basket_triples,
-#      stream_cms_topk;
-#   2. fill to exactly 50 with the 40 oldest-stale entries (r9/r10
+#      graph_node_jaccard, stream_cms_topk, stream_hll_registers;
+#   2. fill to exactly 50 with the 38 oldest-stale entries (r9/r10
 #      evidence), oldest first, registration order within a round:
 #      q_rank_family, q_latest_event, events_rollup_multi,
 #      stream_neardup_gate (the four rolled from r15),
@@ -504,13 +506,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #      quality_agreement, dedup_prefix, lexicon_stats,
 #      contamination_bloom, sample_weighted, ann_bruteforce, ann_lsh,
 #      ann_ivf, dedup_embedding_lsh, embed_quantize, kmeans_assign,
-#      semdedup_prune_2l, semdedup_canonical, ann_int8_rerank,
-#      ann_pq_adc, ann_ivfpq — 40 fill slots (10 + 40 = 50).
-#      (multimodal_meta, multimodal_framesample, q_range_frame and
-#      q_unpivot_measures are the next four stale and roll to r17;
-#      the rows-only dq_profile_approx/embed_pca stay out per the
-#      full-oracle window rule; quality_compress remains the
-#      documented no-oracle pytest-contract entry.)
+#      semdedup_prune_2l, semdedup_canonical, ann_int8_rerank — 38
+#      fill slots (12 + 38 = 50). (ann_pq_adc, ann_ivfpq,
+#      multimodal_meta and multimodal_framesample are the next four
+#      stale and roll to r17; the rows-only
+#      dq_profile_approx/embed_pca stay out per the full-oracle window
+#      rule; quality_compress remains the documented no-oracle
+#      pytest-contract entry.)
 _REGISTER_FIRST = [
     "quality_trained",
     "ann_radius",
@@ -775,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PARTCHECKSUM_QUERIES)
     out.update(KCORE_QUERIES)
     out.update(TRIPLES_QUERIES)
+    out.update(NODEJACCARD_QUERIES)
     out.update(DECILEMIG_QUERIES)
     out.update(HASHFEAT_QUERIES)
     out.update(KNNJOIN_QUERIES)
@@ -993,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PARTCHECKSUM_ORACLES)
     out.update(KCORE_ORACLES)
     out.update(TRIPLES_ORACLES)
+    out.update(NODEJACCARD_ORACLES)
     out.update(DECILEMIG_ORACLES)
     out.update(HASHFEAT_ORACLES)
     out.update(KNNJOIN_ORACLES)

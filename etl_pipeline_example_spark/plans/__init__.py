@@ -372,6 +372,10 @@ from etl_pipeline_example_spark.plans.triples import (
     TRIPLES_QUERIES,
     TRIPLES_ORACLES,
 )
+from etl_pipeline_example_spark.plans.nodejaccard import (
+    NODEJACCARD_QUERIES,
+    NODEJACCARD_ORACLES,
+)
 from etl_pipeline_example_spark.plans.decilemig import (
     DECILEMIG_QUERIES,
     DECILEMIG_ORACLES,
@@ -566,6 +570,8 @@ __all__ = [
     "KCORE_ORACLES",
     "TRIPLES_QUERIES",
     "TRIPLES_ORACLES",
+    "NODEJACCARD_QUERIES",
+    "NODEJACCARD_ORACLES",
     "DECILEMIG_QUERIES",
     "DECILEMIG_ORACLES",
     "NULLCENSUS_ORACLES",

@@ -20,6 +20,10 @@ from etl_pipeline_example_spark.streaming.cmsfeed import (
     CMSFEED_STREAM_ORACLES,
     CMSFEED_STREAM_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.hllfeed import (
+    HLLFEED_STREAM_ORACLES,
+    HLLFEED_STREAM_QUERIES,
+)
 from etl_pipeline_example_spark.streaming.shardfeed import (
     SHARDFEED_ORACLES,
     SHARDFEED_QUERIES,
@@ -61,6 +65,8 @@ STREAM_QUERIES.update(BLOCKGATE_STREAM_QUERIES)
 STREAM_ORACLES.update(BLOCKGATE_STREAM_ORACLES)
 STREAM_QUERIES.update(CMSFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(CMSFEED_STREAM_ORACLES)
+STREAM_QUERIES.update(HLLFEED_STREAM_QUERIES)
+STREAM_ORACLES.update(HLLFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(SHARDFEED_QUERIES)
 STREAM_ORACLES.update(SHARDFEED_ORACLES)
 STREAM_QUERIES.update(NEARGATE_QUERIES)

@@ -1518,3 +1518,18 @@ def test_jpeg_dchash_is_shuffle_free_single_arrow_pass(spark, sf_dir):
     plan = plan_str(multimodal_jpeg_dchash(spark, sf_dir), mode="simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_node_jaccard_no_allpairs_takeordered(spark, sf_dir):
+    """Candidates come from wedge aggregation (no cartesian), existing
+    edges anti-join out, degrees join from the persisted map, and the
+    top-K is TakeOrderedAndProject — never a global sort."""
+    from etl_pipeline_example_spark.plans.nodejaccard import (
+        graph_node_jaccard,
+    )
+
+    plan = plan_str(graph_node_jaccard(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "InMemoryTableScan" in plan, plan

@@ -506,3 +506,73 @@ def test_jpeg_dchash_matches_planted_arithmetic(spark, tmp_path):
         for r in multimodal_jpeg_dchash(spark, str(tmp_path)).collect()
     }
     assert got == {d: replay(d) for d in doc_ids}, got
+
+
+def test_stream_hll_registers_equals_batch(spark, tmp_path):
+    """Stream/batch parity for the HLL registers, including duplicate
+    key occurrences (the stream collapses them in-cell instead of a
+    stream-wide distinct)."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.hll import (
+        sketch_hll_registers,
+    )
+    from etl_pipeline_example_spark.streaming.hllfeed import (
+        stream_hll_registers,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1), u, "click", 1.0, "{}")
+        for i, u in enumerate(list(range(30)) * 3)  # heavy duplication
+    ]
+    stage = f"{tmp_path}/_stage"
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    shutil.rmtree(stage)
+    batch = [
+        tuple(r) for r in sketch_hll_registers(spark, str(tmp_path)).collect()
+    ]
+    stream = [
+        tuple(r) for r in stream_hll_registers(spark, str(tmp_path)).collect()
+    ]
+    assert stream == batch and len(batch) > 0, (stream, batch)
+
+
+def test_graph_node_jaccard_hand_computed(spark, tmp_path):
+    """4-node co-purchase graph built from planted baskets: edges
+    require >= 2 shared orders (the MIN_CO_ORDERS support), so plant
+    each basket twice. Graph: 1-2, 1-3, 2-3, 2-4. Non-edges with
+    wedges: (1,4) via midpoint 2 (cn=1, deg 2 and 1 -> 1/2) and (3,4)
+    via midpoint 2 (cn=1, deg 2 and 1 -> 1/2). Tie on everything but
+    (u,v): (1,4) sorts first."""
+    from etl_pipeline_example_spark.plans.nodejaccard import (
+        graph_node_jaccard,
+    )
+
+    baskets = [[1, 2], [1, 3], [2, 3], [2, 4]]
+    rows = []
+    o = 100
+    for b in baskets:
+        for _ in range(2):  # co-order support >= 2
+            for p in b:
+                rows.append((o, p))
+            o += 1
+    _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    got = [tuple(r) for r in graph_node_jaccard(spark, str(tmp_path)).collect()]
+    assert got == [
+        (1, 4, 1, 2, 1, 0.5),
+        (3, 4, 1, 2, 1, 0.5),
+    ], got
