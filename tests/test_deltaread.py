@@ -241,3 +241,76 @@ def test_empty_table_and_not_a_delta_table(spark, tmp_path):
     assert df.columns == ["k", "val"] and df.count() == 0
     with pytest.raises(FileNotFoundError, match="not a Delta table"):
         read_delta(spark, str(tmp_path / "nope"))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, val string, ver int")
+
+
+def test_export_delta_roundtrips_through_read_delta(spark, tmp_path):
+    """write_versioned → export_delta → read_delta equals
+    read_versioned; after an upsert the next export is one diff commit
+    and Delta time travel to commit 0 sees the original state."""
+    from etl_pipeline_example_spark.pipeline.deltaexport import export_delta
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, f"v{k}", 1) for k in range(20)]), path,
+        key="k", nbuckets=4,
+    )
+    c0 = export_delta(spark, path)
+    assert c0 == 0
+    assert export_delta(spark, path) == 0  # idempotent
+    got = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    want = {
+        r["k"]: r["val"] for r in read_versioned(spark, path).collect()
+    }
+    assert got == want and len(got) == 20
+    # COW upsert touches one bucket; the export is a remove+add diff
+    upsert_versioned(spark, path, _df(spark, [(3, "NEW", 2)]), "k", "ver")
+    c1 = export_delta(spark, path)
+    assert c1 == 1
+    latest = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert latest[3] == "NEW" and len(latest) == 20
+    # time travel to the first export
+    old = {
+        r["k"]: r["val"]
+        for r in read_delta(spark, path, version=0).collect()
+    }
+    assert old[3] == "v3" and len(old) == 20
+    # the diff commit is small: it must not re-add untouched buckets
+    import json as _json
+
+    with open(f"{path}/_delta_log/{1:020d}.json") as f:
+        acts = [_json.loads(ln) for ln in f if ln.strip()]
+    n_add = sum(1 for a in acts if "add" in a)
+    n_rm = sum(1 for a in acts if "remove" in a)
+    assert n_add < 4 and n_rm < 4, (n_add, n_rm)
+
+
+def test_export_delta_schema_evolution_and_clone_refusal(spark, tmp_path):
+    from etl_pipeline_example_spark.pipeline.deltaexport import export_delta
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        add_columns_versioned,
+        clone_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1)]), path)
+    export_delta(spark, path)
+    add_columns_versioned(spark, path, {"note": "string"})
+    export_delta(spark, path)
+    df = read_delta(spark, path)
+    assert df.columns == ["k", "val", "ver", "note"]
+    assert df.collect()[0]["note"] is None  # null-padded old file
+    # shallow clone with borrowed refs refuses export loudly
+    dst = str(tmp_path / "clone")
+    clone_versioned(spark, path, dst)
+    with pytest.raises(ValueError, match="compact_versioned"):
+        export_delta(spark, dst)
