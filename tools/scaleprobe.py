@@ -285,11 +285,18 @@ def _ops() -> dict:
 
         return multimodal_decode_jpeg(spark, d)
 
+    from etl_pipeline_example_spark.plans.nodejaccard import (
+        graph_node_jaccard,
+    )
+    from etl_pipeline_example_spark.plans.triples import q_basket_triples
+
     return {
         "split_leakage": _splitleak_probe,
         "stream_blocklist_quarantine": _blockgate_probe,
         "bm25_rank": _bm25_probe,
         "multimodal_decode_jpeg": _jpeg_probe,
+        "q_basket_triples": q_basket_triples,
+        "graph_node_jaccard": graph_node_jaccard,
         "graph_triangles": graph_triangles,
         "dedup_embedding_lsh": dedup_embedding_lsh,
         "graph_cc": graph_cc,
