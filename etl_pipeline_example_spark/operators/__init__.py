@@ -96,6 +96,10 @@ from etl_pipeline_example_spark.operators.jpegdecode import (
     JPEGDECODE_QUERIES,
     JPEGDECODE_ORACLES,
 )
+from etl_pipeline_example_spark.operators.jpegprog import (
+    JPEGPROG_QUERIES,
+    JPEGPROG_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -500,6 +504,8 @@ __all__ = [
     "BM25_ORACLES",
     "JPEGDECODE_QUERIES",
     "JPEGDECODE_ORACLES",
+    "JPEGPROG_QUERIES",
+    "JPEGPROG_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

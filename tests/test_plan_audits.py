@@ -1452,6 +1452,19 @@ def test_jpeg_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan
 
 
+def test_jpegprog_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
+    """The progressive-JPEG decode keeps the same scale shape as the
+    baseline one: one Arrow-batched mapInPandas pass, no key shuffle —
+    ten entropy scans per document all happen inside the same batch."""
+    from etl_pipeline_example_spark.operators.jpegprog import (
+        multimodal_decode_jpeg2,
+    )
+
+    plan = plan_str(multimodal_decode_jpeg2(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
 def test_cms_sketch_bounded_state_broadcast_probe_takeordered_topk(
     spark, sf_dir
 ):
