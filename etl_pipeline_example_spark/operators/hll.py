@@ -57,7 +57,9 @@ _LADDER = ", ".join(f"({b}, {1 << b})" for b in range(HLL_Q + 1))
 def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(register, reg_val, n_keys): the exact HLL register table over
     distinct event users — reg_val = max rho per register (the
-    mergeable state), n_keys = exact distinct keys that landed there."""
+    mergeable state), n_keys = distinct (register, rho-pattern) hash
+    cells per register — full-hash collisions conflate keys, so this
+    counts cells, not raw keys (both engines agree on the same cells)."""
     keys = (
         read_table(spark, sf_dir, "events")
         .select("user_id")

@@ -11,8 +11,8 @@ hash with integer-only arithmetic:
 
 - bit_i = 1 iff dc_i · n_blocks > Σ dc  (cross-multiplied mean
   compare — no division anywhere);
-- dc_hash = Σ bit_i · 2^i over row-major block index i (≤ 42 blocks
-  per synthesized image, so the hash fits a bigint exactly);
+- dc_hash = Σ bit_i · 2^i over row-major block index i (≤ 7×5 = 35
+  blocks per synthesized image, so the hash fits a bigint exactly);
 - n_above = popcount, the coarse brightness-balance diagnostic.
 
 The oracle recomputes everything from the planted DC pattern's

@@ -17,15 +17,24 @@ with the CURRENT versioned manifest:
   (the manifest's Spark StructType JSON — which IS Delta's
   schemaString format — unpartitioned: bucket dirs are a layout, not
   hive partitions), and one ``add`` per manifest file (table-relative
-  paths, so the log is self-contained under the table root);
+  paths, URL-encoded per the spec, with the REAL byte size stat'ed at
+  export time — external engines use it for split planning);
 - each later export writes ONE commit containing the FILE DIFF vs the
   last exported state (``remove`` + ``add``), plus a fresh
   ``metaData`` only when the schema changed — the Delta-native shape
   of our copy-on-write upserts;
 - the versioned version each commit captured rides in ``commitInfo``
-  (``etlVersionedVersion``), which is how the next export finds its
-  diff base — commitInfo is the spec's free-form slot, ignored by
-  readers;
+  (``etlVersionedVersion``) AND in ``metaData.configuration`` (so it
+  survives checkpointing — commitInfo is not part of checkpoint
+  rows), which is how the next export finds its diff base;
+- every ``checkpoint_interval`` commits (default 10) the exporter
+  also writes ``<v>.checkpoint.parquet`` — a parquet snapshot of the
+  replayed state (protocol + metaData + every active add) — and the
+  ``_last_checkpoint`` pointer, per the public protocol, so an
+  external reader of a long-history export replays O(interval)
+  JSON commits instead of O(versions), and pre-checkpoint commits
+  can be vacuumed (``export_delta_checkpoint`` forces one at the
+  current head);
 - idempotent: exporting an already-exported version is a no-op
   returning the existing head.
 
@@ -36,7 +45,10 @@ emitting a log with dangling absolute paths.
 
 Round-trip is pinned against our own ``read_delta`` (which is itself
 pinned against hand-built protocol-conformant logs), covering latest
-read, time travel to the first export, and post-upsert diffs.
+read, time travel to the first export, post-upsert diffs, and the
+vacuum-tolerance path: checkpoint written, pre-checkpoint JSON
+commits deleted, table still reads and still EXPORTS (the exporter
+seeds its diff state from the checkpoint too).
 
 Reference: N/A (305-LoC Glue ETL); engine surface, SURVEY.md §2.
 """
@@ -44,10 +56,23 @@ Reference: N/A (305-LoC Glue ETL); engine surface, SURVEY.md §2.
 from __future__ import annotations
 
 import json
+import posixpath
+from urllib.parse import quote, unquote
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from etl_pipeline_example_spark.fsutil import hadoop_fs
+from etl_pipeline_example_spark.pipeline.deltaread import _list_log
 from etl_pipeline_example_spark.pipeline.versioned import (
     _is_external,
     _jpath,
@@ -56,6 +81,71 @@ from etl_pipeline_example_spark.pipeline.versioned import (
 )
 
 _LOG = "_delta_log"
+CHECKPOINT_INTERVAL = 10
+
+# URL-encode add.path per the spec, but like the reference writers do:
+# RFC 3986 pchar characters stay literal (partition layouts keep their
+# readable `col=value` form), space/percent/non-ASCII get escaped
+_PATH_SAFE = "/$&'()*+,;=:@-._~!"
+
+# checkpoint rows carry exactly the replay-relevant action structs
+# (PROTOCOL.md: checkpoint files contain add/remove/metaData/protocol/
+# txn — commitInfo does NOT ride along, hence the metaData
+# configuration fallback for etlVersionedVersion)
+_CP_SCHEMA = StructType(
+    [
+        StructField(
+            "protocol",
+            StructType(
+                [
+                    StructField("minReaderVersion", IntegerType()),
+                    StructField("minWriterVersion", IntegerType()),
+                ]
+            ),
+        ),
+        StructField(
+            "metaData",
+            StructType(
+                [
+                    StructField("id", StringType()),
+                    StructField(
+                        "format",
+                        StructType(
+                            [
+                                StructField("provider", StringType()),
+                                StructField(
+                                    "options",
+                                    MapType(StringType(), StringType()),
+                                ),
+                            ]
+                        ),
+                    ),
+                    StructField("schemaString", StringType()),
+                    StructField(
+                        "partitionColumns", ArrayType(StringType())
+                    ),
+                    StructField(
+                        "configuration", MapType(StringType(), StringType())
+                    ),
+                ]
+            ),
+        ),
+        StructField(
+            "add",
+            StructType(
+                [
+                    StructField("path", StringType()),
+                    StructField(
+                        "partitionValues", MapType(StringType(), StringType())
+                    ),
+                    StructField("size", LongType()),
+                    StructField("modificationTime", LongType()),
+                    StructField("dataChange", BooleanType()),
+                ]
+            ),
+        ),
+    ]
+)
 
 
 def _list_commits(spark: SparkSession, path: str) -> list[int]:
@@ -97,36 +187,153 @@ def _write_commit(
         out.close()
 
 
-def _exported_state(
-    spark: SparkSession, path: str
-) -> tuple[int | None, int | None, set[str], str | None]:
-    """(last delta commit, versioned version it captured, its file
-    set, its schemaString) — replayed from the existing log."""
-    commits = _list_commits(spark, path)
-    if not commits:
-        return None, None, set(), None
-    files: set[str] = set()
-    captured: int | None = None
-    schema: str | None = None
+class _ExportedState:
+    """The exporter's replay of its own published log: last commit,
+    the versioned version it captured, the active add actions keyed by
+    DECODED table-relative path, and the current schemaString."""
+
+    def __init__(self) -> None:
+        self.last_commit: int | None = None
+        self.captured: int | None = None
+        self.adds: dict[str, dict] = {}
+        self.schema: str | None = None
+        self.protocol: dict | None = None
+        self.meta: dict | None = None
+
+
+def _exported_state(spark: SparkSession, path: str) -> _ExportedState:
+    """Seed from the newest checkpoint (if any), then apply the JSON
+    commits after it — the same replay contract as read_delta, so the
+    exporter keeps working after pre-checkpoint commits are
+    vacuumed."""
+    st = _ExportedState()
+    fs, _ = hadoop_fs(spark, path)
+    if not fs.exists(_jpath(spark, f"{path}/{_LOG}")):
+        return st
+    commits, checkpoints = _list_log(spark, path)
+    if not commits and not checkpoints:
+        return st
+    base = max(checkpoints, default=None)
+    if base is not None:
+        cp = spark.read.parquet(
+            *[f"{path}/{_LOG}/{name}" for name in checkpoints[base]]
+        )
+        for row in cp.toJSON().collect():
+            rec = json.loads(row)
+            if rec.get("protocol"):
+                st.protocol = rec["protocol"]
+            if rec.get("metaData"):
+                st.meta = rec["metaData"]
+                st.schema = rec["metaData"]["schemaString"]
+                ev = (rec["metaData"].get("configuration") or {}).get(
+                    "etlVersionedVersion"
+                )
+                if ev is not None:
+                    st.captured = int(ev)
+            if rec.get("add"):
+                st.adds[unquote(rec["add"]["path"])] = rec["add"]
+        st.last_commit = base
     for c in commits:
+        if base is not None and c <= base:
+            continue
         for rec in _read_commit(spark, path, c):
             if "add" in rec:
-                files.add(rec["add"]["path"])
+                st.adds[unquote(rec["add"]["path"])] = rec["add"]
             elif "remove" in rec:
-                files.discard(rec["remove"]["path"])
+                st.adds.pop(unquote(rec["remove"]["path"]), None)
             elif "metaData" in rec:
-                schema = rec["metaData"]["schemaString"]
+                st.meta = rec["metaData"]
+                st.schema = rec["metaData"]["schemaString"]
+            elif "protocol" in rec:
+                st.protocol = rec["protocol"]
             elif "commitInfo" in rec:
                 ev = rec["commitInfo"].get("etlVersionedVersion")
                 if ev is not None:
-                    captured = int(ev)
-    return commits[-1], captured, files, schema
+                    st.captured = int(ev)
+        st.last_commit = c
+    return st
 
 
-def export_delta(spark: SparkSession, path: str) -> int:
+def _write_checkpoint(
+    spark: SparkSession, path: str, v: int, st: _ExportedState
+) -> None:
+    """``<v>.checkpoint.parquet`` + ``_last_checkpoint`` per the
+    public protocol. The checkpoint is a derived, re-creatable
+    artifact (never the commit of record), so the stage-then-rename
+    write is safe even where rename is non-atomic — a torn checkpoint
+    is simply re-written; readers fall back to JSON replay."""
+    if not st.meta:
+        raise ValueError(
+            f"cannot checkpoint {path}: no metaData in the replayed log"
+        )
+    proto = st.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    rows = [
+        (
+            (
+                int(proto.get("minReaderVersion", 1)),
+                int(proto.get("minWriterVersion", 2)),
+            ),
+            None,
+            None,
+        ),
+        (
+            None,
+            (
+                st.meta.get("id"),
+                (
+                    (st.meta.get("format") or {}).get("provider", "parquet"),
+                    (st.meta.get("format") or {}).get("options") or {},
+                ),
+                st.meta.get("schemaString"),
+                list(st.meta.get("partitionColumns") or []),
+                st.meta.get("configuration") or {},
+            ),
+            None,
+        ),
+    ]
+    for p in sorted(st.adds):
+        a = st.adds[p]
+        rows.append(
+            (None, None, (
+                a["path"],
+                a.get("partitionValues") or {},
+                int(a.get("size", 0)),
+                int(a.get("modificationTime", 0)),
+                bool(a.get("dataChange", True)),
+            ))
+        )
+    fs, _ = hadoop_fs(spark, path)
+    stage = f"{path}/{_LOG}/.cp_stage_{v}"
+    spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(
+        s.getPath().getName()
+        for s in fs.listStatus(_jpath(spark, stage))
+        if s.getPath().getName().endswith(".parquet")
+    )
+    fs.rename(
+        _jpath(spark, f"{stage}/{part}"),
+        _jpath(spark, f"{path}/{_LOG}/{v:020d}.checkpoint.parquet"),
+    )
+    fs.delete(_jpath(spark, stage), True)
+    out = fs.create(_jpath(spark, f"{path}/{_LOG}/_last_checkpoint"), True)
+    try:
+        out.write(json.dumps({"version": v, "size": len(rows)}).encode())
+    finally:
+        out.close()
+
+
+def export_delta(
+    spark: SparkSession,
+    path: str,
+    checkpoint_interval: int | None = CHECKPOINT_INTERVAL,
+) -> int:
     """Sync ``<path>/_delta_log`` to the current versioned manifest;
     returns the Delta commit version now at the head (idempotent if
-    the current versioned version is already exported)."""
+    the current versioned version is already exported). Writes a
+    protocol checkpoint every ``checkpoint_interval`` commits
+    (None disables)."""
     head = _read_pointer(spark, path)
     manifest = _read_manifest(spark, path, head)
     externals = [
@@ -138,11 +345,11 @@ def export_delta(spark: SparkSession, path: str) -> int:
             " self-contained Delta log — compact_versioned() first"
             f" (first borrowed ref: {externals[0]})"
         )
-    last_commit, captured, old_files, old_schema = _exported_state(
-        spark, path
-    )
-    if captured == head and last_commit is not None:
-        return last_commit
+    st = _exported_state(spark, path)
+    if st.captured == head and st.last_commit is not None:
+        return st.last_commit
+    fs, _ = hadoop_fs(spark, path)
+    old_files = set(st.adds)
     new_files = {e["path"] for e in manifest["files"]}
     stamp = int(manifest.get("committed_at_ms", 0))
     actions: list[dict] = [
@@ -153,46 +360,83 @@ def export_delta(spark: SparkSession, path: str) -> int:
             }
         }
     ]
-    if last_commit is None:
-        actions.append(
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-        )
-    if manifest["schema"] != old_schema:
-        actions.append(
-            {
-                "metaData": {
-                    "id": f"etl-versioned-{head}",
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": manifest["schema"],
-                    "partitionColumns": [],
-                    "configuration": {},
-                }
-            }
-        )
+    if st.last_commit is None:
+        st.protocol = {"minReaderVersion": 1, "minWriterVersion": 2}
+        actions.append({"protocol": dict(st.protocol)})
+    if manifest["schema"] != st.schema or st.meta is None:
+        st.meta = {
+            "id": f"etl-versioned-{head}",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": manifest["schema"],
+            "partitionColumns": [],
+            # survives checkpointing, unlike commitInfo
+            "configuration": {"etlVersionedVersion": str(head)},
+        }
+        actions.append({"metaData": dict(st.meta)})
     for ref in sorted(old_files - new_files):
         actions.append(
             {
                 "remove": {
-                    "path": ref,
+                    "path": st.adds[ref]["path"],
                     "dataChange": True,
                     "deletionTimestamp": stamp,
                 }
             }
         )
+        st.adds.pop(ref, None)
     for e in manifest["files"]:
         if e["path"] in old_files:
             continue
-        actions.append(
-            {
-                "add": {
-                    "path": e["path"],
-                    "partitionValues": {},
-                    "size": int(e.get("size", 0)),
-                    "modificationTime": stamp,
-                    "dataChange": True,
-                }
-            }
-        )
-    next_commit = 0 if last_commit is None else last_commit + 1
+        size = int(e.get("size") or 0)
+        if size <= 0:
+            # versioned manifests don't record byte sizes; external
+            # engines use add.size for split planning — stat the real
+            # length at export time (round-15 ADVICE finding)
+            size = int(
+                fs.getFileStatus(
+                    _jpath(spark, posixpath.join(path, e["path"]))
+                ).getLen()
+            )
+        add = {
+            "path": quote(e["path"], safe=_PATH_SAFE),
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": stamp,
+            "dataChange": True,
+        }
+        actions.append({"add": add})
+        st.adds[e["path"]] = add
+    next_commit = 0 if st.last_commit is None else st.last_commit + 1
     _write_commit(spark, path, next_commit, actions)
+    st.captured = head
+    if (
+        checkpoint_interval
+        and next_commit > 0
+        and next_commit % checkpoint_interval == 0
+    ):
+        # refresh the etlVersionedVersion the checkpoint's metaData
+        # carries so a fully-vacuumed log still knows its diff base
+        st.meta = dict(st.meta or {})
+        cfg = dict(st.meta.get("configuration") or {})
+        cfg["etlVersionedVersion"] = str(head)
+        st.meta["configuration"] = cfg
+        _write_checkpoint(spark, path, next_commit, st)
     return next_commit
+
+
+def export_delta_checkpoint(spark: SparkSession, path: str) -> int:
+    """Force a protocol checkpoint at the current head commit of the
+    exported log; returns the checkpointed version. After this,
+    pre-checkpoint JSON commits may be vacuumed and the table still
+    reads (read_delta) and still exports (export_delta seeds from the
+    checkpoint)."""
+    st = _exported_state(spark, path)
+    if st.last_commit is None:
+        raise FileNotFoundError(f"no exported Delta log under {path}")
+    if st.captured is not None:
+        st.meta = dict(st.meta or {})
+        cfg = dict(st.meta.get("configuration") or {})
+        cfg["etlVersionedVersion"] = str(st.captured)
+        st.meta["configuration"] = cfg
+    _write_checkpoint(spark, path, st.last_commit, st)
+    return st.last_commit

@@ -13,13 +13,18 @@ library — list the log, replay the actions:
 1. find the newest checkpoint at or below the requested version
    (``_last_checkpoint`` is a hint; the listing is the truth — the
    same hint-vs-listing contract as our versioned layer's pointer);
+   both single-file and multi-part (``N.checkpoint.I.M.parquet``)
+   checkpoints are handled, and an incomplete part set raises
+   loudly instead of seeding partial state;
 2. seed the file set + schema from the checkpoint parquet (columns
    ``add``/``remove``/``metaData`` as structs), if any;
 3. apply the JSON commits after it in version order: ``add`` inserts
    a data file (latest metadata wins), ``remove`` deletes it,
    ``metaData`` replaces schema/partition columns;
 4. read the surviving parquet files under the table root with the
-   log's schema; partition-column values come from each add action's
+   log's schema (``add.path`` is URL-encoded per the spec and is
+   decoded before resolving); partition-column values come from each
+   add action's
    ``partitionValues`` (they are NOT in the data files) — files are
    grouped by partition tuple and each group gets its values injected
    as literal columns cast to the schema's types.
@@ -49,6 +54,7 @@ from __future__ import annotations
 
 import json
 import posixpath
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,22 +70,51 @@ def _jpath(spark: SparkSession, p: str):
     return spark.sparkContext._jvm.org.apache.hadoop.fs.Path(p)
 
 
-def _list_log(spark: SparkSession, path: str) -> tuple[list[int], list[int]]:
-    """(commit versions, checkpoint versions), each ascending."""
+def _list_log(
+    spark: SparkSession, path: str
+) -> tuple[list[int], dict[int, list[str]]]:
+    """(commit versions ascending, checkpoint version -> its file
+    name(s)). Handles both single-file ``N.checkpoint.parquet`` and
+    multi-part ``N.checkpoint.I.M.parquet`` checkpoints; a multi-part
+    checkpoint with parts missing raises loudly rather than seeding
+    replay from a partial state (the round-15 ADVICE finding)."""
     fs, _ = hadoop_fs(spark, path)
     ldir = _jpath(spark, f"{path}/{_LOG}")
     if not fs.exists(ldir):
         raise FileNotFoundError(f"no {_LOG} under {path}: not a Delta table")
-    commits, checkpoints = [], []
+    commits: list[int] = []
+    single: dict[int, str] = {}
+    parts: dict[int, dict[int, tuple[int, str]]] = {}
     for st in fs.listStatus(ldir):
         name = st.getPath().getName()
         if name.endswith(".json") and name[:-5].isdigit():
             commits.append(int(name[:-5]))
-        elif name.endswith(".checkpoint.parquet"):
-            head = name.split(".", 1)[0]
-            if head.isdigit():
-                checkpoints.append(int(head))
-    return sorted(commits), sorted(checkpoints)
+        elif name.endswith(".parquet") and ".checkpoint" in name:
+            segs = name[: -len(".parquet")].split(".")
+            if len(segs) == 2 and segs[0].isdigit() and segs[1] == "checkpoint":
+                single[int(segs[0])] = name
+            elif (
+                len(segs) == 4
+                and segs[0].isdigit()
+                and segs[1] == "checkpoint"
+                and segs[2].isdigit()
+                and segs[3].isdigit()
+            ):
+                parts.setdefault(int(segs[0]), {})[int(segs[2])] = (
+                    int(segs[3]),
+                    name,
+                )
+    checkpoints: dict[int, list[str]] = {v: [n] for v, n in single.items()}
+    for v, got in parts.items():
+        total = next(iter(got.values()))[0]
+        missing = [i for i in range(1, total + 1) if i not in got]
+        if missing or any(t != total for t, _n in got.values()):
+            raise ValueError(
+                f"multi-part checkpoint {v} under {path}/{_LOG} is"
+                f" incomplete (declared {total} parts, missing {missing})"
+            )
+        checkpoints[v] = [got[i][1] for i in range(1, total + 1)]
+    return sorted(commits), checkpoints
 
 
 def _read_text(spark: SparkSession, p: str) -> str:
@@ -111,7 +146,7 @@ def _replay(
     commits, checkpoints = _list_log(spark, path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty {_LOG} under {path}")
-    head = max(commits + checkpoints)
+    head = max(commits + list(checkpoints))
     v = head if version is None else version
     if version is not None and version not in commits and (
         version not in checkpoints
@@ -122,7 +157,7 @@ def _replay(
     base = max((c for c in checkpoints if c <= v), default=None)
     if base is not None:
         cp = spark.read.parquet(
-            f"{path}/{_LOG}/{base:020d}.checkpoint.parquet"
+            *[f"{path}/{_LOG}/{name}" for name in checkpoints[base]]
         )
         for row in cp.toJSON().collect():
             rec = json.loads(row)
@@ -190,8 +225,9 @@ def read_delta(
     for add in adds.values():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
+        # the spec URL-encodes add.path; decode before resolving
         groups.setdefault(key, []).append(
-            posixpath.join(path, add["path"])
+            posixpath.join(path, unquote(add["path"]))
         )
     parts = []
     for key, files in sorted(groups.items()):
@@ -216,3 +252,14 @@ def delta_versions(spark: SparkSession, path: str) -> list[int]:
     """Commit versions present in the log (time-travel candidates)."""
     commits, checkpoints = _list_log(spark, path)
     return sorted(set(commits) | set(checkpoints))
+
+
+def read_last_checkpoint(spark: SparkSession, path: str) -> dict | None:
+    """The ``_last_checkpoint`` pointer, or None. A HINT per the
+    protocol — replay always trusts the listing — surfaced for tests
+    and external tooling."""
+    fs, _ = hadoop_fs(spark, path)
+    p = _jpath(spark, f"{path}/{_LOG}/_last_checkpoint")
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_text(spark, f"{path}/{_LOG}/_last_checkpoint"))

@@ -314,3 +314,161 @@ def test_export_delta_schema_evolution_and_clone_refusal(spark, tmp_path):
     clone_versioned(spark, path, dst)
     with pytest.raises(ValueError, match="compact_versioned"):
         export_delta(spark, dst)
+
+
+def test_export_delta_writes_checkpoint_and_survives_vacuum(spark, tmp_path):
+    """Verdict ask #3: with checkpoint_interval=2 the second commit
+    also writes 2.checkpoint.parquet + _last_checkpoint; deleting the
+    pre-checkpoint JSON commits (vacuum) leaves the table readable AND
+    exportable — both replay paths seed from the checkpoint."""
+    from etl_pipeline_example_spark.pipeline.deltaexport import export_delta
+    from etl_pipeline_example_spark.pipeline.deltaread import (
+        read_last_checkpoint,
+    )
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, f"v{k}", 1) for k in range(12)]), path,
+        key="k", nbuckets=3,
+    )
+    assert export_delta(spark, path, checkpoint_interval=2) == 0
+    upsert_versioned(spark, path, _df(spark, [(1, "B", 2)]), "k", "ver")
+    assert export_delta(spark, path, checkpoint_interval=2) == 1
+    assert not os.path.exists(
+        f"{path}/_delta_log/{1:020d}.checkpoint.parquet"
+    )
+    upsert_versioned(spark, path, _df(spark, [(2, "C", 3)]), "k", "ver")
+    assert export_delta(spark, path, checkpoint_interval=2) == 2
+    assert os.path.exists(f"{path}/_delta_log/{2:020d}.checkpoint.parquet")
+    ptr = read_last_checkpoint(spark, path)
+    assert ptr["version"] == 2 and ptr["size"] >= 3
+    # vacuum: drop every pre-checkpoint JSON commit AND the
+    # checkpointed version's own commit
+    for v in (0, 1, 2):
+        os.remove(f"{path}/_delta_log/{v:020d}.json")
+    got = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert got[1] == "B" and got[2] == "C" and len(got) == 12
+    # the EXPORTER also still works: next upsert diffs off the
+    # checkpoint state (metaData.configuration carries the captured
+    # versioned version)
+    upsert_versioned(spark, path, _df(spark, [(5, "D", 4)]), "k", "ver")
+    assert export_delta(spark, path, checkpoint_interval=2) == 3
+    got = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert got[5] == "D" and len(got) == 12
+    with open(f"{path}/_delta_log/{3:020d}.json") as f:
+        acts = [json.loads(ln) for ln in f if ln.strip()]
+    # a diff, not a re-publish: untouched buckets are not re-added
+    assert sum(1 for a in acts if "add" in a) < 3
+
+
+def test_export_delta_checkpoint_forced_and_idempotent_resync(
+    spark, tmp_path
+):
+    from etl_pipeline_example_spark.pipeline.deltaexport import (
+        export_delta,
+        export_delta_checkpoint,
+    )
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(spark, _df(spark, [(1, "a", 1), (2, "b", 1)]), path)
+    export_delta(spark, path)
+    assert export_delta_checkpoint(spark, path) == 0
+    os.remove(f"{path}/_delta_log/{0:020d}.json")
+    got = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+    # re-export with nothing new: no-op even with zero JSON commits
+    assert export_delta(spark, path) == 0
+    assert not os.path.exists(f"{path}/_delta_log/{1:020d}.json")
+
+
+def test_export_delta_records_real_file_sizes(spark, tmp_path):
+    """ADVICE r15: add.size must be the file's byte length (split
+    planning input for external engines), not 0."""
+    from etl_pipeline_example_spark.pipeline.deltaexport import export_delta
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, "x" * 50, 1) for k in range(100)]), path
+    )
+    export_delta(spark, path)
+    with open(f"{path}/_delta_log/{0:020d}.json") as f:
+        adds = [
+            json.loads(ln)["add"]
+            for ln in f
+            if ln.strip() and '"add"' in ln
+        ]
+    assert adds
+    for a in adds:
+        real = os.path.getsize(f"{path}/{a['path']}")
+        assert a["size"] == real and real > 0, a
+
+
+def test_multipart_checkpoint_read_and_incomplete_rejection(
+    spark, tmp_path
+):
+    """ADVICE r15 (medium): externally-written multi-part checkpoints
+    N.checkpoint.I.M.parquet must be read whole — and an incomplete
+    part set must raise, never silently seed partial state."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    f1 = _data_file(spark, root, "f1.parquet", [(2, "b")])
+    _commit(root, 0, [_meta(), _add(f0)])
+    _commit(root, 1, [_add(f1)])
+    # hand-build a 2-part checkpoint at version 1: part 1 carries
+    # metaData + f0's add, part 2 carries f1's add
+    lg = f"{root}/_delta_log"
+
+    def _cp_part(rows, name):
+        stage = f"{root}/_stage_cp"
+        spark.read.json(
+            spark.createDataFrame([(json.dumps(r),) for r in rows], "v string")
+            .rdd.map(lambda r: r["v"])
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f
+            for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        os.replace(f"{stage}/{part}", f"{lg}/{name}")
+        shutil.rmtree(stage)
+
+    _cp_part(
+        [{"metaData": _meta()["metaData"]}, _add(f0)],
+        f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet",
+    )
+    _cp_part(
+        [_add(f1)],
+        f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet",
+    )
+    # vacuum both JSON commits: replay must seed purely from the parts
+    os.remove(f"{lg}/{0:020d}.json")
+    os.remove(f"{lg}/{1:020d}.json")
+    got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    assert got == {1: "a", 2: "b"}
+    # drop part 2: incomplete set must raise loudly
+    os.remove(f"{lg}/{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, root)
+
+
+def test_url_encoded_add_path_resolves(spark, tmp_path):
+    """ADVICE r15: the spec URL-encodes add.path; a file whose real
+    name contains a space must resolve through the %20 form."""
+    root = str(tmp_path / "tbl")
+    real = _data_file(spark, root, "my file.parquet", [(9, "z")])
+    assert real == "my file.parquet"
+    _commit(root, 0, [_meta(), _add("my%20file.parquet")])
+    got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    assert got == {9: "z"}
