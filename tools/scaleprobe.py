@@ -147,6 +147,19 @@ def build_sf1(spark, out_dir: str) -> None:
     shutil.copy(part, f"{out_dir}_stream/documents.parquet")
     shutil.rmtree(tmp)
 
+    # keyed events for the sketch probes (r16): user_id offset per
+    # replica so the DISTINCT key space really grows 10x — plain
+    # replication would leave the distinct-user set unchanged and the
+    # HLL/CMS pre-aggregation work would be under-counted
+    ev = spark.read.parquet(f"{SF01}/events.parquet")
+    u_span = int(ev.agg(F.max("user_id")).first()[0]) + 1
+    reps = None
+    for i in range(REPLICAS):
+        r = ev.withColumn("user_id", F.col("user_id") + F.lit(i * u_span))
+        reps = r if reps is None else reps.unionByName(r)
+    os.makedirs(f"{out_dir}_ekey", exist_ok=True)
+    reps.write.mode("overwrite").parquet(f"{out_dir}_ekey/events.parquet")
+
     # remaining tables: plain 10x replication (no key offsets) — enough
     # for SCAN-SHAPED probes (dq_null_census: per-column null counts
     # don't care about key aliasing); keyed/graph probes must use the
@@ -290,6 +303,26 @@ def _ops() -> dict:
     )
     from etl_pipeline_example_spark.plans.triples import q_basket_triples
 
+    def _text_dir(fn):
+        return lambda spark, d: fn(spark, d if d == SF01 else f"{d}_text")
+
+    def _ekey_dir(fn):
+        return lambda spark, d: fn(spark, d if d == SF01 else f"{d}_ekey")
+
+    from etl_pipeline_example_spark.operators.retragree import (
+        retrieval_agreement,
+    )
+    from etl_pipeline_example_spark.operators.rrf import retrieval_rrf
+    from etl_pipeline_example_spark.operators.editdist import dedup_editdist
+    from etl_pipeline_example_spark.operators.jpegdchash import (
+        multimodal_jpeg_dchash,
+    )
+    from etl_pipeline_example_spark.operators.cmsketch import sketch_cms_topk
+    from etl_pipeline_example_spark.operators.hll import sketch_hll_registers
+    from etl_pipeline_example_spark.operators.jpegprog import (
+        multimodal_decode_jpeg2,
+    )
+
     return {
         "split_leakage": _splitleak_probe,
         "stream_blocklist_quarantine": _blockgate_probe,
@@ -310,6 +343,17 @@ def _ops() -> dict:
         "quality_trained": quality_trained,
         "dq_distinct_census": dq_distinct_census,
         "graph_kcore2": graph_kcore2,
+        # r16 probes: the six unprobed r15 rows + the new progressive
+        # decode (retrieval/editdist are near-dup-shaped -> text-
+        # disjoint replicas; sketches -> keyed events; decodes are
+        # doc_id-driven -> plain offset docs)
+        "retrieval_agreement": _text_dir(retrieval_agreement),
+        "retrieval_rrf": _text_dir(retrieval_rrf),
+        "dedup_editdist": _text_dir(dedup_editdist),
+        "multimodal_jpeg_dchash": multimodal_jpeg_dchash,
+        "sketch_cms_topk": _ekey_dir(sketch_cms_topk),
+        "sketch_hll_registers": _ekey_dir(sketch_hll_registers),
+        "multimodal_decode_jpeg2": multimodal_decode_jpeg2,
     }
 
 
