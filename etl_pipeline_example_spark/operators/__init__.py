@@ -100,6 +100,22 @@ from etl_pipeline_example_spark.operators.jpegprog import (
     JPEGPROG_QUERIES,
     JPEGPROG_ORACLES,
 )
+from etl_pipeline_example_spark.operators.kmv import (
+    KMV_QUERIES,
+    KMV_ORACLES,
+)
+from etl_pipeline_example_spark.operators.burst import (
+    BURST_QUERIES,
+    BURST_ORACLES,
+)
+from etl_pipeline_example_spark.operators.tfcos import (
+    TFCOS_QUERIES,
+    TFCOS_ORACLES,
+)
+from etl_pipeline_example_spark.operators.shuffleaudit import (
+    SHUFFLEAUDIT_QUERIES,
+    SHUFFLEAUDIT_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -506,6 +522,14 @@ __all__ = [
     "JPEGDECODE_ORACLES",
     "JPEGPROG_QUERIES",
     "JPEGPROG_ORACLES",
+    "KMV_QUERIES",
+    "KMV_ORACLES",
+    "BURST_QUERIES",
+    "BURST_ORACLES",
+    "TFCOS_QUERIES",
+    "TFCOS_ORACLES",
+    "SHUFFLEAUDIT_QUERIES",
+    "SHUFFLEAUDIT_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

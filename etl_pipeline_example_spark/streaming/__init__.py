@@ -20,6 +20,10 @@ from etl_pipeline_example_spark.streaming.cmsfeed import (
     CMSFEED_STREAM_ORACLES,
     CMSFEED_STREAM_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.kmvfeed import (
+    KMVFEED_STREAM_ORACLES,
+    KMVFEED_STREAM_QUERIES,
+)
 from etl_pipeline_example_spark.streaming.hllfeed import (
     HLLFEED_STREAM_ORACLES,
     HLLFEED_STREAM_QUERIES,
@@ -65,6 +69,8 @@ STREAM_QUERIES.update(BLOCKGATE_STREAM_QUERIES)
 STREAM_ORACLES.update(BLOCKGATE_STREAM_ORACLES)
 STREAM_QUERIES.update(CMSFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(CMSFEED_STREAM_ORACLES)
+STREAM_QUERIES.update(KMVFEED_STREAM_QUERIES)
+STREAM_ORACLES.update(KMVFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(HLLFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(HLLFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(SHARDFEED_QUERIES)

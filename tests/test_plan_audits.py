@@ -1546,3 +1546,61 @@ def test_node_jaccard_no_allpairs_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_kmv_topk_is_window_group_limit_not_global_sort(spark, sf_dir):
+    """The bottom-K per group must be a WindowGroupLimit rank filter;
+    the only full sort allowed is over the G·K kept rows (the union
+    merge), never over the distinct key stream."""
+    from etl_pipeline_example_spark.operators.kmv import (
+        sketch_kmv_distinct,
+    )
+
+    plan = plan_str(sketch_kmv_distinct(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_burst_window_is_partitioned_and_topk_bounded(spark, sf_dir):
+    """The sliding-hour count rides a window PARTITIONED BY user_id
+    (hashpartitioning exchange, never SinglePartition before the
+    window) and the final top-20 is TakeOrderedAndProject."""
+    from etl_pipeline_example_spark.operators.burst import (
+        events_burst_topk,
+    )
+
+    plan = plan_str(events_burst_topk(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows and all("user_id" in ln for ln in windows), plan
+
+
+def test_tfcos_no_cartesian_and_broadcast_corpus_stats(spark, sf_dir):
+    """The pair join is keyed on term (df-capped posting join); the
+    only nested-loop is the broadcast one-row corpus-count frame."""
+    from etl_pipeline_example_spark.operators.tfcos import (
+        dedup_tfidf_cosine,
+    )
+
+    plan = plan_str(dedup_tfidf_cosine(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    # the component frame is persisted: each InMemoryTableScan PRINT
+    # repeats the cached subtree (incl. its one-row broadcast
+    # nested-loop), but the subtree computes once
+    assert "InMemoryTableScan" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= plan.count(
+        "InMemoryTableScan"
+    ), plan
+
+
+def test_shuffle_audit_window_partitioned_by_shard(spark, sf_dir):
+    """The adjacency lag is computed per shard — the window exchange
+    partitions on the shard key, never SinglePartition (a global order
+    over the corpus would defeat the sharded-shuffle design)."""
+    from etl_pipeline_example_spark.operators.shuffleaudit import (
+        shuffle_run_audit,
+    )
+
+    plan = plan_str(shuffle_run_audit(spark, sf_dir), mode="simple")
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows and all("shard" in ln for ln in windows), plan
+    assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0], plan

@@ -163,3 +163,232 @@ def test_jpegprog_operator_matches_oracle(spark, duck, sf_dir):
 
     df = multimodal_decode_jpeg2(spark, sf_dir)
     assert_matches_oracle(df, duck, JPEGPROG_ORACLES["multimodal_decode_jpeg2"])
+
+
+def _md5h(s: str) -> int:
+    """Independent replay of the shared 60-bit md5-slice hash."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_sketch_kmv_distinct_matches_hashlib_replay(spark, tmp_path):
+    """Planted events: 40 distinct users in 'click', 20 in 'view'
+    (10 shared). Per group the kept set must be the K=32 smallest
+    md5-slice hashes (hashlib replay); the __union__ row must merge
+    the KEPT sets (theta union), not the raw keys; groups under K
+    report their exact count as the estimate."""
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.kmv import (
+        KMV_K,
+        sketch_kmv_distinct,
+    )
+
+    rows = []
+    eid = 0
+    for u in range(40):  # click: users 0..39 (> K)
+        rows.append((eid, datetime(2024, 1, 1), u, "click", 1.0, "{}"))
+        eid += 1
+    for u in range(30, 50):  # view: users 30..49 (< K), 10 shared
+        for _ in range(2):  # duplicates must not matter (distinct)
+            rows.append((eid, datetime(2024, 1, 1), u, "view", 1.0, "{}"))
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["grp"]: r for r in sketch_kmv_distinct(spark, str(tmp_path)).collect()
+    }
+    click_h = sorted(_md5h(f"kmv:{u}") for u in range(40))
+    view_h = sorted(_md5h(f"kmv:{u}") for u in range(30, 50))
+    assert got["click"]["n_kept"] == KMV_K
+    assert got["click"]["kth_hash"] == click_h[KMV_K - 1]
+    assert got["click"]["exact_distinct"] == 40
+    exp_est = (
+        float(KMV_K - 1) * float(1 << 60) / float(click_h[KMV_K - 1])
+    )
+    assert got["click"]["est_distinct"] == exp_est
+    assert got["view"]["n_kept"] == 20
+    assert got["view"]["kth_hash"] == view_h[-1]
+    assert got["view"]["est_distinct"] == 20.0  # exact branch under K
+    # union: K smallest of the MERGED kept sets (shared users dedup)
+    merged = sorted(set(click_h[:KMV_K]) | set(view_h))
+    assert got["__union__"]["kth_hash"] == merged[KMV_K - 1]
+    assert got["__union__"]["exact_distinct"] == 50
+
+
+def test_stream_kmv_registers_equals_batch_sql(spark, tmp_path, duck):
+    """Stream/batch parity for the min-merge register sketch."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.streaming.kmvfeed import (
+        stream_kmv_registers,
+    )
+
+    rows = []
+    for u in range(60):
+        rows.append((u, datetime(2024, 1, 1), u, "click" if u % 3 else "view", 1.0, "{}"))
+    stage = f"{tmp_path}/_stage"
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    shutil.rmtree(stage)
+    got = [
+        tuple(r) for r in stream_kmv_registers(spark, str(tmp_path)).collect()
+    ]
+    # independent replay: min md5-slice and count per (grp, register)
+    from collections import defaultdict
+
+    mins: dict = defaultdict(lambda: [1 << 62, 0])
+    for u in range(60):
+        g = "click" if u % 3 else "view"
+        h = _md5h(f"kmv:{u}")
+        cell = mins[(g, h % 32)]
+        cell[0] = min(cell[0], h)
+        cell[1] += 1
+    want = sorted(
+        (g, r, mh, n) for (g, r), (mh, n) in mins.items()
+    )
+    assert got == want
+
+
+def test_events_burst_topk_hand_computed(spark, tmp_path):
+    """Planted timeline for one user: events at t = 0, 10, 3599,
+    3600, 9000 seconds. Window [t-3599, t]: at 3599 it holds
+    {0, 10, 3599} (burst 3); at 3600 it holds {10, 3599, 3600} — the
+    t-3600 event has just EXPIRED (boundary exactness); at 9000 only
+    itself. A second user with 2 events in one second ranks below."""
+    from datetime import datetime, timedelta
+
+    from etl_pipeline_example_spark.operators.burst import events_burst_topk
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for secs in (0, 10, 3599, 3600, 9000):
+        rows.append(
+            (eid, base + timedelta(seconds=secs), 1, "click", 1.0, "{}")
+        )
+        eid += 1
+    for _ in range(2):
+        rows.append((eid, base, 2, "click", 1.0, "{}"))
+        eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = [tuple(r) for r in events_burst_topk(spark, str(tmp_path)).collect()]
+    base_epoch = int(
+        spark.sql("select unix_timestamp(timestamp'2024-01-01')").first()[0]
+    )
+    assert got == [
+        (1, 3, base_epoch + 3599),
+        (2, 2, base_epoch),
+    ]
+
+
+def test_dedup_tfidf_cosine_hand_computed(spark, tmp_path):
+    """Three docs: d1 and d2 are identical ('alpha beta gamma'),
+    d3 shares one bigram with them plus its own. Every bigram has
+    df <= 2 (rare), N = 3, so m = 3 // df.
+
+    d1/d2 vectors identical -> cos = 2/(sqrt(2)*sqrt(2)) (the IEEE
+    value, 1 - 1ulp: sqrt(2)^2 != 2 in doubles — both engines agree
+    bit-for-bit) with dot = na2 = nb2 = 2 (two bigrams of
+    (1 * (3//2))^2 = 1 each).
+    d1/d3 share 'alpha beta' (df 2 -> m 1): dot = 1,
+    na2 = 2, nb2 = 1^2 + (1*3)^2 = 10 (its own 'delta alpha' bigram
+    has df 1 -> m 3); cos = 1/(sqrt(2)*sqrt(10)) ~= 0.2236 < 0.5 ->
+    filtered out."""
+    import math
+
+    from etl_pipeline_example_spark.operators.tfcos import (
+        dedup_tfidf_cosine,
+    )
+
+    _write(
+        spark, tmp_path, "documents",
+        [
+            (1, "alpha beta gamma", "en", "web", 16),
+            (2, "alpha beta gamma", "en", "web", 16),
+            (3, "delta alpha beta", "en", "web", 16),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    got = [
+        tuple(r) for r in dedup_tfidf_cosine(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, 2, 2, 2 / (math.sqrt(2.0) * math.sqrt(2.0)))]
+    # and the filtered pair's cosine really is below threshold
+    assert 1 / (math.sqrt(2) * math.sqrt(10)) < 0.5
+
+
+def test_shuffle_run_audit_matches_python_replay(spark, tmp_path):
+    """Planted docs over 3 sources: replay the shard assignment and
+    within-shard hash order in pure Python (hashlib) and recompute
+    every column."""
+    from collections import defaultdict
+
+    from etl_pipeline_example_spark.operators.shuffleaudit import (
+        SHUF_SHARDS,
+        shuffle_run_audit,
+    )
+
+    docs = [(i, f"text {i}", "en", ["web", "wiki", "books"][i % 3], 7)
+            for i in range(120)]
+    _write(
+        spark, tmp_path, "documents", docs,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    shards = defaultdict(list)
+    for i, _t, _l, src, _n in docs:
+        h = _md5h(f"shuf:{i}")
+        shards[h % SHUF_SHARDS].append((h, i, src))
+    want = []
+    for shard in sorted(shards):
+        items = sorted(shards[shard])
+        srcs = [s for _h, _i, s in items]
+        n = len(items)
+        same = sum(1 for a, b in zip(srcs, srcs[1:]) if a == b)
+        cnt = defaultdict(int)
+        for s in srcs:
+            cnt[s] += 1
+        exp_num = sum(c * (c - 1) for c in cnt.values())
+        want.append(
+            (shard, n, len(cnt), same, exp_num, n * (n - 1))
+        )
+    got = [tuple(r) for r in shuffle_run_audit(spark, str(tmp_path)).collect()]
+    assert got == want
+
+
+def test_round16_batch_ops_match_oracle(spark, duck, sf_dir):
+    """Every round-16 batch operator vs its DuckDB oracle at sf0.001
+    (the driver compare, in-tree)."""
+    from etl_pipeline_example_spark.operators import (
+        BURST_ORACLES,
+        BURST_QUERIES,
+        KMV_ORACLES,
+        KMV_QUERIES,
+        SHUFFLEAUDIT_ORACLES,
+        SHUFFLEAUDIT_QUERIES,
+        TFCOS_ORACLES,
+        TFCOS_QUERIES,
+    )
+    from tests.oracle_util import assert_matches_oracle
+
+    q = {**KMV_QUERIES, **BURST_QUERIES, **TFCOS_QUERIES, **SHUFFLEAUDIT_QUERIES}
+    o = {**KMV_ORACLES, **BURST_ORACLES, **TFCOS_ORACLES, **SHUFFLEAUDIT_ORACLES}
+    for name in sorted(q):
+        assert_matches_oracle(q[name](spark, sf_dir), duck, o[name])
