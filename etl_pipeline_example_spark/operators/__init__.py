@@ -116,6 +116,10 @@ from etl_pipeline_example_spark.operators.shuffleaudit import (
     SHUFFLEAUDIT_QUERIES,
     SHUFFLEAUDIT_ORACLES,
 )
+from etl_pipeline_example_spark.operators.bm25prf import (
+    BM25PRF_QUERIES,
+    BM25PRF_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -530,6 +534,8 @@ __all__ = [
     "TFCOS_ORACLES",
     "SHUFFLEAUDIT_QUERIES",
     "SHUFFLEAUDIT_ORACLES",
+    "BM25PRF_QUERIES",
+    "BM25PRF_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

@@ -1604,3 +1604,16 @@ def test_shuffle_audit_window_partitioned_by_shard(spark, sf_dir):
     windows = [ln for ln in plan.splitlines() if "Window" in ln]
     assert windows and all("shard" in ln for ln in windows), plan
     assert "Exchange SinglePartition" not in plan.split("TakeOrdered")[0], plan
+
+
+def test_bm25_prf_persisted_spine_and_window_group_limits(spark, sf_dir):
+    """Both rank selections (feedback top-R, final top-K) compile to
+    WindowGroupLimit; the bigram spine is persisted (InMemoryTableScan)
+    so the two passes share one tokenize+explode; the only nested-loop
+    joins are the broadcast one-row corpus-stats frames."""
+    from etl_pipeline_example_spark.operators.bm25prf import bm25_prf
+
+    plan = plan_str(bm25_prf(spark, sf_dir), mode="simple")
+    assert "WindowGroupLimit" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -392,3 +392,61 @@ def test_round16_batch_ops_match_oracle(spark, duck, sf_dir):
     o = {**KMV_ORACLES, **BURST_ORACLES, **TFCOS_ORACLES, **SHUFFLEAUDIT_ORACLES}
     for name in sorted(q):
         assert_matches_oracle(q[name](spark, sf_dir), duck, o[name])
+
+
+def test_bm25_prf_hand_computed_expansion(spark, tmp_path):
+    """Planted corpus where expansion provably retrieves a NEW doc:
+    q10 'red fox' matches d1/d2 in pass 1; their non-query rare
+    bigrams ('fox jumps', 'fox runs', 'jumps high') become weight-1
+    expansion terms; d3 contains only 'jumps high', so it appears in
+    the PRF ranking with n_terms=1, n_exp=1 while being invisible to
+    pass 1. Every score is replayed with the exact integer formula."""
+    from etl_pipeline_example_spark.operators.bm25prf import (
+        PRF_W_ORIG,
+        bm25_prf,
+    )
+
+    _write(
+        spark, tmp_path, "documents",
+        [
+            (1, "red fox jumps high", "en", "srcA", 18),
+            (2, "red fox runs", "en", "srcA", 12),
+            (3, "jumps high again", "en", "srcA", 16),
+            (4, "blue whale swims", "en", "srcA", 16),
+            (10, "red fox", "en", "src0", 7),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    n_docs, len_total = 4, 4 + 3 + 3 + 3  # candidate docs / tokens
+
+    def contrib(tf, dl, df):
+        num = 1_000_000 * 44 * len_total * tf * (2 * n_docs - 2 * df + 1)
+        den = (20 * len_total * tf + 6 * len_total + 18 * dl * n_docs) * (
+            2 * df + 1
+        )
+        return num // den
+
+    # weighted pass-2 sums: original 'red fox' (df 2) carries w=4,
+    # each expansion bigram (df 1 except 'jumps high' df 2) w=1
+    s1 = (
+        PRF_W_ORIG * contrib(1, 4, 2)  # red fox @ d1
+        + contrib(1, 4, 1)  # fox jumps
+        + contrib(1, 4, 2)  # jumps high (also in d3 -> df 2)
+    )
+    s2 = PRF_W_ORIG * contrib(1, 3, 2) + contrib(1, 3, 1)  # d2
+    s3 = contrib(1, 3, 2)  # d3 via 'jumps high' only
+    exp_rows = sorted(
+        [
+            (1, 3, 2, s1),
+            (2, 2, 1, s2),
+            (3, 1, 1, s3),
+        ],
+        key=lambda r: (-r[3], r[0]),
+    )
+    want = [
+        (10, d, nt, ne, s / float(PRF_W_ORIG * 1_000_000), i + 1)
+        for i, (d, nt, ne, s) in enumerate(exp_rows)
+    ]
+    got = [tuple(r) for r in bm25_prf(spark, str(tmp_path)).collect()]
+    assert got == want, (got, want)
