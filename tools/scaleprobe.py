@@ -322,6 +322,17 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.operators.jpegprog import (
         multimodal_decode_jpeg2,
     )
+    from etl_pipeline_example_spark.operators.kmv import (
+        sketch_kmv_distinct,
+    )
+    from etl_pipeline_example_spark.operators.burst import events_burst_topk
+    from etl_pipeline_example_spark.operators.tfcos import (
+        dedup_tfidf_cosine,
+    )
+    from etl_pipeline_example_spark.operators.bm25prf import bm25_prf
+    from etl_pipeline_example_spark.operators.shuffleaudit import (
+        shuffle_run_audit,
+    )
 
     return {
         "split_leakage": _splitleak_probe,
@@ -354,6 +365,11 @@ def _ops() -> dict:
         "sketch_cms_topk": _ekey_dir(sketch_cms_topk),
         "sketch_hll_registers": _ekey_dir(sketch_hll_registers),
         "multimodal_decode_jpeg2": multimodal_decode_jpeg2,
+        "sketch_kmv_distinct": _ekey_dir(sketch_kmv_distinct),
+        "events_burst_topk": _ekey_dir(events_burst_topk),
+        "dedup_tfidf_cosine": _text_dir(dedup_tfidf_cosine),
+        "bm25_prf": _text_dir(bm25_prf),
+        "shuffle_run_audit": shuffle_run_audit,
     }
 
 
