@@ -120,6 +120,14 @@ from etl_pipeline_example_spark.operators.bm25prf import (
     BM25PRF_QUERIES,
     BM25PRF_ORACLES,
 )
+from etl_pipeline_example_spark.operators.moments import (
+    MOMENTS_QUERIES,
+    MOMENTS_ORACLES,
+)
+from etl_pipeline_example_spark.operators.kanon import (
+    KANON_QUERIES,
+    KANON_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -536,6 +544,10 @@ __all__ = [
     "SHUFFLEAUDIT_ORACLES",
     "BM25PRF_QUERIES",
     "BM25PRF_ORACLES",
+    "MOMENTS_QUERIES",
+    "MOMENTS_ORACLES",
+    "KANON_QUERIES",
+    "KANON_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

@@ -1617,3 +1617,26 @@ def test_bm25_prf_persisted_spine_and_window_group_limits(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "InMemoryTableScan" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_moments_single_partial_aggregate_no_window(spark, sf_dir):
+    """The power sums map-side combine (partial HashAggregate) and the
+    merged row aggregates the G-row per-group frame — no window, no
+    sort over the event stream."""
+    from etl_pipeline_example_spark.operators.moments import sketch_moments
+
+    plan = plan_str(sketch_moments(spark, sf_dir), mode="simple")
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_kanon_broadcast_threshold_table(spark, sf_dir):
+    """The 4-row threshold table joins the class-size frame as a
+    broadcast; the quasi-id aggregate partial-aggregates map-side."""
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_k_anonymity,
+    )
+
+    plan = plan_str(privacy_k_anonymity(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

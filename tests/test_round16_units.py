@@ -450,3 +450,84 @@ def test_bm25_prf_hand_computed_expansion(spark, tmp_path):
     ]
     got = [tuple(r) for r in bm25_prf(spark, str(tmp_path)).collect()]
     assert got == want, (got, want)
+
+
+def test_sketch_moments_hand_computed_and_merge(spark, tmp_path):
+    """Planted values incl. negatives and a fractional cent edge:
+    floor(.100) quantization (NOT truncation: floor(-1.505*100) =
+    -151), exact power sums, and a __merged__ row equal to the sum of
+    the per-group state."""
+    import math
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.moments import sketch_moments
+
+    vals = {"click": [1.25, -1.505, 0.004], "view": [2.0, 3.999]}
+    rows = []
+    eid = 0
+    for et, vs in vals.items():
+        for v in vs:
+            rows.append((eid, datetime(2024, 1, 1), eid, et, v, "{}"))
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["grp"]: tuple(r)[1:]
+        for r in sketch_moments(spark, str(tmp_path)).collect()
+    }
+    want = {}
+    tot = [0, 0, 0, 0, 0]
+    for et, vs in vals.items():
+        cs = [math.floor(v * 100) for v in vs]
+        row = (
+            len(cs),
+            float(sum(cs)),
+            float(sum(c * c for c in cs)),
+            float(sum(c ** 3 for c in cs)),
+            float(sum(c ** 4 for c in cs)),
+        )
+        want[et] = row
+        tot[0] += len(cs)
+        for i, p in enumerate((1, 2, 3, 4), start=1):
+            tot[i] += sum(c ** p for c in cs)
+    want["__merged__"] = (tot[0],) + tuple(float(x) for x in tot[1:])
+    assert got == want
+    # the floor-not-truncate pin: -1.505 quantizes to -151, not -150
+    assert math.floor(-1.505 * 100) == -151
+
+
+def test_privacy_k_anonymity_hand_computed(spark, tmp_path):
+    """Planted classes of sizes 1, 3, 12: per k in (2,5,10,20) the
+    violating class/row counts are hand-folded."""
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_k_anonymity,
+    )
+
+    rows = []
+    ck = 0
+    for sz, (nat, seg, bal) in [
+        (1, (1, "AUTO", 500.0)),
+        (3, (1, "AUTO", 1500.0)),
+        (12, (2, "RETAIL", 500.0)),
+    ]:
+        for _ in range(sz):
+            rows.append((ck, f"c{ck}", nat, bal, seg))
+            ck += 1
+    _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    got = [
+        tuple(r) for r in privacy_k_anonymity(spark, str(tmp_path)).collect()
+    ]
+    # classes: sizes {1, 3, 12}; below-k counts fold by hand
+    assert got == [
+        (2, 1, 1, 3, 16),
+        (5, 2, 4, 3, 16),
+        (10, 2, 4, 3, 16),
+        (20, 3, 16, 3, 16),
+    ]
