@@ -90,10 +90,79 @@ ORDER BY 1
 """
 
 
+LDIV_LS = (2, 3, 5)
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l, n_classes_below, n_rows_exposed, n_classes, n_rows):
+    l-diversity census — quasi-identifier classes (nation, balance
+    band) whose SENSITIVE attribute (market segment) takes fewer than
+    l distinct values; k-anonymous classes with a homogeneous
+    sensitive value still leak it, which is exactly what this audit
+    catches beyond privacy_k_anonymity."""
+    classes = (
+        read_table(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias("band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "band")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.countDistinct("c_mktsegment").alias("div"),
+        )
+    )
+    ls = spark.createDataFrame([(l,) for l in LDIV_LS], "l int")
+    return (
+        classes.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.sum(F.when(F.col("div") < F.col("l"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_classes_below"),
+            F.sum(
+                F.when(F.col("div") < F.col("l"), F.col("sz")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rows_exposed"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("sz").cast("bigint").alias("n_rows"),
+        )
+        .orderBy("l")
+    )
+
+
+_LS_SQL = ", ".join(f"({l})" for l in LDIV_LS)
+
+PRIVACY_L_DIVERSITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+         count(*) AS sz,
+         count(DISTINCT c_mktsegment) AS div
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT t.l,
+       CAST(sum(CASE WHEN c.div < t.l THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_classes_below,
+       CAST(sum(CASE WHEN c.div < t.l THEN c.sz ELSE 0 END) AS BIGINT)
+         AS n_rows_exposed,
+       count(*) AS n_classes,
+       CAST(sum(c.sz) AS BIGINT) AS n_rows
+FROM classes c CROSS JOIN (VALUES {_LS_SQL}) t(l)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 KANON_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "privacy_k_anonymity": privacy_k_anonymity,
+    "privacy_l_diversity": privacy_l_diversity,
 }
 
 KANON_ORACLES: dict[str, str] = {
     "privacy_k_anonymity": PRIVACY_K_ANONYMITY_SQL,
+    "privacy_l_diversity": PRIVACY_L_DIVERSITY_SQL,
 }

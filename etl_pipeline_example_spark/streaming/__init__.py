@@ -24,6 +24,10 @@ from etl_pipeline_example_spark.streaming.kmvfeed import (
     KMVFEED_STREAM_ORACLES,
     KMVFEED_STREAM_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.momentsfeed import (
+    MOMENTSFEED_STREAM_ORACLES,
+    MOMENTSFEED_STREAM_QUERIES,
+)
 from etl_pipeline_example_spark.streaming.hllfeed import (
     HLLFEED_STREAM_ORACLES,
     HLLFEED_STREAM_QUERIES,
@@ -71,6 +75,8 @@ STREAM_QUERIES.update(CMSFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(CMSFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(KMVFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(KMVFEED_STREAM_ORACLES)
+STREAM_QUERIES.update(MOMENTSFEED_STREAM_QUERIES)
+STREAM_ORACLES.update(MOMENTSFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(HLLFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(HLLFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(SHARDFEED_QUERIES)

@@ -531,3 +531,70 @@ def test_privacy_k_anonymity_hand_computed(spark, tmp_path):
         (10, 2, 4, 3, 16),
         (20, 3, 16, 3, 16),
     ]
+
+
+def test_privacy_l_diversity_hand_computed(spark, tmp_path):
+    """Two classes: (nation 1, band 0) holds 6 rows ALL 'AUTO'
+    (k-anonymous but homogeneous — div 1); (nation 2, band 0) holds 4
+    rows over 3 segments (div 3). Folded per l in (2,3,5)."""
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_l_diversity,
+    )
+
+    rows = []
+    ck = 0
+    for _ in range(6):
+        rows.append((ck, f"c{ck}", 1, 100.0, "AUTO")); ck += 1
+    for seg in ("AUTO", "AUTO", "RETAIL", "HOUSE"):
+        rows.append((ck, f"c{ck}", 2, 100.0, seg)); ck += 1
+    _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    got = [
+        tuple(r) for r in privacy_l_diversity(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (2, 1, 6, 2, 10),
+        (3, 1, 6, 2, 10),
+        (5, 2, 10, 2, 10),
+    ]
+
+
+def test_stream_moments_equals_batch(spark, tmp_path):
+    """Stream/batch parity for the power-sum sketch."""
+    import glob
+    import shutil
+    from datetime import datetime
+
+    from etl_pipeline_example_spark.operators.moments import sketch_moments
+    from etl_pipeline_example_spark.streaming.momentsfeed import (
+        stream_moments,
+    )
+
+    rows = []
+    for u in range(40):
+        rows.append(
+            (u, datetime(2024, 1, 1), u, "click" if u % 2 else "view",
+             (u - 20) / 7.0, "{}")
+        )
+    stage = f"{tmp_path}/_stage"
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(f"{stage}/part-*.parquet")[0]
+    shutil.copy(part, f"{tmp_path}/events.parquet")
+    shutil.rmtree(stage)
+    batch = {
+        r["grp"]: tuple(r)[1:]
+        for r in sketch_moments(spark, str(tmp_path)).collect()
+        if r["grp"] != "__merged__"
+    }
+    stream = {
+        r["grp"]: tuple(r)[1:]
+        for r in stream_moments(spark, str(tmp_path)).collect()
+    }
+    assert stream == batch and len(batch) == 2
