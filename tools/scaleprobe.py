@@ -333,6 +333,11 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.operators.shuffleaudit import (
         shuffle_run_audit,
     )
+    from etl_pipeline_example_spark.operators.moments import sketch_moments
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_k_anonymity,
+        privacy_l_diversity,
+    )
 
     return {
         "split_leakage": _splitleak_probe,
@@ -370,6 +375,9 @@ def _ops() -> dict:
         "dedup_tfidf_cosine": _text_dir(dedup_tfidf_cosine),
         "bm25_prf": _text_dir(bm25_prf),
         "shuffle_run_audit": shuffle_run_audit,
+        "sketch_moments": _ekey_dir(sketch_moments),
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "privacy_l_diversity": privacy_l_diversity,
     }
 
 
