@@ -130,6 +130,8 @@ from etl_pipeline_example_spark.operators import (
     MOMENTS_QUERIES,
     KANON_ORACLES,
     KANON_QUERIES,
+    WINNOW_ORACLES,
+    WINNOW_QUERIES,
     SHARDBALANCE_ORACLES,
     SHARDBALANCE_QUERIES,
     ALLOCATION_ORACLES,
@@ -661,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BM25PRF_QUERIES)
     out.update(MOMENTS_QUERIES)
     out.update(KANON_QUERIES)
+    out.update(WINNOW_QUERIES)
     out.update(CMSKETCH_QUERIES)
     out.update(RETRAGREE_QUERIES)
     out.update(EDITDIST_QUERIES)
@@ -888,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BM25PRF_ORACLES)
     out.update(MOMENTS_ORACLES)
     out.update(KANON_ORACLES)
+    out.update(WINNOW_ORACLES)
     out.update(CMSKETCH_ORACLES)
     out.update(RETRAGREE_ORACLES)
     out.update(EDITDIST_ORACLES)

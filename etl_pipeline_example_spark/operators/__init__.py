@@ -128,6 +128,10 @@ from etl_pipeline_example_spark.operators.kanon import (
     KANON_QUERIES,
     KANON_ORACLES,
 )
+from etl_pipeline_example_spark.operators.winnow import (
+    WINNOW_QUERIES,
+    WINNOW_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -548,6 +552,8 @@ __all__ = [
     "MOMENTS_ORACLES",
     "KANON_QUERIES",
     "KANON_ORACLES",
+    "WINNOW_QUERIES",
+    "WINNOW_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

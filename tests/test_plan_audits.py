@@ -1640,3 +1640,29 @@ def test_kanon_broadcast_threshold_table(spark, sf_dir):
     plan = plan_str(privacy_k_anonymity(spark, sf_dir), mode="simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_winnow_array_side_selection_no_window(spark, sf_dir):
+    """The k-gram hashing and window-minimum selection run inside
+    array expressions per document — no Window operator, no join until
+    the df-capped fingerprint join; no cartesian."""
+    from etl_pipeline_example_spark.operators.winnow import (
+        dedup_winnow_pairs,
+    )
+
+    plan = plan_str(dedup_winnow_pairs(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tcloseness_broadcast_stats_no_window(spark, sf_dir):
+    """Global segment counts and the corpus total join broadcast; the
+    class census partial-aggregates; no window anywhere."""
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_t_closeness,
+    )
+
+    plan = plan_str(privacy_t_closeness(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

@@ -598,3 +598,93 @@ def test_stream_moments_equals_batch(spark, tmp_path):
         for r in stream_moments(spark, str(tmp_path)).collect()
     }
     assert stream == batch and len(batch) == 2
+
+
+def test_dedup_winnow_pairs_local_guarantee_and_replay(spark, tmp_path):
+    """The winnowing LOCAL guarantee, planted: d1 and d2 share a
+    verbatim run of exactly W + K - 1 = 9 tokens inside otherwise
+    disjoint text, so they MUST share >= 1 fingerprint; d3 shares
+    nothing long enough. The full selection is replayed in Python
+    (hashlib k-gram hashes, window minima)."""
+    import hashlib
+
+    from etl_pipeline_example_spark.operators.winnow import (
+        WIN_K,
+        WIN_W,
+        dedup_winnow_pairs,
+    )
+
+    shared = "one two three four five six seven eight nine"
+    d1 = f"alpha beta {shared} gamma delta"
+    d2 = f"epsilon zeta {shared} eta theta"
+    d3 = "iota kappa lam mu nu xi omicron pi rho sigma"
+    _write(
+        spark, tmp_path, "documents",
+        [
+            (1, d1, "en", "web", len(d1)),
+            (2, d2, "en", "web", len(d2)),
+            (3, d3, "en", "web", len(d3)),
+        ],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+
+    def fingerprints(text):
+        tk = text.split()
+        hs = [
+            int(
+                hashlib.md5(
+                    ("win:" + " ".join(tk[i : i + WIN_K])).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(tk) - WIN_K + 1)
+        ]
+        return {
+            min(hs[j : j + WIN_W]) for j in range(len(hs) - WIN_W + 1)
+        }
+
+    f1, f2, f3 = fingerprints(d1), fingerprints(d2), fingerprints(d3)
+    assert f1 & f2, "local guarantee: the 9-token run must fingerprint"
+    got = [
+        tuple(r) for r in dedup_winnow_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, len(f1 & f2), len(f1), len(f2))]
+    assert not (f1 & f3) and not (f2 & f3)
+
+
+def test_privacy_t_closeness_hand_computed_with_absent_segment(
+    spark, tmp_path
+):
+    """Global: 10 AUTO + 10 RETAIL. Class A mirrors it exactly (TVD
+    0); class B is 4 AUTO only — the RETAIL mass is ABSENT from the
+    class and must still count: TVD = 1/2(|1-1/2| + |0-1/2|) = 1/2.
+    B violates t=0.20 and 0.35 but NOT 0.50 (strictly-greater
+    boundary)."""
+    from etl_pipeline_example_spark.operators.kanon import (
+        privacy_t_closeness,
+    )
+
+    rows = []
+    ck = 0
+    for seg in ["AUTO"] * 5 + ["RETAIL"] * 5:  # class A: nation 1
+        rows.append((ck, f"c{ck}", 1, 100.0, seg)); ck += 1
+    for seg in ["AUTO"] * 4:  # class B: nation 2
+        rows.append((ck, f"c{ck}", 2, 100.0, seg)); ck += 1
+    for seg in ["AUTO"] * 1 + ["RETAIL"] * 5:  # class C: nation 3
+        rows.append((ck, f"c{ck}", 3, 100.0, seg)); ck += 1
+    _write(
+        spark, tmp_path, "customer", rows,
+        "c_custkey bigint, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    # class C: n_c 6, cs = {AUTO:1, RETAIL:5}, global {10, 10}, N 20
+    # TVD = 1/2(|1/6-1/2| + |5/6-1/2|) = 1/3 -> violates 0.20 only
+    got = [
+        tuple(r) for r in privacy_t_closeness(spark, str(tmp_path)).collect()
+    ]
+    assert got == [
+        (0.2, 2, 10, 3, 20),
+        (0.35, 1, 4, 3, 20),
+        (0.5, 0, 0, 3, 20),
+    ]
