@@ -501,12 +501,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-17 PLAN (committed at round-16 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 11 round-16 additions, registration order:
+#   1. first evidence — the 13 round-16 additions, registration order:
 #      multimodal_decode_jpeg2, sketch_kmv_distinct,
 #      stream_kmv_registers, events_burst_topk, dedup_tfidf_cosine,
 #      shuffle_run_audit, bm25_prf, sketch_moments,
-#      privacy_k_anonymity, privacy_l_diversity, stream_moments;
-#   2. fill to exactly 50 with the 39 oldest-stale entries (r10/r11
+#      privacy_k_anonymity, privacy_l_diversity, privacy_t_closeness,
+#      stream_moments, dedup_winnow_pairs;
+#   2. fill to exactly 50 with the 37 oldest-stale entries (r10/r11
 #      evidence), oldest first, registration order within a round:
 #      ann_pq_adc, ann_ivfpq, multimodal_meta, multimodal_framesample
 #      (the four rolled from r16), q_range_frame, q_unpivot_measures,
@@ -518,12 +519,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q7_volume, q_window_funnel, q_retention, q_event_path,
 #      scd2_merge, q_full_outer_recon, q_rfm, q_sequence_match,
 #      anomaly_mad, q_basket_pairs, q_sql_shared_dialect, cdc_apply,
-#      agg_merge_states, q_order_gap_dist, q_yoy_growth — 39 fill
-#      slots (11 + 39 = 50). (q_skyline_2d, q_mode_per_group,
-#      q_behavior_segments and dq_freshness are the next four stale
-#      and roll to r18; the rows-only dq_profile_approx/embed_pca
-#      stay out per the full-oracle window rule; quality_compress
-#      remains the documented no-oracle pytest-contract entry.)
+#      agg_merge_states — 37 fill slots (13 + 37 = 50).
+#      (q_order_gap_dist, q_yoy_growth, q_skyline_2d and
+#      q_mode_per_group are the next four stale and roll to r18; the
+#      rows-only dq_profile_approx/embed_pca stay out per the
+#      full-oracle window rule; quality_compress remains the
+#      documented no-oracle pytest-contract entry.)
 _REGISTER_FIRST = [
     # --- (1) first evidence: the 12 round-15 additions, registration order
     "bm25_rank",
