@@ -337,6 +337,10 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.operators.kanon import (
         privacy_k_anonymity,
         privacy_l_diversity,
+        privacy_t_closeness,
+    )
+    from etl_pipeline_example_spark.operators.winnow import (
+        dedup_winnow_pairs,
     )
 
     return {
@@ -378,6 +382,8 @@ def _ops() -> dict:
         "sketch_moments": _ekey_dir(sketch_moments),
         "privacy_k_anonymity": privacy_k_anonymity,
         "privacy_l_diversity": privacy_l_diversity,
+        "privacy_t_closeness": privacy_t_closeness,
+        "dedup_winnow_pairs": _text_dir(dedup_winnow_pairs),
     }
 
 
