@@ -260,13 +260,20 @@ def _exported_state(spark: SparkSession, path: str) -> _ExportedState:
 
 
 def _write_checkpoint(
-    spark: SparkSession, path: str, v: int, st: _ExportedState
+    spark: SparkSession,
+    path: str,
+    v: int,
+    st: _ExportedState,
+    max_actions_per_part: int | None = None,
 ) -> None:
     """``<v>.checkpoint.parquet`` + ``_last_checkpoint`` per the
-    public protocol. The checkpoint is a derived, re-creatable
-    artifact (never the commit of record), so the stage-then-rename
-    write is safe even where rename is non-atomic — a torn checkpoint
-    is simply re-written; readers fall back to JSON replay."""
+    public protocol — or a multi-part ``<v>.checkpoint.<i>.<n>.parquet``
+    set when the action count exceeds ``max_actions_per_part`` (the
+    spec's shape for huge tables; our own reader handles both). The
+    checkpoint is a derived, re-creatable artifact (never the commit
+    of record), so the stage-then-rename write is safe even where
+    rename is non-atomic — a torn checkpoint is simply re-written;
+    readers fall back to JSON replay."""
     if not st.meta:
         raise ValueError(
             f"cannot checkpoint {path}: no metaData in the replayed log"
@@ -308,23 +315,40 @@ def _write_checkpoint(
             ))
         )
     fs, _ = hadoop_fs(spark, path)
-    stage = f"{path}/{_LOG}/.cp_stage_{v}"
-    spark.createDataFrame(rows, _CP_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(stage)
-    part = next(
-        s.getPath().getName()
-        for s in fs.listStatus(_jpath(spark, stage))
-        if s.getPath().getName().endswith(".parquet")
-    )
-    fs.rename(
-        _jpath(spark, f"{stage}/{part}"),
-        _jpath(spark, f"{path}/{_LOG}/{v:020d}.checkpoint.parquet"),
-    )
-    fs.delete(_jpath(spark, stage), True)
+    if max_actions_per_part and len(rows) > max_actions_per_part:
+        chunks = [
+            rows[i : i + max_actions_per_part]
+            for i in range(0, len(rows), max_actions_per_part)
+        ]
+    else:
+        chunks = [rows]
+    n = len(chunks)
+    for i, chunk in enumerate(chunks, start=1):
+        stage = f"{path}/{_LOG}/.cp_stage_{v}_{i}"
+        spark.createDataFrame(chunk, _CP_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = next(
+            s.getPath().getName()
+            for s in fs.listStatus(_jpath(spark, stage))
+            if s.getPath().getName().endswith(".parquet")
+        )
+        name = (
+            f"{v:020d}.checkpoint.parquet"
+            if n == 1
+            else f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+        )
+        fs.rename(
+            _jpath(spark, f"{stage}/{part}"),
+            _jpath(spark, f"{path}/{_LOG}/{name}"),
+        )
+        fs.delete(_jpath(spark, stage), True)
+    ptr: dict = {"version": v, "size": len(rows)}
+    if n > 1:
+        ptr["parts"] = n
     out = fs.create(_jpath(spark, f"{path}/{_LOG}/_last_checkpoint"), True)
     try:
-        out.write(json.dumps({"version": v, "size": len(rows)}).encode())
+        out.write(json.dumps(ptr).encode())
     finally:
         out.close()
 
@@ -429,7 +453,9 @@ def export_delta(
     return next_commit
 
 
-def export_delta_checkpoint(spark: SparkSession, path: str) -> int:
+def export_delta_checkpoint(
+    spark: SparkSession, path: str, max_actions_per_part: int | None = None
+) -> int:
     """Force a protocol checkpoint at the current head commit of the
     exported log; returns the checkpointed version. After this,
     pre-checkpoint JSON commits may be vacuumed and the table still
@@ -443,5 +469,8 @@ def export_delta_checkpoint(spark: SparkSession, path: str) -> int:
         cfg = dict(st.meta.get("configuration") or {})
         cfg["etlVersionedVersion"] = str(st.captured)
         st.meta["configuration"] = cfg
-    _write_checkpoint(spark, path, st.last_commit, st)
+    _write_checkpoint(
+        spark, path, st.last_commit, st,
+        max_actions_per_part=max_actions_per_part,
+    )
     return st.last_commit

@@ -472,3 +472,40 @@ def test_url_encoded_add_path_resolves(spark, tmp_path):
     _commit(root, 0, [_meta(), _add("my%20file.parquet")])
     got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
     assert got == {9: "z"}
+
+
+def test_export_delta_multipart_checkpoint_roundtrip(spark, tmp_path):
+    """Our writer emits a spec multi-part checkpoint when forced; our
+    reader (pinned against the hand-built multi-part set) reads it
+    back after a full vacuum — writer and reader certify each other."""
+    from etl_pipeline_example_spark.pipeline.deltaexport import (
+        export_delta,
+        export_delta_checkpoint,
+    )
+    from etl_pipeline_example_spark.pipeline.deltaread import (
+        read_last_checkpoint,
+    )
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, f"v{k}", 1) for k in range(30)]), path,
+        key="k", nbuckets=6,
+    )
+    export_delta(spark, path)
+    # 6 adds + metaData + protocol = 8 actions -> 3 parts at cap 3
+    assert export_delta_checkpoint(spark, path, max_actions_per_part=3) == 0
+    names = sorted(os.listdir(f"{path}/_delta_log"))
+    parts = [n for n in names if ".checkpoint." in n and n.endswith(".parquet")]
+    assert len(parts) == 3 and all(f".{3:010d}.parquet" in n for n in parts)
+    ptr = read_last_checkpoint(spark, path)
+    assert ptr["parts"] == 3 and ptr["version"] == 0
+    os.remove(f"{path}/_delta_log/{0:020d}.json")
+    got = {r["k"]: r["val"] for r in read_delta(spark, path).collect()}
+    assert len(got) == 30 and got[5] == "v5"
+    # incomplete part set still rejects loudly
+    os.remove(f"{path}/_delta_log/{parts[1]}")
+    with pytest.raises(ValueError, match="incomplete"):
+        read_delta(spark, path)
