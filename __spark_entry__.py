@@ -132,6 +132,8 @@ from etl_pipeline_example_spark.operators import (
     KANON_QUERIES,
     WINNOW_ORACLES,
     WINNOW_QUERIES,
+    CUSUM_ORACLES,
+    CUSUM_QUERIES,
     SHARDBALANCE_ORACLES,
     SHARDBALANCE_QUERIES,
     ALLOCATION_ORACLES,
@@ -501,13 +503,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-17 PLAN (committed at round-16 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 13 round-16 additions, registration order:
+#   1. first evidence — the 14 round-16 additions, registration order:
 #      multimodal_decode_jpeg2, sketch_kmv_distinct,
 #      stream_kmv_registers, events_burst_topk, dedup_tfidf_cosine,
 #      shuffle_run_audit, bm25_prf, sketch_moments,
 #      privacy_k_anonymity, privacy_l_diversity, privacy_t_closeness,
-#      stream_moments, dedup_winnow_pairs;
-#   2. fill to exactly 50 with the 37 oldest-stale entries (r10/r11
+#      stream_moments, dedup_winnow_pairs, events_cusum_shift;
+#   2. fill to exactly 50 with the 36 oldest-stale entries (r10/r11
 #      evidence), oldest first, registration order within a round:
 #      ann_pq_adc, ann_ivfpq, multimodal_meta, multimodal_framesample
 #      (the four rolled from r16), q_range_frame, q_unpivot_measures,
@@ -518,10 +520,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      stream_sliding, q_distinct_agg, q_percentiles, q2_argmin,
 #      q7_volume, q_window_funnel, q_retention, q_event_path,
 #      scd2_merge, q_full_outer_recon, q_rfm, q_sequence_match,
-#      anomaly_mad, q_basket_pairs, q_sql_shared_dialect, cdc_apply,
-#      agg_merge_states — 37 fill slots (13 + 37 = 50).
-#      (q_order_gap_dist, q_yoy_growth, q_skyline_2d and
-#      q_mode_per_group are the next four stale and roll to r18; the
+#      anomaly_mad, q_basket_pairs, q_sql_shared_dialect, cdc_apply
+#      — 36 fill slots (14 + 36 = 50).
+#      (agg_merge_states, q_order_gap_dist, q_yoy_growth and
+#      q_skyline_2d are the next four stale and roll to r18; the
 #      rows-only dq_profile_approx/embed_pca stay out per the
 #      full-oracle window rule; quality_compress remains the
 #      documented no-oracle pytest-contract entry.)
@@ -665,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MOMENTS_QUERIES)
     out.update(KANON_QUERIES)
     out.update(WINNOW_QUERIES)
+    out.update(CUSUM_QUERIES)
     out.update(CMSKETCH_QUERIES)
     out.update(RETRAGREE_QUERIES)
     out.update(EDITDIST_QUERIES)
@@ -893,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(MOMENTS_ORACLES)
     out.update(KANON_ORACLES)
     out.update(WINNOW_ORACLES)
+    out.update(CUSUM_ORACLES)
     out.update(CMSKETCH_ORACLES)
     out.update(RETRAGREE_ORACLES)
     out.update(EDITDIST_ORACLES)

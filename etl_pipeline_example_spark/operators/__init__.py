@@ -132,6 +132,10 @@ from etl_pipeline_example_spark.operators.winnow import (
     WINNOW_QUERIES,
     WINNOW_ORACLES,
 )
+from etl_pipeline_example_spark.operators.cusum import (
+    CUSUM_QUERIES,
+    CUSUM_ORACLES,
+)
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMSKETCH_QUERIES,
     CMSKETCH_ORACLES,
@@ -554,6 +558,8 @@ __all__ = [
     "KANON_ORACLES",
     "WINNOW_QUERIES",
     "WINNOW_ORACLES",
+    "CUSUM_QUERIES",
+    "CUSUM_ORACLES",
     "CMSKETCH_QUERIES",
     "CMSKETCH_ORACLES",
     "RETRAGREE_QUERIES",

@@ -1666,3 +1666,17 @@ def test_tcloseness_broadcast_stats_no_window(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_cusum_windows_partitioned_over_day_grain(spark, sf_dir):
+    """All CUSUM windows partition by event_type and ride the DAY
+    grain (one aggregate reduces events to days first); never
+    SinglePartition."""
+    from etl_pipeline_example_spark.operators.cusum import (
+        events_cusum_shift,
+    )
+
+    plan = plan_str(events_cusum_shift(spark, sf_dir), mode="simple")
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows and all("grp" in ln for ln in windows), plan
+    assert "Exchange SinglePartition" not in plan, plan

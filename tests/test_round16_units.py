@@ -688,3 +688,40 @@ def test_privacy_t_closeness_hand_computed_with_absent_segment(
         (0.35, 1, 4, 3, 20),
         (0.5, 0, 0, 3, 20),
     ]
+
+
+def test_events_cusum_shift_hand_computed(spark, tmp_path):
+    """Planted series with a known level shift: user volume 2/day for
+    4 days then 6/day for 4 days (n_days 8, total 32, mean 4). The
+    scaled series y = x*8 - 32 is -16 x4 then +16 x4: the downward
+    excursion peaks at day 4 (64), the upward at day 8 (64) — the
+    changepoint day and the recovery, hand-folded via the
+    cumsum-minus-runmin identity."""
+    from datetime import datetime, timedelta
+
+    from etl_pipeline_example_spark.operators.cusum import (
+        events_cusum_shift,
+    )
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for d in range(8):
+        n = 2 if d < 4 else 6
+        for _ in range(n):
+            rows.append(
+                (eid, base + timedelta(days=d), eid, "click", 1.0, "{}")
+            )
+            eid += 1
+    _write(
+        spark, tmp_path, "events", rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    got = [tuple(r) for r in events_cusum_shift(spark, str(tmp_path)).collect()]
+    assert len(got) == 1
+    grp, n_days, total, up, up_day, dn, dn_day = got[0]
+    assert (grp, n_days, total) == ("click", 8, 32)
+    # cum: -16,-32,-48,-64, -48,-32,-16,0; runmin reaches -64 at day 4
+    assert (dn, str(dn_day)) == (64, "2024-03-04")
+    assert (up, str(up_day)) == (64, "2024-03-08")
