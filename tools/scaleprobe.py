@@ -342,6 +342,9 @@ def _ops() -> dict:
     from etl_pipeline_example_spark.operators.winnow import (
         dedup_winnow_pairs,
     )
+    from etl_pipeline_example_spark.operators.cusum import (
+        events_cusum_shift,
+    )
 
     return {
         "split_leakage": _splitleak_probe,
@@ -384,6 +387,7 @@ def _ops() -> dict:
         "privacy_l_diversity": privacy_l_diversity,
         "privacy_t_closeness": privacy_t_closeness,
         "dedup_winnow_pairs": _text_dir(dedup_winnow_pairs),
+        "events_cusum_shift": _ekey_dir(events_cusum_shift),
     }
 
 
