@@ -528,58 +528,58 @@ def entry(spark: SparkSession) -> DataFrame:
 #      full-oracle window rule; quality_compress remains the
 #      documented no-oracle pytest-contract entry.)
 _REGISTER_FIRST = [
-    # --- (1) first evidence: the 12 round-15 additions, registration order
-    "bm25_rank",
-    "multimodal_decode_jpeg",
-    "sketch_cms_topk",
-    "retrieval_agreement",
-    "dedup_editdist",
-    "retrieval_rrf",
-    "sketch_hll_registers",
-    "multimodal_jpeg_dchash",
-    "q_basket_triples",
-    "graph_node_jaccard",
-    "stream_cms_topk",
-    "stream_hll_registers",
-    # --- (2) 38 oldest-stale (r9/r10 evidence), oldest first
-    "q_rank_family",
-    "q_latest_event",
-    "events_rollup_multi",
-    "stream_neardup_gate",
-    "stream_neardup_gate_indexed",
-    "q_calculated",
-    "q1_pricing",
-    "q3_shipping",
-    "q5_local_supplier",
-    "q_rollup",
-    "q6_forecast",
-    "q4_late_orders",
-    "q_cust_no_orders",
-    "q14_promo",
-    "quality_repetition",
-    "quality_charlm",
-    "pii_scrub",
-    "boilerplate_chunks",
-    "domain_cap",
-    "q_active_users",
-    "dq_rules",
-    "join_skew_profile",
-    "length_drift_ks",
-    "ann_recall_matrix",
-    "quality_agreement",
-    "dedup_prefix",
-    "lexicon_stats",
-    "contamination_bloom",
-    "sample_weighted",
-    "ann_bruteforce",
-    "ann_lsh",
-    "ann_ivf",
-    "dedup_embedding_lsh",
-    "embed_quantize",
-    "kmeans_assign",
-    "semdedup_prune_2l",
-    "semdedup_canonical",
-    "ann_int8_rerank",
+    # --- (1) first evidence: the 14 round-16 additions, registration order
+    "multimodal_decode_jpeg2",
+    "sketch_kmv_distinct",
+    "stream_kmv_registers",
+    "events_burst_topk",
+    "dedup_tfidf_cosine",
+    "shuffle_run_audit",
+    "bm25_prf",
+    "sketch_moments",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "stream_moments",
+    "dedup_winnow_pairs",
+    "events_cusum_shift",
+    # --- (2) 36 oldest-stale (r10/r11 evidence), oldest first
+    "ann_pq_adc",
+    "ann_ivfpq",
+    "multimodal_meta",
+    "multimodal_framesample",
+    "q_range_frame",
+    "q_unpivot_measures",
+    "q_value_window",
+    "q_cohort_ltv",
+    "q_quantile_counting",
+    "q_interval_merge",
+    "q_growth_accounting",
+    "dq_benford",
+    "agg_salted",
+    "q_ab_chi2",
+    "q_rolling_actives",
+    "q_scd2_asof",
+    "q_period_balance",
+    "q_dim_lift",
+    "q_attribution",
+    "stream_dq_quarantine",
+    "stream_sliding",
+    "q_distinct_agg",
+    "q_percentiles",
+    "q2_argmin",
+    "q7_volume",
+    "q_window_funnel",
+    "q_retention",
+    "q_event_path",
+    "scd2_merge",
+    "q_full_outer_recon",
+    "q_rfm",
+    "q_sequence_match",
+    "anomaly_mad",
+    "q_basket_pairs",
+    "q_sql_shared_dialect",
+    "cdc_apply",
 ]
 
 
