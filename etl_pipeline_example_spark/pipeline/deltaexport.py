@@ -77,7 +77,7 @@ from pyspark.sql.types import (
 )
 
 from etl_pipeline_example_spark.fsutil import hadoop_fs
-from etl_pipeline_example_spark.pipeline.deltaread import _list_log
+from etl_pipeline_example_spark.pipeline.deltaread import _replay_state
 from etl_pipeline_example_spark.pipeline.versioned import (
     _is_external,
     _jpath,
@@ -153,29 +153,6 @@ _CP_SCHEMA = StructType(
 )
 
 
-def _list_commits(spark: SparkSession, path: str) -> list[int]:
-    fs, _ = hadoop_fs(spark, path)
-    ldir = _jpath(spark, f"{path}/{_LOG}")
-    if not fs.exists(ldir):
-        return []
-    out = []
-    for st in fs.listStatus(ldir):
-        name = st.getPath().getName()
-        if name.endswith(".json") and name[:-5].isdigit():
-            out.append(int(name[:-5]))
-    return sorted(out)
-
-
-def _read_commit(spark: SparkSession, path: str, v: int) -> list[dict]:
-    fs, _ = hadoop_fs(spark, path)
-    stream = fs.open(_jpath(spark, f"{path}/{_LOG}/{v:020d}.json"))
-    try:
-        raw = bytes(stream.readAllBytes()).decode()
-    finally:
-        stream.close()
-    return [json.loads(ln) for ln in raw.splitlines() if ln.strip()]
-
-
 def _write_commit(
     spark: SparkSession, path: str, v: int, actions: list[dict]
 ) -> None:
@@ -207,55 +184,31 @@ class _ExportedState:
 
 
 def _exported_state(spark: SparkSession, path: str) -> _ExportedState:
-    """Seed from the newest checkpoint (if any), then apply the JSON
-    commits after it — the same replay contract as read_delta, so the
-    exporter keeps working after pre-checkpoint commits are
+    """The relational replay of the published log (deltaread's
+    ``_replay_state`` — checkpoint parts + JSON commits as DataFrames,
+    one ``groupBy(path)`` reconciliation, only the net file list and
+    the bounded scalar actions reach the driver), so the exporter of a
+    long-history table never funnels millions of checkpoint ``add``
+    actions through ``toJSON().collect()``. Seeding from the newest
+    checkpoint keeps working after pre-checkpoint commits are
     vacuumed."""
     st = _ExportedState()
     fs, _ = hadoop_fs(spark, path)
     if not fs.exists(_jpath(spark, f"{path}/{_LOG}")):
         return st
-    commits, checkpoints = _list_log(spark, path)
-    if not commits and not checkpoints:
-        return st
-    base = max(checkpoints, default=None)
-    if base is not None:
-        cp = spark.read.parquet(
-            *[f"{path}/{_LOG}/{name}" for name in checkpoints[base]]
+    try:
+        adds_raw, meta, proto, captured, last = _replay_state(
+            spark, path, None
         )
-        for row in cp.toJSON().collect():
-            rec = json.loads(row)
-            if rec.get("protocol"):
-                st.protocol = rec["protocol"]
-            if rec.get("metaData"):
-                st.meta = rec["metaData"]
-                st.schema = rec["metaData"]["schemaString"]
-                ev = (rec["metaData"].get("configuration") or {}).get(
-                    "etlVersionedVersion"
-                )
-                if ev is not None:
-                    st.captured = int(ev)
-            if rec.get("add"):
-                st.adds[unquote(rec["add"]["path"])] = rec["add"]
-        st.last_commit = base
-    for c in commits:
-        if base is not None and c <= base:
-            continue
-        for rec in _read_commit(spark, path, c):
-            if "add" in rec:
-                st.adds[unquote(rec["add"]["path"])] = rec["add"]
-            elif "remove" in rec:
-                st.adds.pop(unquote(rec["remove"]["path"]), None)
-            elif "metaData" in rec:
-                st.meta = rec["metaData"]
-                st.schema = rec["metaData"]["schemaString"]
-            elif "protocol" in rec:
-                st.protocol = rec["protocol"]
-            elif "commitInfo" in rec:
-                ev = rec["commitInfo"].get("etlVersionedVersion")
-                if ev is not None:
-                    st.captured = int(ev)
-        st.last_commit = c
+    except FileNotFoundError:
+        return st
+    st.adds = {unquote(p): a for p, a in adds_raw.items()}
+    if meta:
+        st.meta = meta
+        st.schema = meta.get("schemaString")
+    st.protocol = proto
+    st.captured = captured
+    st.last_commit = last
     return st
 
 
@@ -338,10 +291,19 @@ def _write_checkpoint(
             if n == 1
             else f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
         )
-        fs.rename(
-            _jpath(spark, f"{stage}/{part}"),
-            _jpath(spark, f"{path}/{_LOG}/{name}"),
-        )
+        dest = _jpath(spark, f"{path}/{_LOG}/{name}")
+        # a checkpoint is derived and re-creatable, so overwriting a
+        # prior attempt is safe — but rename() signals failure by
+        # RETURN VALUE on HDFS/object-store semantics (e.g. destination
+        # exists from a forced checkpoint with a different part split);
+        # ignoring it would leave a stale/missing part while
+        # _last_checkpoint is overwritten below (round-16 ADVICE)
+        if fs.exists(dest):
+            fs.delete(dest, False)
+        if not fs.rename(_jpath(spark, f"{stage}/{part}"), dest):
+            raise IOError(
+                f"checkpoint rename failed: {stage}/{part} -> {dest}"
+            )
         fs.delete(_jpath(spark, stage), True)
     ptr: dict = {"version": v, "size": len(rows)}
     if n > 1:

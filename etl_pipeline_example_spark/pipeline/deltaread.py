@@ -39,12 +39,26 @@ vectors, column mapping, or v2 checkpoints raise ``ValueError``
 naming the unsupported feature. Time travel: ``version=`` replays to
 that commit, exactly Delta's ``VERSION AS OF``.
 
-Scale: the replay is driver-side METADATA (one JSON parse per commit
-past the checkpoint — Delta's own design point); the data read is a
-plain parquet scan under the manifest's file list, so predicate
-pushdown/column pruning work unchanged. Writing stays with our own
-versioned layer (pipeline/versioned.py) — this is the migration
-READ path, mirroring the one-way interop most engines ship first.
+Scale: the replay is RELATIONAL, not driver-side. A 100 TB table's
+checkpoint carries millions of ``add`` actions; serializing them all
+through the driver (the pre-round-17 ``toJSON().collect()``) is a
+driver OOM/CPU wall. Instead the checkpoint parts are read as a
+parquet DataFrame (multi-part checkpoints parallelize the scan) and
+the post-checkpoint JSON commits as one ``spark.read.text`` +
+``from_json`` pass (FAILFAST — a corrupt commit line still raises
+loudly); both normalize to one action frame and reconcile with a
+single ``groupBy(path).agg(max_by(...))`` — latest action per path
+wins, ``add`` over ``remove`` on the (never-occurring-in-valid-logs)
+same-version tie. Only two things ever reach the driver: the bounded
+scalar actions (metaData / protocol / commitInfo — O(schema changes +
+post-checkpoint commits), pruned to those columns so the checkpoint
+scan never deserializes ``add`` structs for this pass) and the NET
+live-file list — the planner's inherent lower bound, which any
+parquet reader must enumerate to build splits anyway. The data read
+is a plain parquet scan under that file list, so predicate pushdown/
+column pruning work unchanged. Writing stays with our own versioned
+layer (pipeline/versioned.py) — this is the migration READ path,
+mirroring the one-way interop most engines ship first.
 
 Reference: N/A (the 305-LoC Glue ETL re-lands snapshots);
 engine surface, SURVEY.md §2.
@@ -87,14 +101,20 @@ def _list_log(
     parts: dict[int, dict[int, tuple[int, str]]] = {}
     for st in fs.listStatus(ldir):
         name = st.getPath().getName()
-        if name.endswith(".json") and name[:-5].isdigit():
-            commits.append(int(name[:-5]))
-        elif name.endswith(".parquet") and ".checkpoint" in name:
-            segs = name[: -len(".parquet")].split(".")
-            if len(segs) == 2 and segs[0].isdigit() and segs[1] == "checkpoint":
+        if ".checkpoint" in name and (
+            name.endswith(".parquet") or name.endswith(".json")
+        ):
+            segs = name.rsplit(".", 1)[0].split(".")
+            if (
+                name.endswith(".parquet")
+                and len(segs) == 2
+                and segs[0].isdigit()
+                and segs[1] == "checkpoint"
+            ):
                 single[int(segs[0])] = name
             elif (
-                len(segs) == 4
+                name.endswith(".parquet")
+                and len(segs) == 4
                 and segs[0].isdigit()
                 and segs[1] == "checkpoint"
                 and segs[2].isdigit()
@@ -104,6 +124,19 @@ def _list_log(
                     int(segs[3]),
                     name,
                 )
+            else:
+                # UUID-named V2 checkpoints (N.checkpoint.<uuid>.parquet
+                # or .json + _sidecars/) from newer writers: silently
+                # skipping one would replay from surviving JSON commits
+                # only and could return PARTIAL state — refuse loudly
+                # (the round-16 ADVICE finding)
+                raise ValueError(
+                    f"unsupported V2 checkpoint {name!r} under"
+                    f" {path}/{_LOG} — UUID-named/sidecar checkpoints"
+                    " need an up-to-date Delta runtime"
+                )
+        elif name.endswith(".json") and name[:-5].isdigit():
+            commits.append(int(name[:-5]))
     checkpoints: dict[int, list[str]] = {v: [n] for v, n in single.items()}
     for v, got in parts.items():
         total = next(iter(got.values()))[0]
@@ -139,10 +172,115 @@ def _check_protocol(action: dict) -> None:
         )
 
 
-def _replay(
+# typed action shapes shared by the checkpoint-parquet and commit-JSON
+# sides of the relational replay (PROTOCOL.md action fields this
+# reader/exporter consumes — extra fields like stats/tags are pruned
+# at the scan, never deserialized)
+_ADD_DDL = (
+    "struct<path:string,partitionValues:map<string,string>,size:bigint,"
+    "modificationTime:bigint,dataChange:boolean>"
+)
+_META_DDL = (
+    "struct<id:string,name:string,description:string,"
+    "format:struct<provider:string,options:map<string,string>>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>"
+)
+_PROTO_DDL = (
+    "struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
+)
+_ACTIONS_DDL = (
+    f"add {_ADD_DDL}, remove struct<path:string>, metaData {_META_DDL}, "
+    f"protocol {_PROTO_DDL}, "
+    "commitInfo struct<etlVersionedVersion:bigint>"
+)
+_NORM_COLS = ["version", "add", "remove_path", "meta_json", "proto_json",
+              "ev"]
+
+
+def _norm_checkpoint(cp: DataFrame, base: int) -> DataFrame:
+    """Checkpoint parquet -> the normalized action frame. Column and
+    struct-field presence is guarded (external checkpoints may omit
+    ``remove``/``txn`` columns or carry extra add fields)."""
+    def pick(col: str, field: str, ddl: str):
+        if col in cp.columns and field in cp.schema[col].dataType.names:
+            return F.col(f"{col}.{field}").cast(ddl)
+        return F.lit(None).cast(ddl)
+
+    if "add" in cp.columns:
+        add = F.when(
+            F.col("add").isNotNull(),
+            F.struct(
+                pick("add", "path", "string").alias("path"),
+                pick("add", "partitionValues", "map<string,string>").alias(
+                    "partitionValues"
+                ),
+                pick("add", "size", "bigint").alias("size"),
+                pick("add", "modificationTime", "bigint").alias(
+                    "modificationTime"
+                ),
+                pick("add", "dataChange", "boolean").alias("dataChange"),
+            ),
+        ).cast(_ADD_DDL)
+    else:
+        add = F.lit(None).cast(_ADD_DDL)
+    meta_json = (
+        F.to_json(F.col("metaData"))
+        if "metaData" in cp.columns
+        else F.lit(None).cast("string")
+    )
+    proto_json = (
+        F.to_json(F.col("protocol"))
+        if "protocol" in cp.columns
+        else F.lit(None).cast("string")
+    )
+    return cp.select(
+        F.lit(base).cast("bigint").alias("version"),
+        add.alias("add"),
+        pick("remove", "path", "string").alias("remove_path"),
+        meta_json.alias("meta_json"),
+        proto_json.alias("proto_json"),
+        F.lit(None).cast("bigint").alias("ev"),
+    )
+
+
+def _norm_commits(
+    spark: SparkSession, path: str, versions: list[int]
+) -> DataFrame:
+    """Post-checkpoint JSON commits -> the normalized action frame —
+    ONE distributed text read + FAILFAST ``from_json`` (a corrupt
+    commit line raises loudly, naming it, instead of dropping out)."""
+    txt = spark.read.text(
+        [f"{path}/{_LOG}/{c:020d}.json" for c in versions]
+    ).where(F.length(F.trim(F.col("value"))) > 0)
+    parsed = txt.select(
+        F.regexp_extract(F.input_file_name(), r"(\d+)\.json", 1)
+        .cast("bigint")
+        .alias("version"),
+        F.from_json(
+            F.col("value"), _ACTIONS_DDL, {"mode": "FAILFAST"}
+        ).alias("a"),
+    )
+    return parsed.select(
+        "version",
+        F.col("a.add").cast(_ADD_DDL).alias("add"),
+        F.col("a.remove.path").alias("remove_path"),
+        F.to_json(F.col("a.metaData")).alias("meta_json"),
+        F.to_json(F.col("a.protocol")).alias("proto_json"),
+        F.col("a.commitInfo.etlVersionedVersion").alias("ev"),
+    )
+
+
+def _replay_state(
     spark: SparkSession, path: str, version: int | None
-) -> tuple[dict[str, dict], dict]:
-    """(active add-actions by path, final metaData) at ``version``."""
+) -> tuple[dict[str, dict], dict, dict | None, int | None, int | None]:
+    """Relational log replay at ``version`` (or head): (active
+    add-actions keyed by RAW encoded path, final metaData, final
+    protocol, latest ``etlVersionedVersion`` marker, last commit
+    version). Two Spark passes: a column-pruned scan for the bounded
+    scalar actions, and one ``groupBy(path)`` reconciliation whose
+    collect is exactly the net live-file list."""
     commits, checkpoints = _list_log(spark, path)
     if not commits and not checkpoints:
         raise FileNotFoundError(f"empty {_LOG} under {path}")
@@ -152,43 +290,87 @@ def _replay(
         version not in checkpoints
     ):
         raise ValueError(f"version {version} not in the Delta log of {path}")
-    adds: dict[str, dict] = {}
-    meta: dict = {}
     base = max((c for c in checkpoints if c <= v), default=None)
+    frames: list[DataFrame] = []
     if base is not None:
         cp = spark.read.parquet(
             *[f"{path}/{_LOG}/{name}" for name in checkpoints[base]]
         )
-        for row in cp.toJSON().collect():
-            rec = json.loads(row)
-            if rec.get("protocol"):
-                _check_protocol(rec["protocol"])
-            if rec.get("metaData"):
-                meta = rec["metaData"]
-            add = rec.get("add")
-            if add:
-                adds[add["path"]] = add
-            rm = rec.get("remove")
-            if rm:
-                adds.pop(rm["path"], None)
+        frames.append(_norm_checkpoint(cp, base))
     start = -1 if base is None else base
-    for c in commits:
-        if c <= start or c > v:
-            continue
-        for line in _read_text(
-            spark, f"{path}/{_LOG}/{c:020d}.json"
-        ).splitlines():
-            if not line.strip():
-                continue
-            rec = json.loads(line)
-            if "protocol" in rec:
-                _check_protocol(rec["protocol"])
-            elif "metaData" in rec:
-                meta = rec["metaData"]
-            elif "add" in rec:
-                adds[rec["add"]["path"]] = rec["add"]
-            elif "remove" in rec:
-                adds.pop(rec["remove"]["path"], None)
+    wanted = [c for c in commits if start < c <= v]
+    if wanted:
+        frames.append(_norm_commits(spark, path, wanted))
+    norm = frames[0]
+    for f in frames[1:]:
+        norm = norm.unionByName(f)
+    # (1) bounded scalar actions — O(schema changes + protocol actions
+    # + post-checkpoint commits) rows; the filter prunes the add
+    # structs out of the checkpoint scan entirely
+    small = (
+        norm.where(
+            "meta_json is not null or proto_json is not null"
+            " or ev is not null"
+        )
+        .select("version", "meta_json", "proto_json", "ev")
+        .collect()
+    )
+    small.sort(key=lambda r: r["version"])
+    meta: dict = {}
+    proto: dict | None = None
+    captured: int | None = None
+    for r in small:
+        if r["meta_json"]:
+            meta = json.loads(r["meta_json"])
+            mev = (meta.get("configuration") or {}).get(
+                "etlVersionedVersion"
+            )
+            if mev is not None:
+                captured = int(mev)
+        if r["proto_json"]:
+            proto = json.loads(r["proto_json"])
+            _check_protocol(proto)
+        if r["ev"] is not None:
+            captured = int(r["ev"])
+    # (2) per-path reconciliation: latest action wins (add over remove
+    # on a same-version tie — valid logs never add AND remove one path
+    # in one commit); collect ONLY the net live-file list
+    acts = norm.where("add is not null or remove_path is not null")
+    live = (
+        acts.select(
+            F.coalesce(F.col("add.path"), F.col("remove_path")).alias(
+                "path"
+            ),
+            "version",
+            F.col("add").isNotNull().cast("int").alias("prio"),
+            "add",
+        )
+        .groupBy("path")
+        .agg(
+            F.max_by(
+                F.struct(F.col("prio").alias("is_add"), F.col("add")),
+                F.struct("version", "prio"),
+            ).alias("top")
+        )
+        .where("top.is_add = 1")
+        .select("top.add")
+    )
+    adds: dict[str, dict] = {}
+    for r in live.collect():
+        a = {k: x for k, x in r["add"].asDict().items() if x is not None}
+        adds[a["path"]] = a
+    cands = [c for c in commits if c <= v]
+    if base is not None:
+        cands.append(base)
+    last_commit = max(cands) if cands else None
+    return adds, meta, proto, captured, last_commit
+
+
+def _replay(
+    spark: SparkSession, path: str, version: int | None
+) -> tuple[dict[str, dict], dict]:
+    """(active add-actions by path, final metaData) at ``version``."""
+    adds, meta, _proto, _ev, _last = _replay_state(spark, path, version)
     if not meta:
         raise ValueError(f"no metaData action in the Delta log of {path}")
     return adds, meta

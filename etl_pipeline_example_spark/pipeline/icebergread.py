@@ -38,10 +38,15 @@ Honest protocol boundaries, checked loudly instead of misread:
   types (uuid/time), and format versions > 2 raise with the feature
   named.
 
-Scale: the replay is driver-side METADATA (Iceberg's own design
-point — manifests exist so planning never lists directories); the
-data read is a plain pruned parquet scan, so predicate pushdown and
-column pruning work unchanged. Writing stays with the in-house
+Scale: the metadata JSON and the manifest LIST are small bounded
+driver reads (Iceberg's own planning design — one row per manifest);
+the per-manifest entry decode, which is the part that grows with the
+table (thousands of manifests × thousands of entries at 100 TB), is
+DISTRIBUTED via ``binaryFile`` + ``mapInPandas`` (see
+``_data_files``) — only the net live-file list reaches the driver,
+the same lower bound any planner must materialize to build splits.
+The data read is a plain pruned parquet scan, so predicate pushdown
+and column pruning work unchanged. Writing stays with the in-house
 versioned layer — this is the migration READ path, the deltaread
 shape.
 
@@ -211,7 +216,18 @@ def _data_files(
     spark: SparkSession, snap: dict
 ) -> list[str]:
     """Live data-file paths of a snapshot — manifest list -> manifests,
-    loudly rejecting row-level-delete content."""
+    loudly rejecting row-level-delete content.
+
+    Scale: the manifest LIST is one small Avro file (one row per
+    manifest — Iceberg's own bounded planning artifact) and stays a
+    driver read; the manifests themselves can number thousands at
+    100 TB, so their decode is DISTRIBUTED — ``binaryFile`` ships each
+    manifest Avro to an executor and an Arrow-batched ``mapInPandas``
+    runs the stdlib OCF decoder where the file lands, emitting only
+    flat (file_path, content, file_format) rows for non-deleted
+    entries. Only that net live-entry list (the planner's inherent
+    lower bound) reaches the driver, where the content/format checks
+    keep raising plain ``ValueError``."""
     if not snap:
         return []
     if snap.get("manifest-list"):
@@ -229,25 +245,53 @@ def _data_files(
             manifests.append(e["manifest_path"])
     else:
         manifests = list(snap.get("manifests") or [])
+    if not manifests:
+        return []
+    import pandas as pd
+
+    def _decode(batches):
+        for pdf in batches:
+            for content in pdf["content"]:
+                _s, entries = read_avro_ocf(bytes(content))
+                rows = []
+                for e in entries:
+                    if int(e.get("status") or 0) == 2:  # DELETED
+                        continue
+                    df = e["data_file"]
+                    rows.append(
+                        (
+                            df.get("file_path"),
+                            int(df.get("content") or 0),
+                            df.get("file_format"),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["file_path", "content", "file_format"]
+                )
+
+    live = (
+        spark.read.format("binaryFile")
+        .load(manifests)
+        .select("content")
+        .mapInPandas(
+            _decode, "file_path string, content int, file_format string"
+        )
+        .collect()
+    )
     files: list[str] = []
-    for mp in manifests:
-        _schema, entries = read_avro_ocf(_read_bytes(spark, mp))
-        for e in entries:
-            if int(e.get("status") or 0) == 2:  # DELETED
-                continue
-            df = e["data_file"]
-            if int(df.get("content") or 0) != 0:
-                raise ValueError(
-                    f"Iceberg delete file {df.get('file_path')};"
-                    " row-level deletes need an Iceberg runtime"
-                )
-            fmt = (df.get("file_format") or "").upper()
-            if fmt != "PARQUET":
-                raise ValueError(
-                    f"unsupported Iceberg data file format {fmt!r}"
-                    f" ({df.get('file_path')})"
-                )
-            files.append(df["file_path"])
+    for r in live:
+        if r["content"] != 0:
+            raise ValueError(
+                f"Iceberg delete file {r['file_path']};"
+                " row-level deletes need an Iceberg runtime"
+            )
+        fmt = (r["file_format"] or "").upper()
+        if fmt != "PARQUET":
+            raise ValueError(
+                f"unsupported Iceberg data file format {fmt!r}"
+                f" ({r['file_path']})"
+            )
+        files.append(r["file_path"])
     return files
 
 

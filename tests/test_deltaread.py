@@ -509,3 +509,107 @@ def test_export_delta_multipart_checkpoint_roundtrip(spark, tmp_path):
     os.remove(f"{path}/_delta_log/{parts[1]}")
     with pytest.raises(ValueError, match="incomplete"):
         read_delta(spark, path)
+
+
+def test_large_log_relational_replay(spark, tmp_path):
+    """Round-17: the replay is relational — thousands of synthetic
+    add/remove actions across a checkpoint and follow-up commits
+    reconcile to the exact net file set without funneling every action
+    through the driver (only the net list is collected). Metadata-only
+    pin: ``_replay`` is exercised directly, no data files needed."""
+    from etl_pipeline_example_spark.pipeline.deltaread import _replay
+
+    root = str(tmp_path / "big")
+    os.makedirs(root)
+    # commit 0: metaData + 3000 adds
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(),
+        ]
+        + [_add(f"f{i}.parquet") for i in range(3000)],
+    )
+    # commit 1: remove every third file, add 500 fresh ones
+    _commit(
+        root,
+        1,
+        [{"remove": {"path": f"f{i}.parquet", "dataChange": True}}
+         for i in range(0, 3000, 3)]
+        + [_add(f"g{i}.parquet") for i in range(500)],
+    )
+    # commit 2: re-add 100 of the removed files (latest action wins)
+    _commit(root, 2, [_add(f"f{i}.parquet") for i in range(0, 300, 3)])
+    adds, meta = _replay(spark, root, None)
+    expect = (
+        {f"f{i}.parquet" for i in range(3000) if i % 3 != 0}
+        | {f"f{i}.parquet" for i in range(0, 300, 3)}
+        | {f"g{i}.parquet" for i in range(500)}
+    )
+    assert set(adds) == expect and len(adds) == 2000 + 100 + 500
+    assert json.loads(meta["schemaString"])["fields"][0]["name"] == "k"
+    # time travel reconciles against the pre-re-add state
+    adds1, _ = _replay(spark, root, 1)
+    assert len(adds1) == 2000 + 500 and "f0.parquet" not in adds1
+
+
+def test_large_log_replay_through_checkpoint(spark, tmp_path):
+    """The checkpoint seed itself reconciles relationally: a forced
+    checkpoint over a wide state plus post-checkpoint JSON diffs."""
+    from etl_pipeline_example_spark.pipeline.deltaread import _replay
+    from etl_pipeline_example_spark.pipeline.deltaexport import (
+        _ExportedState,
+        _write_checkpoint,
+    )
+
+    root = str(tmp_path / "bigcp")
+    os.makedirs(root)
+    _commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         _meta()] + [_add(f"f{i}.parquet") for i in range(2500)],
+    )
+    st = _ExportedState()
+    st.meta = _meta()["metaData"]
+    st.adds = {f"f{i}.parquet": _add(f"f{i}.parquet")["add"]
+               for i in range(2500)}
+    _write_checkpoint(spark, root, 0, st)
+    os.remove(f"{root}/_delta_log/{0:020d}.json")  # vacuum
+    _commit(
+        root, 1,
+        [{"remove": {"path": f"f{i}.parquet", "dataChange": True}}
+         for i in range(1000)] + [_add("h0.parquet")],
+    )
+    adds, _ = _replay(spark, root, None)
+    assert len(adds) == 1501 and "h0.parquet" in adds
+    assert "f999.parquet" not in adds and "f1000.parquet" in adds
+
+
+def test_uuid_v2_checkpoint_rejected_loudly(spark, tmp_path):
+    """A UUID-named V2 checkpoint from a newer writer must raise, not
+    silently fall through to JSON-only replay (round-16 ADVICE)."""
+    root = str(tmp_path / "v2cp")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    _commit(root, 0, [_meta(), _add(f0)])
+    uuid_name = (
+        f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet"
+    )
+    with open(f"{root}/_delta_log/{uuid_name}", "wb") as f:
+        f.write(b"not-a-real-checkpoint")
+    with pytest.raises(ValueError, match="V2 checkpoint"):
+        read_delta(spark, root)
+
+
+def test_corrupt_commit_line_raises(spark, tmp_path):
+    """FAILFAST from_json keeps the loud-parse contract: a torn/corrupt
+    commit line raises instead of silently dropping actions."""
+    root = str(tmp_path / "corrupt")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    _commit(root, 0, [_meta(), _add(f0)])
+    with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
+        f.write('{"add": {"path": "torn-mid-wri\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        read_delta(spark, root).collect()
