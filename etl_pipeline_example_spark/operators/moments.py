@@ -41,6 +41,20 @@ from etl_pipeline_example_spark.sources.readers import read_table
 _DEC = "decimal(38,0)"
 
 
+def _guarded(col: str) -> F.Column:
+    """Loud overflow: past decimal(38,0) Spark's non-ANSI sum yields
+    NULL while DuckDB HUGEINT errors — a silent cross-engine
+    divergence (round-16 ADVICE). A NULL sum with non-null inputs
+    (``nn`` > 0) therefore raises instead of flowing through;
+    legitimate all-NULL groups still render NULL on both engines."""
+    return F.expr(
+        f"CASE WHEN {col} IS NULL AND nn > 0 THEN"
+        f" CAST(raise_error('sketch_moments: decimal(38,0) power-sum"
+        f" overflow — input magnitude exceeds the exactness bound')"
+        f" AS {_DEC}) ELSE {col} END"
+    ).cast("double")
+
+
 def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(grp, n, s1, s2, s3, s4): exact power sums of integer-cent
     event values per event_type, plus the ``__merged__`` row summed
@@ -51,6 +65,7 @@ def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = ev.groupBy(F.col("event_type").alias("grp")).agg(
         F.count(F.lit(1)).alias("n"),
+        F.count("c").alias("nn"),
         F.sum(F.expr(f"CAST(c AS {_DEC})")).alias("d1"),
         F.sum(F.expr(f"CAST(c AS {_DEC}) * c")).alias("d2"),
         F.sum(F.expr(f"CAST(c AS {_DEC}) * c * c")).alias("d3"),
@@ -58,20 +73,23 @@ def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = per.agg(
         F.sum("n").cast("bigint").alias("n"),
+        F.sum("nn").cast("bigint").alias("nn"),
         F.sum("d1").alias("d1"),
         F.sum("d2").alias("d2"),
         F.sum("d3").alias("d3"),
         F.sum("d4").alias("d4"),
-    ).select(F.lit("__merged__").alias("grp"), "n", "d1", "d2", "d3", "d4")
+    ).select(
+        F.lit("__merged__").alias("grp"), "n", "nn", "d1", "d2", "d3", "d4"
+    )
     return (
         per.unionByName(merged)
         .select(
             "grp",
             "n",
-            F.col("d1").cast("double").alias("s1"),
-            F.col("d2").cast("double").alias("s2"),
-            F.col("d3").cast("double").alias("s3"),
-            F.col("d4").cast("double").alias("s4"),
+            _guarded("d1").alias("s1"),
+            _guarded("d2").alias("s2"),
+            _guarded("d3").alias("s3"),
+            _guarded("d4").alias("s4"),
         )
         .orderBy("grp")
     )

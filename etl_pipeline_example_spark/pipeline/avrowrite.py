@@ -78,11 +78,19 @@ def _encode(out: bytearray, schema, value, named: dict) -> None:
         if schema.get("name"):
             named.setdefault(schema["name"], schema)
         for f in schema["fields"]:
-            if f["name"] not in value and "default" not in f and not (
-                isinstance(f["type"], list) and "null" in f["type"]
-            ):
+            if f["name"] in value:
+                _encode(out, f["type"], value[f["name"]], named)
+            elif "default" in f:
+                # substitute the declared default (per Avro's
+                # default-to-first-branch rule for unions) instead of
+                # encoding None — an int default would otherwise raise
+                # TypeError and a nullable union would silently write
+                # the null branch (round-16 ADVICE)
+                _encode(out, f["type"], f["default"], named)
+            elif isinstance(f["type"], list) and "null" in f["type"]:
+                _encode(out, f["type"], None, named)
+            else:
                 raise ValueError(f"missing record field {f['name']!r}")
-            _encode(out, f["type"], value.get(f["name"]), named)
     elif t == "array":
         items = list(value or [])
         if items:

@@ -56,6 +56,7 @@ import posixpath
 from pyspark.sql import SparkSession
 
 from etl_pipeline_example_spark.fsutil import hadoop_fs
+from etl_pipeline_example_spark.pipeline.avroread import read_avro_ocf
 from etl_pipeline_example_spark.pipeline.avrowrite import write_avro_ocf
 from etl_pipeline_example_spark.pipeline.icebergread import (
     _latest_metadata,
@@ -230,6 +231,49 @@ def _write_file(spark: SparkSession, p: str, data: bytes) -> None:
         out.close()
 
 
+def _prev_file_seqs(
+    spark: SparkSession, prev: dict | None
+) -> dict[str, tuple[int, int]]:
+    """file_path -> (data sequence number, file sequence number)
+    resolved from the PREVIOUS snapshot's manifest chain, applying the
+    spec's inheritance rule: a null sequence number on a status-ADDED
+    entry inherits the manifest-list entry's ``sequence_number``; a
+    null ``file_sequence_number`` falls back to the entry's data
+    sequence (a data file's file-sequence equals the sequence of the
+    snapshot that added it)."""
+    if not prev:
+        return {}
+    cur = prev.get("current-snapshot-id")
+    snap = next(
+        (
+            s
+            for s in prev.get("snapshots") or []
+            if s.get("snapshot-id") == cur
+        ),
+        None,
+    )
+    if not snap or not snap.get("manifest-list"):
+        return {}
+    out: dict[str, tuple[int, int]] = {}
+    _s, ml_entries = read_avro_ocf(
+        _read_bytes(spark, snap["manifest-list"])
+    )
+    for mle in ml_entries:
+        mseq = int(mle.get("sequence_number") or 0)
+        _s2, m_entries = read_avro_ocf(
+            _read_bytes(spark, mle["manifest_path"])
+        )
+        for e in m_entries:
+            if int(e.get("status") or 0) == 2:  # DELETED
+                continue
+            ds = e.get("sequence_number")
+            ds = int(ds) if ds is not None else mseq
+            fsq = e.get("file_sequence_number")
+            fsq = int(fsq) if fsq is not None else ds
+            out[e["data_file"]["file_path"]] = (ds, fsq)
+    return out
+
+
 def _parquet_rows(local_path: str) -> int:
     import pyarrow.parquet as pq
 
@@ -306,26 +350,39 @@ def export_iceberg(spark: SparkSession, path: str) -> int:
             prev_files = {e["path"] for e in pm["files"]}
         except Exception:
             prev_files = set()
+    prev_seqs = _prev_file_seqs(spark, prev) if snapshots else {}
     entries = []
     added = existing = 0
     added_rows = existing_rows = 0
+    min_seq = seq
     for e in manifest["files"]:
         full = posixpath.join(path, e["path"])
         rows = _parquet_rows(full)
         size = int(
             fs.getFileStatus(_jpath(spark, full)).getLen()
         )
-        is_new = e["path"] not in prev_files
+        # a file is EXISTING only when BOTH histories agree: the
+        # versioned manifest says it was carried AND the prior Iceberg
+        # manifest chain yields its original add sequence (the spec
+        # allows null/inheritance only for status ADDED, so an
+        # unresolvable carried file degrades to ADDED — self-healing)
+        seq_pair = prev_seqs.get(full)
+        is_new = e["path"] not in prev_files or seq_pair is None
         added += int(is_new)
         existing += int(not is_new)
         added_rows += rows * int(is_new)
         existing_rows += rows * int(not is_new)
+        if not is_new:
+            min_seq = min(min_seq, seq_pair[0])
         entries.append(
             {
                 "status": 1 if is_new else 0,
                 "snapshot_id": snap_id,
-                "sequence_number": None if is_new else seq - 1,
-                "file_sequence_number": None,
+                # EXISTING entries carry the file's ORIGINAL data/file
+                # sequence numbers, stable across any number of carries
+                # (round-16 ADVICE); ADDED entries inherit seq per spec
+                "sequence_number": None if is_new else seq_pair[0],
+                "file_sequence_number": None if is_new else seq_pair[1],
                 "data_file": {
                     "content": 0,
                     "file_path": full,
@@ -361,7 +418,7 @@ def export_iceberg(spark: SparkSession, path: str) -> int:
                 "partition_spec_id": 0,
                 "content": 0,
                 "sequence_number": seq,
-                "min_sequence_number": seq,
+                "min_sequence_number": min_seq,
                 "added_snapshot_id": snap_id,
                 "added_files_count": added,
                 "existing_files_count": existing,

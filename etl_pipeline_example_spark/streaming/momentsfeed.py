@@ -24,6 +24,19 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
 
+
+def _guarded(col: str) -> F.Column:
+    """Loud overflow (round-16 ADVICE) — same contract as the batch
+    twin operators/moments.py: a NULL power sum with non-null inputs
+    raises instead of silently diverging from DuckDB's erroring
+    HUGEINT; legitimate all-NULL groups still render NULL."""
+    return F.expr(
+        f"CASE WHEN {col} IS NULL AND nn > 0 THEN"
+        f" CAST(raise_error('stream_moments: decimal(38,0) power-sum"
+        f" overflow — input magnitude exceeds the exactness bound')"
+        f" AS {_DEC}) ELSE {col} END"
+    ).cast("double")
+
 _EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string,"
     " value double, props string"
@@ -47,6 +60,7 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count("c").alias("nn"),
             F.sum(F.expr(f"CAST(c AS {_DEC})")).alias("d1"),
             F.sum(F.expr(f"CAST(c AS {_DEC}) * c")).alias("d2"),
             F.sum(F.expr(f"CAST(c AS {_DEC}) * c * c")).alias("d3"),
@@ -68,10 +82,10 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "grp",
             "n",
-            F.col("d1").cast("double").alias("s1"),
-            F.col("d2").cast("double").alias("s2"),
-            F.col("d3").cast("double").alias("s3"),
-            F.col("d4").cast("double").alias("s4"),
+            _guarded("d1").alias("s1"),
+            _guarded("d2").alias("s2"),
+            _guarded("d3").alias("s3"),
+            _guarded("d4").alias("s4"),
         )
         .orderBy("grp")
     )

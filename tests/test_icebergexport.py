@@ -195,3 +195,77 @@ def test_export_iceberg_rejects_array_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="array"):
         export_iceberg(spark, path)
+
+
+def test_export_iceberg_existing_sequence_numbers_stable(spark, tmp_path):
+    """Round-17 (round-16 ADVICE): a file carried across 2+ exports
+    keeps its ORIGINAL data sequence number (not seq-1), and EXISTING
+    entries carry an explicit file_sequence_number (the spec allows
+    null/inheritance only for status ADDED). min_sequence_number of
+    the manifest-list entry reflects the oldest live entry."""
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        upsert_versioned,
+        write_versioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    write_versioned(
+        spark, _df(spark, [(k, "x", 1) for k in range(40)]), path,
+        key="k", nbuckets=4,
+    )
+    export_iceberg(spark, path)  # seq 1: all 4 buckets ADDED
+    upsert_versioned(spark, path, _df(spark, [(0, "Y", 2)]), "k", "ver")
+    export_iceberg(spark, path)  # seq 2: 1 rewritten, 3 carried
+    upsert_versioned(spark, path, _df(spark, [(0, "Z", 3)]), "k", "ver")
+    export_iceberg(spark, path)  # seq 3: same bucket rewritten again
+
+    meta = max(
+        f for f in os.listdir(f"{path}/metadata")
+        if f.endswith(".metadata.json")
+    )
+    m = json.load(open(f"{path}/metadata/{meta}"))
+    snap = next(s for s in m["snapshots"] if s["snapshot-id"] == 3)
+    _s, mlist = read_avro_ocf(open(snap["manifest-list"], "rb").read())
+    assert mlist[0]["sequence_number"] == 3
+    # three files were added at seq 1 and carried twice
+    assert mlist[0]["min_sequence_number"] == 1
+    _s, entries = read_avro_ocf(open(mlist[0]["manifest_path"], "rb").read())
+    ex = [e for e in entries if e["status"] == 0]
+    ad = [e for e in entries if e["status"] == 1]
+    assert len(ex) == 3 and len(ad) == 1
+    for e in ex:
+        # original add sequence, stable across BOTH carries — and both
+        # sequence fields explicit (no null inheritance for EXISTING)
+        assert e["sequence_number"] == 1, e
+        assert e["file_sequence_number"] == 1, e
+    for e in ad:
+        assert e["sequence_number"] is None  # ADDED: inherits seq 3
+        assert e["file_sequence_number"] is None
+    # the table still reads correctly through our replay reader
+    got = {r["k"]: r["val"] for r in read_iceberg(spark, path).collect()}
+    assert len(got) == 40 and got[0] == "Z"
+
+
+def test_avro_writer_encodes_declared_defaults():
+    """Round-17 (round-16 ADVICE): an absent field with a declared
+    default encodes the DEFAULT value — not None (which raised
+    TypeError for primitives and silently wrote the null branch for
+    nullable unions)."""
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "a", "type": "int", "default": 7},
+            {"name": "b", "type": ["null", "string"], "default": None},
+            {"name": "c", "type": ["string", "null"], "default": "x"},
+            {"name": "d", "type": "long"},
+        ],
+    }
+    blob = write_avro_ocf(schema, [{"d": 5}, {"a": 1, "c": None, "d": 6}])
+    _s, rows = read_avro_ocf(blob)
+    assert rows == [
+        {"a": 7, "b": None, "c": "x", "d": 5},
+        {"a": 1, "b": None, "c": None, "d": 6},
+    ]
+    with pytest.raises(ValueError, match="missing record field 'd'"):
+        write_avro_ocf(schema, [{"a": 1}])
