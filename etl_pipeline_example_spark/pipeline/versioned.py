@@ -38,6 +38,11 @@ immutable data files — not a full snapshot directory:
   min/max spans the domain — equality predicates in ``where=`` skip
   every file whose bloom proves the key absent (round 13).
 
+Object-store deployment: the per-store mappings this commit protocol
+relies on (conditional-PUT headers per provider, list-after-write
+semantics, degradation modes where conditional writes are missing)
+are documented in ``DEPLOY.md`` at the repo root.
+
 Concurrency contract (round-10/11 ADVICE hardening; round-15
 rename-free commit):
 - the commit protocol uses NO renames anywhere (object stores —
