@@ -116,6 +116,8 @@ from etl_pipeline_example_spark.operators import (
     JPEGDECODE_QUERIES,
     JPEGPROG_ORACLES,
     JPEGPROG_QUERIES,
+    MP3_ORACLES,
+    MP3_QUERIES,
     KMV_ORACLES,
     KMV_QUERIES,
     BURST_ORACLES,
@@ -659,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BM25_QUERIES)
     out.update(JPEGDECODE_QUERIES)
     out.update(JPEGPROG_QUERIES)
+    out.update(MP3_QUERIES)
     out.update(KMV_QUERIES)
     out.update(BURST_QUERIES)
     out.update(TFCOS_QUERIES)
@@ -888,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(BM25_ORACLES)
     out.update(JPEGDECODE_ORACLES)
     out.update(JPEGPROG_ORACLES)
+    out.update(MP3_ORACLES)
     out.update(KMV_ORACLES)
     out.update(BURST_ORACLES)
     out.update(TFCOS_ORACLES)

@@ -100,6 +100,10 @@ from etl_pipeline_example_spark.operators.jpegprog import (
     JPEGPROG_QUERIES,
     JPEGPROG_ORACLES,
 )
+from etl_pipeline_example_spark.operators.mp3 import (
+    MP3_QUERIES,
+    MP3_ORACLES,
+)
 from etl_pipeline_example_spark.operators.kmv import (
     KMV_QUERIES,
     KMV_ORACLES,
@@ -542,6 +546,8 @@ __all__ = [
     "JPEGDECODE_ORACLES",
     "JPEGPROG_QUERIES",
     "JPEGPROG_ORACLES",
+    "MP3_QUERIES",
+    "MP3_ORACLES",
     "KMV_QUERIES",
     "KMV_ORACLES",
     "BURST_QUERIES",

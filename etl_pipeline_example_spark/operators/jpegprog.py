@@ -8,9 +8,9 @@ most web JPEGs are progressive, and progressive decode is still pure
 published arithmetic — ITU-T T.81 section G: spectral-selection bands,
 successive-approximation point transforms, EOBRUN run coding across
 blocks, and the refinement-scan correction-bit algorithm (figure G.7).
-No codec library is involved. What stays honestly stubbed after this
-is MP3/H.264 (route to codec workers at 100 TB — their decode is not
-practical stdlib arithmetic).
+No codec library is involved. (Round 17 moved the AUDIO boundary the
+same way — operators/mp3.py decodes MPEG-1 Layer III; H.264 stays the
+one loud codec stub, routed to codec workers at 100 TB.)
 
 The planted coefficient pattern is IMPORTED from jpegdecode (same
 (doc_id, block, component, zigzag) arithmetic, same grid), so the same

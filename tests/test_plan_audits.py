@@ -1680,3 +1680,17 @@ def test_cusum_windows_partitioned_over_day_grain(spark, sf_dir):
     windows = [ln for ln in plan.splitlines() if "Window" in ln]
     assert windows and all("grp" in ln for ln in windows), plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_mp3_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
+    """The MP3 Layer-III decode keeps the media-pass scale shape: one
+    Arrow-batched mapInPandas pass, no key shuffle — framing, bit
+    reservoir, Huffman, requantize, IMDCT and synthesis all happen
+    inside the same batch."""
+    from etl_pipeline_example_spark.operators.mp3 import (
+        multimodal_decode_mp3,
+    )
+
+    plan = plan_str(multimodal_decode_mp3(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan

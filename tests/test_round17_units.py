@@ -59,3 +59,163 @@ def test_moments_all_null_group_stays_null(spark, tmp_path):
     assert rows["a"]["n"] == 2 and rows["a"]["s1"] is None
     assert rows["b"]["s1"] == 250.0 and rows["b"]["s2"] == 62500.0
     assert rows["__merged__"]["s1"] == 250.0
+
+
+# ----------------------------------------------------------- MP3 decode
+def test_mp3_decode_hand_pinned_doc0():
+    """doc_id=0, hand-walked: 1 frame, 2 granules, every integer
+    statistic computed by hand from the planted pattern."""
+    from etl_pipeline_example_spark.operators.mp3 import (
+        decode_mp3,
+        synth_mp3,
+    )
+
+    st = decode_mp3(synth_mp3(0))
+    pcm = st.pop("pcm")
+    # granule 0 (d=0,g=0): nbig=9 pairs -> 18 lines; ncq=2 -> 8 c1 lines
+    #   big lines: i<8: v=i%2 -> 1s at i=1,3,5,7 (4 nonzero)
+    #   8<=i<16: i==10 and (0+0)%2==0 -> 64; else 8*(i%2): 8 at 9,11,13,15
+    #     -> 64@10 + four 8s (5 nonzero)
+    #   16<=i<18: v=i%2 -> 1 at 17 (1 nonzero)      => 10 nonzero
+    # granule 1 (g=1): nbig=10 -> 20 lines; i<8: v=(1+i)%2 -> 1s at
+    #   0,2,4,6 (4); 8..15: (1+i)%2*8 -> 8s at 8,10,12,14 BUT i==10 needs
+    #   (d+g)%2==0 -> g=1 odd -> no escape, so 8@8,10,12,14 (4);
+    #   16..19: (1+i)%2 -> 1s at 16,18 (2)           => 10 nonzero
+    assert st["n_frames"] == 1 and st["n_granules"] == 2
+    assert st["sample_rate"] == 32000 and st["bitrate_kbps"] == 320
+    assert st["sum_mdb"] == 0  # single frame: no reservoir backpointer
+    # gg: g=0 -> 210+4*0=210; g=1 -> 210+4*3=222
+    assert st["sum_gg"] == 432
+    assert st["n_big_nonzero"] == 20
+    assert st["n_esc"] == 1  # the single planted 64 at (g=0, i=10)
+    assert st["n_pcm"] == 1152 and pcm.size == 1152
+    # count1 ones: g0 lines 18..25 v=(0+0+i)%2 -> 4 ones; g1 lines
+    # 20..31 v=(1+i)%2 -> 6 ones
+    assert st["n_count1_ones"] == 10
+
+
+def test_mp3_reservoir_really_back_references():
+    """Multi-frame docs plant main_data_begin > 0; zeroing the carried
+    bytes at the END of frame 0's slot corrupts frame 1's decode —
+    proof the decoder actually reads through the reservoir."""
+    from etl_pipeline_example_spark.operators.mp3 import (
+        _mdb,
+        decode_mp3,
+        synth_mp3,
+    )
+
+    d = 1  # n_frames = 2
+    blob = bytearray(synth_mp3(d))
+    st = decode_mp3(bytes(blob))
+    assert st["n_frames"] == 2
+    assert st["sum_mdb"] == _mdb(d, 1) > 0
+    # frame 0 occupies bytes [0, 1440); its slot tail carries frame 1's
+    # first main_data_begin bytes — zero them. A decoder that ignored
+    # the reservoir would be unaffected; the real one must either fail
+    # or decode DIFFERENT spectra for frame 1.
+    for i in range(1440 - _mdb(d, 1), 1440):
+        blob[i] = 0
+    try:
+        tampered = decode_mp3(bytes(blob))
+        tampered.pop("pcm")
+        clean = dict(st)
+        clean.pop("pcm")
+        assert tampered != clean, "reservoir bytes were not load-bearing"
+    except ValueError:
+        pass  # desync raising loudly is equally acceptable
+
+
+def test_mp3_loud_boundaries():
+    """Unsupported shapes raise naming the field, never misread."""
+    from etl_pipeline_example_spark.operators.mp3 import (
+        decode_mp3,
+        synth_mp3,
+    )
+
+    blob = bytearray(synth_mp3(0))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_mp3(bytes(blob[:100]))
+    bad = bytearray(blob)
+    bad[0] = 0x00  # break sync
+    with pytest.raises(ValueError, match="sync"):
+        decode_mp3(bytes(bad))
+    bad = bytearray(blob)
+    bad[3] &= 0b00111111  # mode -> stereo
+    with pytest.raises(ValueError, match="mono"):
+        decode_mp3(bytes(bad))
+
+
+def test_mp3_imdct_synthesis_matches_independent_formula():
+    """Everything after Huffman re-implemented independently from the
+    published formulas (36-point IMDCT, sine window, overlap-add,
+    frequency inversion, 64x32 matrixing, V-FIFO, 512-tap window) must
+    agree with the module's PCM to float precision."""
+    import numpy as np
+
+    from etl_pipeline_example_spark.operators import mp3 as M
+
+    d = 2
+    st = M.decode_mp3(M.synth_mp3(d))
+    got = st["pcm"]
+
+    # independent xr from the planted pattern
+    def xr_of(g):
+        xr = np.zeros(576)
+        k = (d + 3 * g) % 5
+        for i in range(40):
+            v = M._line_val(d, g, i)
+            if not v:
+                continue
+            b = M._band_of(i)
+            e = k - M._sf_val(d, g, b) - M._preflag(d, g) * M._pretab(b)
+            q = {1: 1.0, 8: 16.0, 64: 256.0}[abs(v)]
+            xr[i] = (1 if v > 0 else -1) * q * (2.0 ** e)
+        return xr
+
+    n_gr = 2 * M._n_frames(d)
+    imdct = np.array(
+        [
+            [
+                np.cos(np.pi / 72 * (2 * n + 1 + 18) * (2 * kk + 1))
+                for kk in range(18)
+            ]
+            for n in range(36)
+        ]
+    )
+    win = np.array([np.sin(np.pi / 36 * (n + 0.5)) for n in range(36)])
+    dwin = np.array(
+        [np.sin(np.pi * (i + 0.5) / 512) / 32 for i in range(512)]
+    )
+    nmat = np.array(
+        [
+            [np.cos((16 + i) * (2 * kk + 1) * np.pi / 64) for kk in range(32)]
+            for i in range(64)
+        ]
+    )
+    overlap = np.zeros((32, 18))
+    v = np.zeros(1024)
+    out = []
+    for g in range(n_gr):
+        xr = xr_of(g)
+        grid = np.zeros((18, 32))
+        for sb in range(32):
+            xw = imdct @ xr[sb * 18:(sb + 1) * 18] * win
+            grid[:, sb] = xw[:18] + overlap[sb]
+            overlap[sb] = xw[18:]
+        for sb in range(1, 32, 2):
+            grid[1::2, sb] = -grid[1::2, sb]
+        for t in range(18):
+            v = np.roll(v, 64)
+            v[:64] = nmat @ grid[t]
+            pcm = np.zeros(32)
+            for i in range(8):
+                seg = v[i * 128: i * 128 + 96]
+                pcm += (
+                    seg[:32] * dwin[i * 64: i * 64 + 32]
+                    + seg[64:96] * dwin[i * 64 + 32: i * 64 + 64]
+                )
+            out.append(pcm)
+    exp = np.concatenate(out)
+    assert got.shape == exp.shape
+    assert np.allclose(got, exp, atol=1e-12), np.abs(got - exp).max()
+    assert np.abs(exp).max() > 0  # the pipeline produces real signal
