@@ -160,6 +160,19 @@ def build_sf1(spark, out_dir: str) -> None:
     os.makedirs(f"{out_dir}_ekey", exist_ok=True)
     reps.write.mode("overwrite").parquet(f"{out_dir}_ekey/events.parquet")
 
+    # single-FILE keyed events for the STREAMING sketch probes (r17):
+    # readStream's pathGlobFilter=events.parquet matches files, so the
+    # keyed replication is re-laid as one file (the _stream relay rule
+    # applied to the _ekey replication)
+    os.makedirs(f"{out_dir}_ekeystream", exist_ok=True)
+    tmp_ev = f"{out_dir}_ekeystream/_ev_tmp"
+    spark.read.parquet(f"{out_dir}_ekey/events.parquet").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp_ev)
+    part_ev = glob.glob(f"{tmp_ev}/part-*.parquet")[0]
+    shutil.copy(part_ev, f"{out_dir}_ekeystream/events.parquet")
+    shutil.rmtree(tmp_ev)
+
     # remaining tables: plain 10x replication (no key offsets) — enough
     # for SCAN-SHAPED probes (dq_null_census: per-column null counts
     # don't care about key aliasing); keyed/graph probes must use the
@@ -309,6 +322,11 @@ def _ops() -> dict:
     def _ekey_dir(fn):
         return lambda spark, d: fn(spark, d if d == SF01 else f"{d}_ekey")
 
+    def _ekeystream_dir(fn):
+        return lambda spark, d: fn(
+            spark, d if d == SF01 else f"{d}_ekeystream"
+        )
+
     from etl_pipeline_example_spark.operators.retragree import (
         retrieval_agreement,
     )
@@ -344,6 +362,15 @@ def _ops() -> dict:
     )
     from etl_pipeline_example_spark.operators.cusum import (
         events_cusum_shift,
+    )
+    from etl_pipeline_example_spark.operators.mp3 import (
+        multimodal_decode_mp3,
+    )
+    from etl_pipeline_example_spark.streaming.kmvfeed import (
+        stream_kmv_registers,
+    )
+    from etl_pipeline_example_spark.streaming.momentsfeed import (
+        stream_moments,
     )
 
     return {
@@ -388,6 +415,13 @@ def _ops() -> dict:
         "privacy_t_closeness": privacy_t_closeness,
         "dedup_winnow_pairs": _text_dir(dedup_winnow_pairs),
         "events_cusum_shift": _ekey_dir(events_cusum_shift),
+        # r17 probes: the two streaming sketches previously argued
+        # bounded by analogy (single-file keyed relay so the stream
+        # really replays 10x rows over a 10x key space) + the new MP3
+        # decode (doc_id-driven, plain offset docs)
+        "stream_kmv_registers": _ekeystream_dir(stream_kmv_registers),
+        "stream_moments": _ekeystream_dir(stream_moments),
+        "multimodal_decode_mp3": multimodal_decode_mp3,
     }
 
 
