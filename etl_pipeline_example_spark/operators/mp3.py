@@ -523,6 +523,7 @@ def decode_mp3(data: bytes) -> dict:
     overlap = np.zeros((32, 18))
     synth = _Synth()
     pcm_parts: list[np.ndarray] = []
+    subbands: dict[int, list[int]] = {}
     while pos + 4 <= len(data):
         h = int.from_bytes(data[pos:pos + 4], "big")
         if (h >> 21) != 0x7FF:
@@ -657,9 +658,15 @@ def decode_mp3(data: bytes) -> dict:
                 exp = -scale * (sf[b] + g["preflag"] * _pretab(b))
                 mag = _pow43(abs(int(ix[i])))
                 xr[i] = np.sign(ix[i]) * mag * gain * (2.0 ** exp)
-            stats["sum_xr_x2e18"] += int(
-                np.round(xr * (1 << 18)).astype(np.int64).sum()
-            )
+            xr_scaled = np.round(xr * (1 << 18)).astype(np.int64)
+            stats["sum_xr_x2e18"] += int(xr_scaled.sum())
+            for sb in range(3):  # planted spectrum spans subbands 0..2
+                lo, hi = sb * 18, (sb + 1) * 18
+                seg_ix = ix[lo:hi]
+                sub = subbands.setdefault(sb, [0, 0, 0])
+                sub[0] += int(np.count_nonzero(seg_ix))
+                sub[1] += int(np.abs(xr_scaled[lo:hi]).sum())
+                sub[2] = max(sub[2], int(np.abs(seg_ix).max()))
             # IMDCT per subband (long blocks), overlap-add, freq inversion
             gr_pcm = np.zeros((18, 32))
             for sb in range(32):
@@ -686,6 +693,7 @@ def decode_mp3(data: bytes) -> dict:
         }
     )
     stats["pcm"] = pcm
+    stats["subbands"] = subbands
     return stats
 
 
@@ -704,6 +712,7 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             d = int(doc_id)
             st = decode_mp3(synth_mp3(d))
             st.pop("pcm")
+            st.pop("subbands")
             st["doc_id"] = d
             rows.append(st)
         yield pd.DataFrame(rows, columns=_COLS)
@@ -825,10 +834,84 @@ FROM per
 """
 
 
+MP3SUB_SCHEMA = (
+    "doc_id bigint, subband int, n_nonzero bigint,"
+    " sum_abs_xr_x2e18 bigint, max_abs_ix bigint"
+)
+
+
+def _subband_batch(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            st = decode_mp3(synth_mp3(d))
+            for sb, (nnz, sab, mx) in sorted(st["subbands"].items()):
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "subband": sb,
+                        "n_nonzero": nnz,
+                        "sum_abs_xr_x2e18": sab,
+                        "max_abs_ix": mx,
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "subband", "n_nonzero", "sum_abs_xr_x2e18",
+                "max_abs_ix",
+            ],
+        )
+
+
+def multimodal_mp3_subband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, subband, n_nonzero, sum_abs_xr_x2e18, max_abs_ix): the
+    per-subband spectral census over the REALLY-decoded Layer III
+    stream — the audio analogue of jpeg_dchash's compose-the-certified-
+    decode discipline: the same frame/reservoir/Huffman/requantize
+    pipeline runs, and only the integer-exact per-subband panel (the
+    VAD/band-energy feature shape) is emitted. The planted spectrum
+    occupies subbands 0..2 (lines < 54); those three are reported."""
+    docs = read_table(spark, sf_dir, "documents", parallel=True).select(
+        "doc_id"
+    )
+    return docs.mapInPandas(_subband_batch, schema=MP3SUB_SCHEMA)
+
+
+# per-(granule, line) comprehension restricted to one subband via
+# j%40 // 18 = sb; three output rows per doc from a range(3) lateral
+MULTIMODAL_MP3_SUBBAND_SQL = f"""
+WITH grid AS (
+  SELECT doc_id, t.sb AS subband,
+         [ CASE WHEN {_I} // 18 = t.sb AND {_VABS} > 0 THEN 1 ELSE 0 END
+           for j in range({_NF} * 2 * 40) ] AS nnz,
+         [ CASE WHEN {_I} // 18 = t.sb AND {_VABS} > 0
+                THEN {_Q43} *
+                     (CAST(1 AS BIGINT) << (18 + {_K} - {_SF_B} - {_PRE_B}))
+                ELSE 0 END
+           for j in range({_NF} * 2 * 40) ] AS sabs,
+         [ CASE WHEN {_I} // 18 = t.sb THEN {_VABS} ELSE 0 END
+           for j in range({_NF} * 2 * 40) ] AS mabs
+  FROM documents, (SELECT unnest(range(3)) AS sb) t
+)
+SELECT doc_id,
+       CAST(subband AS INT) AS subband,
+       CAST(list_sum(nnz) AS BIGINT) AS n_nonzero,
+       CAST(list_sum(sabs) AS BIGINT) AS sum_abs_xr_x2e18,
+       CAST(list_max(mabs) AS BIGINT) AS max_abs_ix
+FROM grid
+"""
+
+
 MP3_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_decode_mp3": multimodal_decode_mp3,
+    "multimodal_mp3_subband": multimodal_mp3_subband,
 }
 
 MP3_ORACLES: dict[str, str] = {
     "multimodal_decode_mp3": MULTIMODAL_DECODE_MP3_SQL,
+    "multimodal_mp3_subband": MULTIMODAL_MP3_SUBBAND_SQL,
 }

@@ -28,6 +28,10 @@ from etl_pipeline_example_spark.streaming.momentsfeed import (
     MOMENTSFEED_STREAM_ORACLES,
     MOMENTSFEED_STREAM_QUERIES,
 )
+from etl_pipeline_example_spark.streaming.cusumfeed import (
+    CUSUMFEED_STREAM_ORACLES,
+    CUSUMFEED_STREAM_QUERIES,
+)
 from etl_pipeline_example_spark.streaming.hllfeed import (
     HLLFEED_STREAM_ORACLES,
     HLLFEED_STREAM_QUERIES,
@@ -77,6 +81,8 @@ STREAM_QUERIES.update(KMVFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(KMVFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(MOMENTSFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(MOMENTSFEED_STREAM_ORACLES)
+STREAM_QUERIES.update(CUSUMFEED_STREAM_QUERIES)
+STREAM_ORACLES.update(CUSUMFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(HLLFEED_STREAM_QUERIES)
 STREAM_ORACLES.update(HLLFEED_STREAM_ORACLES)
 STREAM_QUERIES.update(SHARDFEED_QUERIES)

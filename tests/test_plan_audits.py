@@ -1694,3 +1694,29 @@ def test_mp3_decode_is_shuffle_free_single_arrow_pass(spark, sf_dir):
     plan = plan_str(multimodal_decode_mp3(spark, sf_dir), mode="simple")
     assert "Exchange hashpartitioning" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_mp3_subband_is_shuffle_free_single_arrow_pass(spark, sf_dir):
+    """The composed subband census keeps the decode's scale shape: one
+    Arrow pass, no key shuffle."""
+    from etl_pipeline_example_spark.operators.mp3 import (
+        multimodal_mp3_subband,
+    )
+
+    plan = plan_str(multimodal_mp3_subband(spark, sf_dir), mode="simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_stream_cusum_windows_partitioned_over_day_grain(spark, sf_dir):
+    """The streaming twin's post-drain scan keeps the batch op's
+    discipline: every window partitions by event_type over the bounded
+    day grid; never SinglePartition."""
+    from etl_pipeline_example_spark.streaming.cusumfeed import (
+        stream_cusum_shift,
+    )
+
+    plan = plan_str(stream_cusum_shift(spark, sf_dir), mode="simple")
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows and all("grp" in ln for ln in windows), plan
+    assert "Exchange SinglePartition" not in plan, plan

@@ -219,3 +219,98 @@ def test_mp3_imdct_synthesis_matches_independent_formula():
     assert got.shape == exp.shape
     assert np.allclose(got, exp, atol=1e-12), np.abs(got - exp).max()
     assert np.abs(exp).max() > 0  # the pipeline produces real signal
+
+
+def test_mp3_subband_hand_pinned_doc0(spark, tmp_path):
+    """doc 0, hand-walked per subband (18-line groups): sb0 holds the
+    whole big-values region of both granules (19 nonzero, the 64
+    escape included), sb1 the count1 tails (11 nonzero, all ±1), sb2
+    is empty (both granules' count1 ends before line 36)."""
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.operators.mp3 import (
+        multimodal_mp3_subband,
+    )
+
+    stage = str(tmp_path / "_doc_stage")
+    spark.createDataFrame(
+        [(0, "t")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        f for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(f"{stage}/{part}", str(tmp_path / "documents.parquet"))
+    shutil.rmtree(stage)
+    rows = {
+        r["subband"]: r
+        for r in multimodal_mp3_subband(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    # g0: big lines 1,3,5,7 (|1|) + 9,11,13,15 (|8|) + 10 (|64|) +
+    # 17 (|1|) = 10; g1: 0,2,4,6 (|1|) + 8,10,12,14 (|8|) + 16 (|1|) = 9
+    assert rows[0]["n_nonzero"] == 19
+    assert rows[0]["max_abs_ix"] == 64
+    # g0 count1 19,21,23,25 + g1 big 18 + count1 20..30 evens = 11
+    assert rows[1]["n_nonzero"] == 11
+    assert rows[1]["max_abs_ix"] == 1
+    assert rows[2]["n_nonzero"] == 0 and rows[2]["max_abs_ix"] == 0
+    assert rows[2]["sum_abs_xr_x2e18"] == 0
+
+
+def test_stream_cusum_parity_and_hand_shift(spark, tmp_path):
+    """The streaming twin must land on the batch op's exact panel, and
+    a hand-planted level shift peaks on the shift day."""
+    import datetime
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.operators.cusum import (
+        events_cusum_shift,
+    )
+    from etl_pipeline_example_spark.streaming.cusumfeed import (
+        stream_cusum_shift,
+    )
+
+    # 6 days of type 'a': 1,1,1,3,3,3 events/day -> mean 2/day; up
+    # excursion (scaled by n_days=6) peaks on the last day:
+    # y = 6x-12 -> -6,-6,-6,+6,+6,+6; cum -6,-12,-18,-12,-6,0;
+    # runmin -18 -> s_up peaks at 0-(-18)=18 on day 6
+    rows = []
+    eid = 0
+    for dd, n in enumerate([1, 1, 1, 3, 3, 3]):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2026, 8, 1 + dd, 12, 0, 0),
+                    1,
+                    "a",
+                    1.0,
+                    "{}",
+                )
+            )
+    stage = str(tmp_path / "_ev_stage")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        f for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(f"{stage}/{part}", str(tmp_path / "events.parquet"))
+    shutil.rmtree(stage)
+
+    got = stream_cusum_shift(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_days"] == 6 and r["total"] == 12
+    assert r["up_scaled"] == 18
+    assert str(r["up_day"]) == "2026-08-06"
+    # stream == batch, column for column
+    batch = events_cusum_shift(spark, str(tmp_path)).collect()
+    assert [x.asDict() for x in got] == [x.asDict() for x in batch]
