@@ -180,3 +180,75 @@ def test_read_hudi_dropped_partition_columns_rejected(spark, tmp_path):
     shutil.rmtree(stage)
     with pytest.raises(ValueError, match="drop.partition.columns"):
         read_hudi(spark, root)
+
+
+# ------------------------------------------------------------ export
+def test_export_hudi_roundtrips_through_read_hudi(spark, tmp_path):
+    """versioned -> export_hudi -> read_hudi equals read_versioned;
+    a later upsert rewrites ONLY the affected bucket's file group and
+    instant time travel matches versioned history."""
+    from etl_pipeline_example_spark.pipeline.hudiexport import export_hudi
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        read_versioned,
+        upsert_versioned,
+        write_versioned,
+    )
+
+    src = str(tmp_path / "vtbl")
+    dest = str(tmp_path / "hudi_out")
+    df = spark.createDataFrame(
+        [(k, f"v{k}", 1) for k in range(40)], "k bigint, val string, n int"
+    )
+    write_versioned(spark, df, src, key="k", nbuckets=4)
+    ts0 = export_hudi(spark, src, dest)
+    assert ts0 == f"{1:014d}"  # versioned heads start at 1
+    got = read_hudi(spark, dest)
+    assert {r["k"]: r["val"] for r in got.collect()} == {
+        r["k"]: r["val"] for r in read_versioned(spark, src).collect()
+    }
+    # hudi meta columns are populated
+    meta = got.select("_hoodie_commit_time", "_hoodie_record_key").first()
+    assert meta[0] == ts0 and meta[1] in {str(k) for k in range(40)}
+    base0 = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(base0) == 4  # one file group per bucket
+
+    # idempotent re-export of the same head
+    assert export_hudi(spark, src, dest) == ts0
+    assert len([f for f in os.listdir(dest) if f.endswith(".parquet")]) == 4
+
+    upd = spark.createDataFrame(
+        [(5, "V5", 2)], "k bigint, val string, n int"
+    )
+    upsert_versioned(spark, src, upd, "k", "n")
+    ts1 = export_hudi(spark, src, dest)
+    assert ts1 == f"{2:014d}"
+    base1 = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    # only ONE bucket rewritten: 4 original slices + 1 new slice
+    assert len(base1) == 5, sorted(base1)
+    latest = {r["k"]: r["val"] for r in read_hudi(spark, dest).collect()}
+    assert len(latest) == 40 and latest[5] == "V5"
+    asof = {
+        r["k"]: r["val"]
+        for r in read_hudi(spark, dest, as_of=ts0).collect()
+    }
+    assert len(asof) == 40 and asof[5] == "v5"
+    assert hudi_instants(spark, dest) == [ts0, ts1]
+
+
+def test_export_hudi_refuses_shallow_clone_refs(spark, tmp_path):
+    from etl_pipeline_example_spark.pipeline.hudiexport import export_hudi
+    from etl_pipeline_example_spark.pipeline.versioned import (
+        clone_versioned,
+        write_versioned,
+    )
+
+    src = str(tmp_path / "vtbl")
+    write_versioned(
+        spark,
+        spark.createDataFrame([(1, "a", 1)], "k bigint, val string, n int"),
+        src, key="k", nbuckets=2,
+    )
+    cl = str(tmp_path / "clone")
+    clone_versioned(spark, src, cl)
+    with pytest.raises(ValueError, match="compact_versioned"):
+        export_hudi(spark, cl, str(tmp_path / "out"))
