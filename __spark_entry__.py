@@ -118,6 +118,8 @@ from etl_pipeline_example_spark.operators import (
     JPEGPROG_QUERIES,
     MP3_ORACLES,
     MP3_QUERIES,
+    DPCLIP_ORACLES,
+    DPCLIP_QUERIES,
     KMV_ORACLES,
     KMV_QUERIES,
     BURST_ORACLES,
@@ -315,6 +317,10 @@ from etl_pipeline_example_spark.plans import (
     DIMLIFT_ORACLES,
     ATTRIBUTION_ORACLES,
     LATEST_QUERIES,
+    BFS_ORACLES,
+    BFS_QUERIES,
+    ASOF_ORACLES,
+    ASOF_QUERIES,
     FRAMES_QUERIES,
     COHORT_QUERIES,
     QUANTILES_QUERIES,
@@ -662,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(JPEGDECODE_QUERIES)
     out.update(JPEGPROG_QUERIES)
     out.update(MP3_QUERIES)
+    out.update(DPCLIP_QUERIES)
     out.update(KMV_QUERIES)
     out.update(BURST_QUERIES)
     out.update(TFCOS_QUERIES)
@@ -718,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(BUDGETCURVE_QUERIES)
     out.update(RANKFAMILY_QUERIES)
     out.update(LATEST_QUERIES)
+    out.update(BFS_QUERIES)
+    out.update(ASOF_QUERIES)
     out.update(FRAMES_QUERIES)
     out.update(COHORT_QUERIES)
     out.update(QUANTILES_QUERIES)
@@ -892,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(JPEGDECODE_ORACLES)
     out.update(JPEGPROG_ORACLES)
     out.update(MP3_ORACLES)
+    out.update(DPCLIP_ORACLES)
     out.update(KMV_ORACLES)
     out.update(BURST_ORACLES)
     out.update(TFCOS_ORACLES)
@@ -948,6 +958,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(BUDGETCURVE_ORACLES)
     out.update(RANKFAMILY_ORACLES)
     out.update(LATEST_ORACLES)
+    out.update(BFS_ORACLES)
+    out.update(ASOF_ORACLES)
     out.update(FRAMES_ORACLES)
     out.update(COHORT_ORACLES)
     out.update(QUANTILES_ORACLES)

@@ -104,6 +104,10 @@ from etl_pipeline_example_spark.operators.mp3 import (
     MP3_QUERIES,
     MP3_ORACLES,
 )
+from etl_pipeline_example_spark.operators.dpclip import (
+    DPCLIP_QUERIES,
+    DPCLIP_ORACLES,
+)
 from etl_pipeline_example_spark.operators.kmv import (
     KMV_QUERIES,
     KMV_ORACLES,
@@ -548,6 +552,8 @@ __all__ = [
     "JPEGPROG_ORACLES",
     "MP3_QUERIES",
     "MP3_ORACLES",
+    "DPCLIP_QUERIES",
+    "DPCLIP_ORACLES",
     "KMV_QUERIES",
     "KMV_ORACLES",
     "BURST_QUERIES",

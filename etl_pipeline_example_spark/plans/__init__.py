@@ -44,6 +44,14 @@ from etl_pipeline_example_spark.plans.latest import (
     LATEST_QUERIES,
     LATEST_ORACLES,
 )
+from etl_pipeline_example_spark.plans.bfs import (
+    BFS_QUERIES,
+    BFS_ORACLES,
+)
+from etl_pipeline_example_spark.plans.asofjoin import (
+    ASOF_QUERIES,
+    ASOF_ORACLES,
+)
 from etl_pipeline_example_spark.plans.frames import (
     FRAMES_QUERIES,
     FRAMES_ORACLES,
@@ -595,4 +603,8 @@ __all__ = [
     "CONCENTRATION_ORACLES",
     "DRIFT_QUERIES",
     "DRIFT_ORACLES",
+    "BFS_QUERIES",
+    "BFS_ORACLES",
+    "ASOF_QUERIES",
+    "ASOF_ORACLES",
 ]

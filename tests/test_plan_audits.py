@@ -1720,3 +1720,41 @@ def test_stream_cusum_windows_partitioned_over_day_grain(spark, sf_dir):
     windows = [ln for ln in plan.splitlines() if "Window" in ln]
     assert windows and all("grp" in ln for ln in windows), plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_dpclip_broadcast_cap_table(spark, sf_dir):
+    """The 4-row cap table joins the per-user contribution frame as a
+    broadcast; no cartesian, no window, no global sort."""
+    from etl_pipeline_example_spark.operators.dpclip import (
+        privacy_contribution_bound,
+    )
+
+    plan = plan_str(privacy_contribution_bound(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_asof_nearest_is_joinless_single_user_window(spark, sf_dir):
+    """The as-of join compiles to the union-window plan: ZERO join
+    operators, one user-partitioned window — never the inequality
+    self-join fan-out."""
+    from etl_pipeline_example_spark.plans.asofjoin import q_asof_nearest
+
+    plan = plan_str(q_asof_nearest(spark, sf_dir), mode="simple")
+    assert "Join" not in plan, plan
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert windows and all("user_id" in ln for ln in windows), plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bfs_layers_bounded_rounds_no_cartesian(spark, sf_dir):
+    """Layer-capped BFS is a FIXED chain of frontier joins (K=3) over
+    the persisted edge spine — no cartesian product, and the seed pick
+    is TakeOrdered, never a global sort."""
+    from etl_pipeline_example_spark.plans.bfs import graph_bfs_layers
+
+    plan = plan_str(graph_bfs_layers(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # edge spine persisted

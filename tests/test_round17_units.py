@@ -314,3 +314,127 @@ def test_stream_cusum_parity_and_hand_shift(spark, tmp_path):
     # stream == batch, column for column
     batch = events_cusum_shift(spark, str(tmp_path)).collect()
     assert [x.asDict() for x in got] == [x.asDict() for x in batch]
+
+
+def test_dpclip_hand_pinned(spark, tmp_path):
+    """Users with counts 1,3,5,20 at cap 4: clipped 1+3+4+4=12,
+    loss 17, 2 users clipped, max 20 — folded by hand."""
+    import datetime
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.operators.dpclip import (
+        privacy_contribution_bound,
+    )
+
+    rows = []
+    eid = 0
+    for uid, n in [(1, 1), (2, 3), (3, 5), (4, 20)]:
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, datetime.datetime(2026, 8, 1), uid, "a", 1.0, "{}")
+            )
+    stage = str(tmp_path / "_s")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        f for f in os.listdir(stage) if f.endswith(".parquet")
+    )
+    os.replace(f"{stage}/{part}", str(tmp_path / "events.parquet"))
+    shutil.rmtree(stage)
+    rows = {
+        r["cap"]: r
+        for r in privacy_contribution_bound(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert rows[4]["raw_sum"] == 29 and rows[4]["clipped_sum"] == 12
+    assert rows[4]["clip_loss"] == 17
+    assert rows[4]["n_users"] == 4 and rows[4]["n_users_clipped"] == 2
+    assert rows[4]["max_contrib"] == 20
+    assert rows[1]["clipped_sum"] == 4  # cap 1: one per user
+    assert rows[64]["clipped_sum"] == 29 and rows[64]["clip_loss"] == 0
+
+
+def test_bfs_layers_hand_chain(spark, tmp_path):
+    """Path graph 1-2-3-4-5-6 (each edge co-ordered in 2 orders to
+    clear MIN_CO_ORDERS), seeds {1,2,3}: layers 0:{1,2,3} 1:{4} 2:{5}
+    3:{6} — the depth cap excludes nothing here but the layer split is
+    fully hand-derived."""
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.plans.bfs import graph_bfs_layers
+
+    rows = []
+    okey = 0
+    for u, v in [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]:
+        for _ in range(2):  # MIN_CO_ORDERS
+            okey += 1
+            rows.append((okey, u))
+            rows.append((okey, v))
+    stage = str(tmp_path / "_s")
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(f"{stage}/{part}", str(tmp_path / "lineitem.parquet"))
+    shutil.rmtree(stage)
+    got = {
+        r["layer"]: (r["n_nodes"], r["sum_node"])
+        for r in graph_bfs_layers(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (3, 6), 1: (1, 4), 2: (1, 5), 3: (1, 6)}, got
+
+
+def test_asof_nearest_hand_cases(spark, tmp_path):
+    """Same-ts view counts as prior (gap 0); 24h tolerance exclusive
+    beyond; no prior view -> NULL — each case planted by hand."""
+    import datetime
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.plans.asofjoin import q_asof_nearest
+
+    t0 = datetime.datetime(2026, 8, 1, 12, 0, 0)
+
+    def at(**kw):
+        return t0 + datetime.timedelta(**kw)
+
+    rows = [
+        # user 1: view then purchase 10s later -> match, gap 10s
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, at(seconds=10), 1, "purchase", 1.0, "{}"),
+        # user 1: another purchase 25h after the view -> out of tolerance
+        (3, at(hours=25), 1, "purchase", 1.0, "{}"),
+        # user 2: view and purchase at the SAME ts -> match, gap 0
+        (4, at(hours=1), 2, "view", 1.0, "{}"),
+        (5, at(hours=1), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase with no prior view -> NULL
+        (6, t0, 3, "purchase", 1.0, "{}"),
+        # noise the operator must ignore
+        (7, t0, 1, "click", 1.0, "{}"),
+    ]
+    stage = str(tmp_path / "_s")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(f"{stage}/{part}", str(tmp_path / "events.parquet"))
+    shutil.rmtree(stage)
+    got = {
+        r["p_event_id"]: (r["v_event_id"], r["gap_us"])
+        for r in q_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        2: (1, 10_000_000),
+        3: (None, None),
+        5: (4, 0),
+        6: (None, None),
+    }, got
