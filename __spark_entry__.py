@@ -509,29 +509,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # enforced by tests/test_freeze.py): previously-green entries keep their
 # prior-round evidence because their backing closures are byte-identical.
 #
-# ROUND-17 PLAN (committed at round-16 end, execute next round):
+# ROUND-18 PLAN (committed at round-17 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 14 round-16 additions, registration order:
-#      multimodal_decode_jpeg2, sketch_kmv_distinct,
-#      stream_kmv_registers, events_burst_topk, dedup_tfidf_cosine,
-#      shuffle_run_audit, bm25_prf, sketch_moments,
-#      privacy_k_anonymity, privacy_l_diversity, privacy_t_closeness,
-#      stream_moments, dedup_winnow_pairs, events_cusum_shift;
-#   2. fill to exactly 50 with the 36 oldest-stale entries (r10/r11
+#   1. first evidence — the 6 round-17 additions, registration order:
+#      multimodal_decode_mp3, multimodal_mp3_subband,
+#      privacy_contribution_bound, graph_bfs_layers, q_asof_nearest,
+#      stream_cusum_shift
+#   2. fill to exactly 50 with the 44 oldest-stale entries (r11/r12
 #      evidence), oldest first, registration order within a round:
-#      ann_pq_adc, ann_ivfpq, multimodal_meta, multimodal_framesample
-#      (the four rolled from r16), q_range_frame, q_unpivot_measures,
-#      q_value_window, q_cohort_ltv, q_quantile_counting,
-#      q_interval_merge, q_growth_accounting, dq_benford, agg_salted,
-#      q_ab_chi2, q_rolling_actives, q_scd2_asof, q_period_balance,
-#      q_dim_lift, q_attribution, stream_dq_quarantine,
-#      stream_sliding, q_distinct_agg, q_percentiles, q2_argmin,
-#      q7_volume, q_window_funnel, q_retention, q_event_path,
-#      scd2_merge, q_full_outer_recon, q_rfm, q_sequence_match,
-#      anomaly_mad, q_basket_pairs, q_sql_shared_dialect, cdc_apply
-#      — 36 fill slots (14 + 36 = 50).
-#      (agg_merge_states, q_order_gap_dist, q_yoy_growth and
-#      q_skyline_2d are the next four stale and roll to r18; the
+#      agg_merge_states, q_order_gap_dist, q_yoy_growth, q_skyline_2d,
+#      q_mode_per_group, q_behavior_segments, dq_freshness,
+#      q_decile_lift, q_active_streak, q_distinct_cube,
+#      q_group_percentiles, q_numeric_corr, q_event_transitions,
+#      multimodal_phash, multimodal_phash_dups, vocab_growth,
+#      multimodal_resize, multimodal_audio_energy, text_char_simpson,
+#      q_group_regression, q_user_diversity, dq_volume_zscore,
+#      q_null_safe_join, dedup_survivor_policy, lang_confusion,
+#      ngram_lang_profile, stream_topk, q17_small_quantity,
+#      q18_large_orders, q22_idle_rich, q8_mktshare, q9_profit,
+#      q10_returns, q11_part_value, q15_top_supplier, q16_supplier_cnt,
+#      q19_disjunctive, q21_sole_fault, quality_buckets, text_normalize,
+#      dedup_containment, ann_rp_rerank, cluster_topics, corpus_stats
+#      — 44 fill slots (6 + 44 = 50).
+#      (dup_rate_by_source, dedup_incremental, embed_outliers and
+#      li_shipping_lag are the next four stale and roll to r19; the
 #      rows-only dq_profile_approx/embed_pca stay out per the
 #      full-oracle window rule; quality_compress remains the
 #      documented no-oracle pytest-contract entry.)
