@@ -365,6 +365,15 @@ def _ops() -> dict:
     )
     from etl_pipeline_example_spark.operators.mp3 import (
         multimodal_decode_mp3,
+        multimodal_mp3_subband,
+    )
+    from etl_pipeline_example_spark.operators.dpclip import (
+        privacy_contribution_bound,
+    )
+    from etl_pipeline_example_spark.plans.asofjoin import q_asof_nearest
+    from etl_pipeline_example_spark.plans.bfs import graph_bfs_layers
+    from etl_pipeline_example_spark.streaming.cusumfeed import (
+        stream_cusum_shift,
     )
     from etl_pipeline_example_spark.streaming.kmvfeed import (
         stream_kmv_registers,
@@ -422,6 +431,14 @@ def _ops() -> dict:
         "stream_kmv_registers": _ekeystream_dir(stream_kmv_registers),
         "stream_moments": _ekeystream_dir(stream_moments),
         "multimodal_decode_mp3": multimodal_decode_mp3,
+        # r17 late additions (keyed events for the per-user ops so the
+        # user space really grows 10x; bfs rides the offset lineitem
+        # replication the graph family uses; subband is doc_id-driven)
+        "multimodal_mp3_subband": multimodal_mp3_subband,
+        "privacy_contribution_bound": _ekey_dir(privacy_contribution_bound),
+        "q_asof_nearest": _ekey_dir(q_asof_nearest),
+        "graph_bfs_layers": graph_bfs_layers,
+        "stream_cusum_shift": _ekeystream_dir(stream_cusum_shift),
     }
 
 
