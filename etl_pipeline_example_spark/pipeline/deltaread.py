@@ -33,11 +33,15 @@ Honest protocol boundary, checked loudly instead of misread:
 ``minReaderVersion`` ≤ 2 without reader features is accepted
 (version 2's column *writer* feature set doesn't change the read
 path for tables not using column mapping); version-3 tables are
-accepted only when every listed ``readerFeatures`` entry is in the
-supported set (none today beyond what replay needs) — deletion
-vectors, column mapping, or v2 checkpoints raise ``ValueError``
-naming the unsupported feature. Time travel: ``version=`` replays to
-that commit, exactly Delta's ``VERSION AS OF``.
+accepted when every listed ``readerFeatures`` entry is in the
+supported set — which since round 17 INCLUDES ``deletionVectors``
+(pipeline/deltadv.py decodes inline/file-stored 64-bit
+RoaringBitmapArrays with CRC + cardinality validation, and
+``_dv_masked`` drops the deleted positions in a distributed
+``binaryFile`` + ``mapInPandas`` pass) — column mapping or
+UUID-named V2 checkpoints still raise ``ValueError`` naming the
+unsupported feature. Time travel: ``version=`` replays to that
+commit, exactly Delta's ``VERSION AS OF``.
 
 Scale: the replay is RELATIONAL, not driver-side. A 100 TB table's
 checkpoint carries millions of ``add`` actions; serializing them all
@@ -77,7 +81,14 @@ from pyspark.sql.types import StructType
 from etl_pipeline_example_spark.fsutil import hadoop_fs
 
 _LOG = "_delta_log"
-_SUPPORTED_READER_FEATURES: set[str] = {"timestampNtz", "vacuumProtocolCheck"}
+# deletionVectors joined in round 17 (pipeline/deltadv.py — defensive
+# cardinality/CRC validation means a misread DV raises, never drops
+# the wrong rows)
+_SUPPORTED_READER_FEATURES: set[str] = {
+    "timestampNtz",
+    "vacuumProtocolCheck",
+    "deletionVectors",
+}
 
 
 def _jpath(spark: SparkSession, p: str):
@@ -176,9 +187,13 @@ def _check_protocol(action: dict) -> None:
 # sides of the relational replay (PROTOCOL.md action fields this
 # reader/exporter consumes — extra fields like stats/tags are pruned
 # at the scan, never deserialized)
+_DV_DDL = (
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,"
+    "sizeInBytes:int,cardinality:bigint>"
+)
 _ADD_DDL = (
     "struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean>"
+    f"modificationTime:bigint,dataChange:boolean,deletionVector:{_DV_DDL}>"
 )
 _META_DDL = (
     "struct<id:string,name:string,description:string,"
@@ -221,6 +236,9 @@ def _norm_checkpoint(cp: DataFrame, base: int) -> DataFrame:
                     "modificationTime"
                 ),
                 pick("add", "dataChange", "boolean").alias("dataChange"),
+                pick("add", "deletionVector", _DV_DDL).alias(
+                    "deletionVector"
+                ),
             ),
         ).cast(_ADD_DDL)
     else:
@@ -357,7 +375,11 @@ def _replay_state(
     )
     adds: dict[str, dict] = {}
     for r in live.collect():
-        a = {k: x for k, x in r["add"].asDict().items() if x is not None}
+        a = {
+            k: x
+            for k, x in r["add"].asDict(recursive=True).items()
+            if x is not None
+        }
         adds[a["path"]] = a
     cands = [c for c in commits if c <= v]
     if base is not None:
@@ -403,17 +425,31 @@ def read_delta(
         for f in schema.fields
         if f.name in pcols
     }
-    groups: dict[tuple, list[str]] = {}
+    groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for add in adds.values():
         pv = add.get("partitionValues") or {}
         key = tuple(pv.get(c) for c in pcols)
         # the spec URL-encodes add.path; decode before resolving
         groups.setdefault(key, []).append(
-            posixpath.join(path, unquote(add["path"]))
+            (
+                posixpath.join(path, unquote(add["path"])),
+                add.get("deletionVector"),
+            )
         )
     parts = []
-    for key, files in sorted(groups.items()):
-        df = spark.read.schema(dschema).parquet(*files).select(*dcols)
+    for key, entries in sorted(groups.items()):
+        plain = [f for f, dv in entries if dv is None]
+        dvd = [(f, dv) for f, dv in entries if dv is not None]
+        sub = []
+        if plain:
+            sub.append(
+                spark.read.schema(dschema).parquet(*plain).select(*dcols)
+            )
+        if dvd:
+            sub.append(_dv_masked(spark, path, dvd, dschema, dcols))
+        df = sub[0]
+        for s in sub[1:]:
+            df = df.unionByName(s)
         for c, raw in zip(pcols, key):
             # partitionValues serializes every value as a string (or
             # null); cast back to the declared type
@@ -428,6 +464,82 @@ def read_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _dv_masked(
+    spark: SparkSession,
+    path: str,
+    dvd: list[tuple[str, dict]],
+    dschema: StructType,
+    dcols: list[str],
+) -> DataFrame:
+    """Files carrying deletion vectors: resolve each DV driver-side
+    (bytes bounded by the descriptor's cardinality — the log's own
+    planning metadata), then read the files DISTRIBUTED via
+    ``binaryFile`` + an Arrow-batched ``mapInPandas`` that drops the
+    deleted row POSITIONS where the file lands. Position counts and
+    bounds are validated against the file's row count — a wrong DV
+    raises, never silently keeps/drops the wrong rows."""
+    from etl_pipeline_example_spark.pipeline.deltadv import (
+        decode_descriptor,
+    )
+
+    def loader(rel: str) -> bytes:
+        p = rel if rel.startswith("/") else posixpath.join(path, rel)
+        fs, _ = hadoop_fs(spark, p)
+        stream = fs.open(_jpath(spark, p))
+        try:
+            return bytes(stream.readAllBytes())
+        finally:
+            stream.close()
+
+    pos_by_file = {
+        f: decode_descriptor(dv, loader) for f, dv in dvd
+    }
+    items = sorted(pos_by_file.items())
+
+    def _mask(batches):
+        import io
+        from urllib.parse import unquote as _uq
+        from urllib.parse import urlparse
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                local = _uq(urlparse(p).path)
+                match = [
+                    pos
+                    for f, pos in items
+                    if f == local or local.endswith(f)
+                ]
+                if len(match) != 1:
+                    raise ValueError(
+                        f"cannot match {local!r} to exactly one"
+                        " deletion-vectored file"
+                    )
+                dropped = set(match[0])
+                tbl = pq.read_table(io.BytesIO(bytes(content)))
+                if dropped and max(dropped) >= tbl.num_rows:
+                    raise ValueError(
+                        f"DV position {max(dropped)} beyond the"
+                        f" {tbl.num_rows} rows of {local!r}"
+                    )
+                pdfx = tbl.to_pandas()
+                keep = [i for i in range(len(pdfx)) if i not in dropped]
+                out = pdfx.iloc[keep]
+                yield pd.DataFrame(
+                    {c: out[c] if c in out else None for c in dcols}
+                )
+
+    return (
+        spark.read.format("binaryFile")
+        .load([f for f, _ in items])
+        .select("path", "content")
+        .mapInPandas(_mask, schema=dschema)
+        .select(*dcols)
+    )
 
 
 def delta_versions(spark: SparkSession, path: str) -> list[int]:

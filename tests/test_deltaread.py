@@ -204,14 +204,16 @@ def test_unsupported_reader_requirements_raise(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
+                    # deletionVectors became SUPPORTED in r17; v2
+                    # checkpoints remain an honest loud boundary
+                    "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                 }
             },
             _meta(),
             _add(f0),
         ],
     )
-    with pytest.raises(ValueError, match="deletionVectors"):
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         read_delta(spark, root)
     # column mapping would silently null every column — reject loudly
     root2 = str(tmp_path / "cmtbl")
@@ -612,4 +614,172 @@ def test_corrupt_commit_line_raises(spark, tmp_path):
     with open(f"{root}/_delta_log/{1:020d}.json", "w") as f:
         f.write('{"add": {"path": "torn-mid-wri\n')
     with pytest.raises(Exception, match="(?i)malformed|failfast|parse"):
+        read_delta(spark, root).collect()
+
+
+# ------------------------------------------------- deletion vectors
+def _dv_add(path, dv):
+    a = _add(path)
+    a["add"]["deletionVector"] = dv
+    return a
+
+
+def test_deletion_vectors_all_storage_types(spark, tmp_path):
+    """Round-17: deletionVectors reader feature — positions decoded
+    from a .bin file ('u' UUID naming and 'p' path storage) and from
+    an inline Z85 descriptor ('i'), deleted rows dropped exactly."""
+    import uuid as uuid_mod
+
+    from etl_pipeline_example_spark.pipeline import deltadv as D
+
+    root = str(tmp_path / "dvtbl")
+    os.makedirs(root)
+    f0 = _data_file(
+        spark, root, "f0.parquet", [(k, f"v{k}") for k in range(10)]
+    )
+    f1 = _data_file(
+        spark, root, "f1.parquet", [(k, f"w{k}") for k in range(10, 20)]
+    )
+    f2 = _data_file(
+        spark, root, "f2.parquet", [(k, f"x{k}") for k in range(20, 30)]
+    )
+    # one .bin file holding TWO vectors (offset exercise)
+    blob, spans = D.encode_dv_file([[1, 3], [0, 9]])
+    u = uuid_mod.uuid4()
+    with open(f"{root}/deletion_vector_{u}.bin", "wb") as f:
+        f.write(blob)
+    dv0 = {
+        "storageType": "u",
+        "pathOrInlineDv": D.z85_encode(u.bytes),
+        "offset": spans[0][0],
+        "sizeInBytes": spans[0][1],
+        "cardinality": 2,
+    }
+    dv1 = {
+        "storageType": "p",
+        "pathOrInlineDv": f"deletion_vector_{u}.bin",
+        "offset": spans[1][0],
+        "sizeInBytes": spans[1][1],
+        "cardinality": 2,
+    }
+    inline = D.encode_rbm_array([5])
+    pad = (-len(inline)) % 4
+    dv2 = {
+        "storageType": "i",
+        "pathOrInlineDv": D.z85_encode(inline + b"\x00" * pad),
+        "sizeInBytes": len(inline),
+        "cardinality": 1,
+    }
+    _commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            _meta(),
+            _dv_add(f0, dv0),
+            _dv_add(f1, dv1),
+            _dv_add(f2, dv2),
+        ],
+    )
+    got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    # f0 loses positions 1,3 (k=1,3); f1 loses 0,9 (k=10,19); f2 loses 5 (k=25)
+    expect = {k: f"v{k}" for k in range(10) if k not in (1, 3)}
+    expect.update({k: f"w{k}" for k in range(11, 19)})
+    expect.update({k: f"x{k}" for k in range(20, 30) if k != 25})
+    assert got == expect, sorted(set(got) ^ set(expect))
+
+
+def test_deletion_vector_upgrade_supersedes_plain_add(spark, tmp_path):
+    """The DML shape: a later commit re-adds the SAME path with a DV —
+    latest add wins and the rows disappear."""
+    from etl_pipeline_example_spark.pipeline import deltadv as D
+
+    root = str(tmp_path / "dmltbl")
+    os.makedirs(root)
+    f0 = _data_file(
+        spark, root, "f0.parquet", [(k, f"v{k}") for k in range(6)]
+    )
+    _commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+         _meta(), _add(f0)],
+    )
+    inline = D.encode_rbm_array([2, 4])
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": D.z85_encode(
+            inline + b"\x00" * ((-len(inline)) % 4)
+        ),
+        "sizeInBytes": len(inline),
+        "cardinality": 2,
+    }
+    _commit(
+        root, 1,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}},
+         _dv_add(f0, dv)],
+    )
+    got = {r["k"]: r["val"] for r in read_delta(spark, root).collect()}
+    assert got == {0: "v0", 1: "v1", 3: "v3", 5: "v5"}, got
+    # time travel back to the pre-DELETE state still reads all rows
+    v0 = {r["k"] for r in read_delta(spark, root, version=0).collect()}
+    assert v0 == set(range(6))
+
+
+def test_deletion_vector_validation_raises(spark, tmp_path):
+    """A corrupt frame, a cardinality lie, or an out-of-range position
+    must RAISE — never silently keep/drop the wrong rows."""
+    import pytest as _pt
+
+    from etl_pipeline_example_spark.pipeline import deltadv as D
+
+    # frame CRC
+    blob, spans = D.encode_dv_file([[1, 2, 3]])
+    bad = bytearray(blob)
+    bad[spans[0][0] + 6] ^= 0xFF
+    with _pt.raises(ValueError, match="CRC|cookie|magic|cardinality"):
+        D.decode_dv_frame(bytes(bad), spans[0][0], spans[0][1])
+    # cardinality mismatch through the descriptor
+    inline = D.encode_rbm_array([7])
+    with _pt.raises(ValueError, match="cardinality"):
+        D.decode_descriptor(
+            {
+                "storageType": "i",
+                "pathOrInlineDv": D.z85_encode(
+                    inline + b"\x00" * ((-len(inline)) % 4)
+                ),
+                "sizeInBytes": len(inline),
+                "cardinality": 5,
+            },
+            lambda _r: b"",
+        )
+    # out-of-range position caught at read time
+    root = str(tmp_path / "oob")
+    os.makedirs(root)
+    f0 = _data_file(spark, root, "f0.parquet", [(1, "a")])
+    inline = D.encode_rbm_array([99])
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": D.z85_encode(
+            inline + b"\x00" * ((-len(inline)) % 4)
+        ),
+        "sizeInBytes": len(inline),
+        "cardinality": 1,
+    }
+    _commit(
+        root, 0,
+        [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                       "readerFeatures": ["deletionVectors"],
+                       "writerFeatures": ["deletionVectors"]}},
+         _meta(), _dv_add(f0, dv)],
+    )
+    with _pt.raises(Exception, match="beyond the"):
         read_delta(spark, root).collect()
