@@ -38,10 +38,13 @@ supported set — which since round 17 INCLUDES ``deletionVectors``
 (pipeline/deltadv.py decodes inline/file-stored 64-bit
 RoaringBitmapArrays with CRC + cardinality validation, and
 ``_dv_masked`` drops the deleted positions in a distributed
-``binaryFile`` + ``mapInPandas`` pass) — column mapping or
-UUID-named V2 checkpoints still raise ``ValueError`` naming the
-unsupported feature. Time travel: ``version=`` replays to that
-commit, exactly Delta's ``VERSION AS OF``.
+``binaryFile`` + ``mapInPandas`` pass) AND ``columnMapping`` in
+NAME mode (files read under the physical column names from the
+schemaString's ``physicalName`` metadata, aliased back to logical;
+``partitionValues`` keyed physically per the spec) — id-mode column
+mapping or UUID-named V2 checkpoints still raise ``ValueError``
+naming the unsupported feature. Time travel: ``version=`` replays to
+that commit, exactly Delta's ``VERSION AS OF``.
 
 Scale: the replay is RELATIONAL, not driver-side. A 100 TB table's
 checkpoint carries millions of ``add`` actions; serializing them all
@@ -76,7 +79,7 @@ from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from etl_pipeline_example_spark.fsutil import hadoop_fs
 
@@ -88,6 +91,9 @@ _SUPPORTED_READER_FEATURES: set[str] = {
     "timestampNtz",
     "vacuumProtocolCheck",
     "deletionVectors",
+    # name-mode resolution supported since r17; id-mode tables still
+    # raise at the metadata check in read_delta
+    "columnMapping",
 }
 
 
@@ -410,14 +416,43 @@ def read_delta(
     cmap = (meta.get("configuration") or {}).get(
         "delta.columnMapping.mode", "none"
     )
-    if cmap not in ("none", ""):
-        # column mapping renames physical parquet columns; reading them
-        # under the logical schema would silently yield nulls
+    if cmap not in ("none", "", "name"):
+        # id-mode maps by parquet field id; reading by name would
+        # silently yield nulls — still a loud boundary
         raise ValueError(f"unsupported Delta columnMapping.mode={cmap!r}")
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    # column mapping 'name' (supported since r17): every field carries
+    # its PHYSICAL parquet column name in metadata — read under the
+    # physical names, alias back to logical; partitionValues keys are
+    # physical too. Identity map when mapping is off.
+    phys = {
+        f.name: (
+            f.metadata.get("delta.columnMapping.physicalName", f.name)
+            if cmap == "name"
+            else f.name
+        )
+        for f in schema.fields
+    }
+    if cmap == "name":
+        missing = [
+            f.name
+            for f in schema.fields
+            if "delta.columnMapping.physicalName" not in (f.metadata or {})
+        ]
+        if missing:
+            raise ValueError(
+                "columnMapping.mode=name but field(s) lack"
+                f" physicalName metadata: {missing}"
+            )
     pcols = list(meta.get("partitionColumns") or [])
     dcols = [f.name for f in schema.fields if f.name not in pcols]
-    dschema = StructType([f for f in schema.fields if f.name not in pcols])
+    dschema_phys = StructType(
+        [
+            StructField(phys[f.name], f.dataType, f.nullable)
+            for f in schema.fields
+            if f.name not in pcols
+        ]
+    )
     if not adds:
         return spark.createDataFrame([], schema).select(*schema.fieldNames())
     ptypes = {
@@ -428,7 +463,7 @@ def read_delta(
     groups: dict[tuple, list[tuple[str, dict | None]]] = {}
     for add in adds.values():
         pv = add.get("partitionValues") or {}
-        key = tuple(pv.get(c) for c in pcols)
+        key = tuple(pv.get(phys[c]) for c in pcols)
         # the spec URL-encodes add.path; decode before resolving
         groups.setdefault(key, []).append(
             (
@@ -436,6 +471,7 @@ def read_delta(
                 add.get("deletionVector"),
             )
         )
+    relabel = [F.col(phys[c]).alias(c) for c in dcols]
     parts = []
     for key, entries in sorted(groups.items()):
         plain = [f for f, dv in entries if dv is None]
@@ -443,10 +479,17 @@ def read_delta(
         sub = []
         if plain:
             sub.append(
-                spark.read.schema(dschema).parquet(*plain).select(*dcols)
+                spark.read.schema(dschema_phys)
+                .parquet(*plain)
+                .select(*relabel)
             )
         if dvd:
-            sub.append(_dv_masked(spark, path, dvd, dschema, dcols))
+            sub.append(
+                _dv_masked(
+                    spark, path, dvd, dschema_phys,
+                    [phys[c] for c in dcols],
+                ).select(*relabel)
+            )
         df = sub[0]
         for s in sub[1:]:
             df = df.unionByName(s)

@@ -783,3 +783,72 @@ def test_deletion_vector_validation_raises(spark, tmp_path):
     )
     with _pt.raises(Exception, match="beyond the"):
         read_delta(spark, root).collect()
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """Round-17: columnMapping.mode=name — parquet files carry
+    PHYSICAL column names; the reader resolves via the schemaString's
+    physicalName metadata and aliases back to logical names.
+    partitionValues are keyed by physical name per the spec.
+    id-mode still raises."""
+    root = str(tmp_path / "cmtbl")
+    os.makedirs(root)
+    # data file under PHYSICAL names col-aaaa / col-bbbb
+    tmpd = f"{root}/_stage"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "`col-aaaa` bigint, `col-bbbb` string"
+    ).coalesce(1).write.mode("overwrite").parquet(tmpd)
+    part = next(
+        f for f in os.listdir(tmpd)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    os.replace(f"{tmpd}/{part}", f"{root}/f0.parquet")
+    import shutil
+
+    shutil.rmtree(tmpd)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k", "type": "long", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaaa",
+                    },
+                },
+                {
+                    "name": "val", "type": "string", "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbbb",
+                    },
+                },
+            ],
+        }
+    )
+    _commit(
+        root, 0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                          "readerFeatures": ["columnMapping"],
+                          "writerFeatures": ["columnMapping"]}},
+            _meta(schema, conf={"delta.columnMapping.mode": "name",
+                                "delta.columnMapping.maxColumnId": "2"}),
+            _add("f0.parquet"),
+        ],
+    )
+    df = read_delta(spark, root)
+    assert df.columns == ["k", "val"]
+    assert {r["k"]: r["val"] for r in df.collect()} == {1: "a", 2: "b"}
+    # id-mode remains a loud boundary
+    root2 = str(tmp_path / "idtbl")
+    os.makedirs(root2)
+    f1 = _data_file(spark, root2, "f0.parquet", [(1, "a")])
+    _commit(
+        root2, 0,
+        [{"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+         _meta(conf={"delta.columnMapping.mode": "id"}), _add(f1)],
+    )
+    with pytest.raises(ValueError, match="columnMapping.mode='id'"):
+        read_delta(spark, root2)
