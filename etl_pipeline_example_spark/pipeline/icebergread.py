@@ -29,11 +29,15 @@ Honest protocol boundaries, checked loudly instead of misread:
 - **row-level v2 features**: delete manifests (content=1 in the
   manifest list) and delete files (data_file.content != 0) raise —
   applying position/equality deletes is the iceberg runtime's job;
-- **renamed columns**: this replay reads parquet by NAME; Iceberg's
-  contract is field-ID-based resolution. If any field id maps to
-  more than one name across the table's schema history, files
-  written under the old name would silently read as null — so the
-  reader raises naming the renamed field instead;
+- **renamed columns** (since r17, supported at the top level): when
+  any top-level field id maps to more than one name across the
+  schema history, the read switches to Iceberg's normative
+  FIELD-ID-based resolution — each data file's embedded parquet
+  field ids map its physical columns to the current names in a
+  distributed ``binaryFile`` + ``mapInPandas`` pass
+  (``_read_by_field_id``); files without embedded ids, renames
+  inside NESTED structs, and renamed nested types raise naming the
+  file/field instead of silently nulling;
 - **non-parquet data files** (ORC/Avro data), unsupported column
   types (uuid/time), and format versions > 2 raise with the feature
   named.
@@ -172,29 +176,35 @@ def _schemas(meta: dict) -> tuple[dict, list[dict]]:
     return cur, all_s
 
 
-def _check_renames(all_schemas: list[dict]) -> None:
-    """Field-id -> name must be stable across the schema history:
-    this replay resolves parquet columns by NAME, and a renamed field
-    would silently read as null from pre-rename files."""
-    names: dict[int, set[str]] = {}
+def _check_renames(all_schemas: list[dict]) -> bool:
+    """Field-id -> name stability across the schema history. Stable:
+    return False (the fast name-based parquet scan is safe). TOP-LEVEL
+    renames: return True — the read must resolve columns by the
+    PARQUET FIELD IDS embedded in each data file (the actual Iceberg
+    contract; ``_read_by_field_id``). Renames inside NESTED structs
+    still raise (id-resolution through nested re-shaping needs an
+    Iceberg runtime)."""
+    top: dict[int, set[str]] = {}
+    nested: dict[int, set[str]] = {}
 
-    def walk(fields, prefix=""):
+    def walk(fields, sink):
         for f in fields:
-            names.setdefault(f["id"], set()).add(f["name"])
+            sink.setdefault(f["id"], set()).add(f["name"])
             t = f["type"]
             if isinstance(t, dict) and t.get("type") == "struct":
-                walk(t["fields"], prefix + f["name"] + ".")
+                walk(t["fields"], nested)
 
     for s in all_schemas:
-        walk(s.get("fields", []))
-    bad = {i: sorted(n) for i, n in names.items() if len(n) > 1}
-    if bad:
-        fid, nm = next(iter(bad.items()))
+        walk(s.get("fields", []), top)
+    bad_nested = {i: sorted(n) for i, n in nested.items() if len(n) > 1}
+    if bad_nested:
+        fid, nm = next(iter(bad_nested.items()))
         raise ValueError(
-            "Iceberg table has renamed columns (field id"
-            f" {fid}: {nm}); name-based replay would misread old files"
-            " — use an Iceberg runtime for this table"
+            "Iceberg table renames a NESTED field (field id"
+            f" {fid}: {nm}); id-resolution through nested types needs"
+            " an Iceberg runtime"
         )
+    return any(len(n) > 1 for n in top.values())
 
 
 def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
@@ -295,25 +305,86 @@ def _data_files(
     return files
 
 
+def _read_by_field_id(
+    spark: SparkSession, files: list[str], cur_fields: list[dict],
+    schema: T.StructType,
+) -> DataFrame:
+    """Renamed-column path: resolve every column by the PARQUET FIELD
+    ID embedded in each data file (Iceberg's normative resolution),
+    distributed via ``binaryFile`` + ``mapInPandas``. A file without
+    embedded field ids raises NAMING THE FILE — the rename cannot be
+    resolved safely by name; a field id absent from a file (column
+    added later) reads as null per the spec."""
+    wanted = [(f["name"], int(f["id"])) for f in cur_fields]
+    for f in cur_fields:
+        if isinstance(f["type"], dict):
+            raise ValueError(
+                "renamed-column resolution supports primitive columns;"
+                f" nested field {f['name']!r} needs an Iceberg runtime"
+            )
+
+    def _resolve(batches):
+        import io
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                tbl = pq.read_table(io.BytesIO(bytes(content)))
+                by_id = {}
+                for i, fld in enumerate(tbl.schema):
+                    md = fld.metadata or {}
+                    fid = md.get(b"PARQUET:field_id")
+                    if fid is not None:
+                        by_id[int(fid)] = i
+                if not by_id:
+                    raise ValueError(
+                        f"{p}: data file embeds no parquet field ids —"
+                        " renamed columns cannot be resolved safely"
+                    )
+                cols = {}
+                for name, fid in wanted:
+                    if fid in by_id:
+                        cols[name] = tbl.column(by_id[fid]).to_pandas()
+                    else:
+                        cols[name] = pd.Series(
+                            [None] * tbl.num_rows, dtype="object"
+                        )
+                yield pd.DataFrame(cols)
+
+    return (
+        spark.read.format("binaryFile")
+        .load(files)
+        .select("path", "content")
+        .mapInPandas(_resolve, schema=schema)
+        .select(*schema.fieldNames())
+    )
+
+
 def read_iceberg(
     spark: SparkSession, path: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """Read an Iceberg v1/v2 table by replaying its metadata — current
     snapshot, or ``snapshot_id`` for time travel. Data files scan as
     plain parquet under the translated schema (they physically contain
-    partition columns); unsupported features raise by name."""
+    partition columns); tables whose schema history RENAMED top-level
+    columns resolve by embedded parquet field id instead (since r17);
+    unsupported features raise by name."""
     meta = json.loads(_read_bytes(spark, _latest_metadata(spark, path)))
     fv = int(meta.get("format-version", 1))
     if fv > 2:
         raise ValueError(f"unsupported Iceberg format-version {fv}")
     cur, all_s = _schemas(meta)
-    _check_renames(all_s)
+    renamed = _check_renames(all_s)
     schema = _spark_type(
         {"type": "struct", "fields": cur["fields"]}
     )
     files = _data_files(spark, _snapshot(meta, snapshot_id))
     if not files:
         return spark.createDataFrame([], schema)
+    if renamed:
+        return _read_by_field_id(spark, files, cur["fields"], schema)
     return spark.read.schema(schema).parquet(*files).select(
         *schema.fieldNames()
     )

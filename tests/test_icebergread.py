@@ -374,8 +374,11 @@ def test_read_iceberg_loud_rejections(spark, tmp_path):
             m.update({"current-schema-id": 1}),
         )
     )
-    with pytest.raises(ValueError, match="renamed"):
-        read_iceberg(spark, root)
+    # top-level renames route through field-id resolution (r17); these
+    # files embed NO parquet field ids, so the read fails LOUDLY at
+    # materialization instead of silently nulling the renamed column
+    with pytest.raises(Exception, match="field ids"):
+        read_iceberg(spark, root).collect()
     rewrite(lambda m: None)  # restore
     # delete manifest in the manifest list
     with open(f"{root}/metadata/ml2.avro", "wb") as f:
@@ -414,3 +417,100 @@ def test_read_iceberg_loud_rejections(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="ORC"):
         read_iceberg(spark, root)
+
+
+def test_renamed_columns_resolve_by_parquet_field_id(spark, tmp_path):
+    """Round-17: a table whose schema history renamed a top-level
+    column reads correctly when the data files embed parquet field ids
+    (the Iceberg contract) — old files written under the OLD name
+    surface under the CURRENT name; a field id absent from an old file
+    (column added later) reads as null."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "renamed")
+    os.makedirs(f"{root}/metadata", exist_ok=True)
+    # file written under the ORIGINAL names k/val with field ids 1/2
+    sch_old = pa.schema(
+        [
+            pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(
+                "val", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.table({"k": [1, 2], "val": ["a", "b"]}, schema=sch_old),
+        f"{root}/a.parquet",
+    )
+    # newer file already under the RENAMED name k2 plus the NEW col n
+    sch_new = pa.schema(
+        [
+            pa.field("k2", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field(
+                "val", pa.string(), metadata={b"PARQUET:field_id": b"2"}
+            ),
+            pa.field("n", pa.int64(), metadata={b"PARQUET:field_id": b"3"}),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {"k2": [3], "val": ["c"], "n": [30]}, schema=sch_new
+        ),
+        f"{root}/b.parquet",
+    )
+    m1 = f"{root}/metadata/m1.avro"
+    with open(m1, "wb") as f:
+        f.write(
+            _ocf(
+                MANIFEST_SCHEMA,
+                [
+                    _manifest_entry(f"{root}/a.parquet"),
+                    _manifest_entry(f"{root}/b.parquet"),
+                ],
+            )
+        )
+    ml1 = f"{root}/metadata/ml1.avro"
+    with open(ml1, "wb") as f:
+        f.write(_ocf(MANIFEST_LIST_SCHEMA, [_mlist_entry(m1)]))
+    meta = {
+        "format-version": 2,
+        "table-uuid": "0000",
+        "location": root,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "val", "required": False,
+                     "type": "string"},
+                ],
+            },
+            {
+                "schema-id": 1,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k2", "required": False,
+                     "type": "long"},
+                    {"id": 2, "name": "val", "required": False,
+                     "type": "string"},
+                    {"id": 3, "name": "n", "required": False,
+                     "type": "long"},
+                ],
+            },
+        ],
+        "current-schema-id": 1,
+        "current-snapshot-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 1000,
+             "manifest-list": ml1},
+        ],
+    }
+    with open(f"{root}/metadata/00001-aaaa.metadata.json", "w") as f:
+        json.dump(meta, f)
+    df = read_iceberg(spark, root)
+    assert df.columns == ["k2", "val", "n"]
+    got = {r["k2"]: (r["val"], r["n"]) for r in df.collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 30)}, got
