@@ -120,6 +120,8 @@ from etl_pipeline_example_spark.operators import (
     MP3_QUERIES,
     DPCLIP_ORACLES,
     DPCLIP_QUERIES,
+    URLCANON_ORACLES,
+    URLCANON_QUERIES,
     KMV_ORACLES,
     KMV_QUERIES,
     BURST_ORACLES,
@@ -511,11 +513,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-18 PLAN (committed at round-17 end, execute next round):
 # _REGISTER_FIRST := exactly these 50, in this order —
-#   1. first evidence — the 6 round-17 additions, registration order:
+#   1. first evidence — the 7 round-17 additions, registration order:
 #      multimodal_decode_mp3, multimodal_mp3_subband,
-#      privacy_contribution_bound, graph_bfs_layers, q_asof_nearest,
-#      stream_cusum_shift
-#   2. fill to exactly 50 with the 44 oldest-stale entries (r11/r12
+#      privacy_contribution_bound, dedup_url_canonical,
+#      graph_bfs_layers, q_asof_nearest, stream_cusum_shift
+#   2. fill to exactly 50 with the 43 oldest-stale entries (r11/r12
 #      evidence), oldest first, registration order within a round:
 #      agg_merge_states, q_order_gap_dist, q_yoy_growth, q_skyline_2d,
 #      q_mode_per_group, q_behavior_segments, dq_freshness,
@@ -529,10 +531,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #      q18_large_orders, q22_idle_rich, q8_mktshare, q9_profit,
 #      q10_returns, q11_part_value, q15_top_supplier, q16_supplier_cnt,
 #      q19_disjunctive, q21_sole_fault, quality_buckets, text_normalize,
-#      dedup_containment, ann_rp_rerank, cluster_topics, corpus_stats
-#      — 44 fill slots (6 + 44 = 50).
-#      (dup_rate_by_source, dedup_incremental, embed_outliers and
-#      li_shipping_lag are the next four stale and roll to r19; the
+#      dedup_containment, ann_rp_rerank, cluster_topics
+#      — 43 fill slots (7 + 43 = 50).
+#      (corpus_stats, dup_rate_by_source, dedup_incremental and
+#      embed_outliers are the next four stale and roll to r19; the
 #      rows-only dq_profile_approx/embed_pca stay out per the
 #      full-oracle window rule; quality_compress remains the
 #      documented no-oracle pytest-contract entry.)
@@ -670,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(JPEGPROG_QUERIES)
     out.update(MP3_QUERIES)
     out.update(DPCLIP_QUERIES)
+    out.update(URLCANON_QUERIES)
     out.update(KMV_QUERIES)
     out.update(BURST_QUERIES)
     out.update(TFCOS_QUERIES)
@@ -903,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(JPEGPROG_ORACLES)
     out.update(MP3_ORACLES)
     out.update(DPCLIP_ORACLES)
+    out.update(URLCANON_ORACLES)
     out.update(KMV_ORACLES)
     out.update(BURST_ORACLES)
     out.update(TFCOS_ORACLES)

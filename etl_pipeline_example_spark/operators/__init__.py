@@ -108,6 +108,10 @@ from etl_pipeline_example_spark.operators.dpclip import (
     DPCLIP_QUERIES,
     DPCLIP_ORACLES,
 )
+from etl_pipeline_example_spark.operators.urlcanon import (
+    URLCANON_QUERIES,
+    URLCANON_ORACLES,
+)
 from etl_pipeline_example_spark.operators.kmv import (
     KMV_QUERIES,
     KMV_ORACLES,
@@ -554,6 +558,8 @@ __all__ = [
     "MP3_ORACLES",
     "DPCLIP_QUERIES",
     "DPCLIP_ORACLES",
+    "URLCANON_QUERIES",
+    "URLCANON_ORACLES",
     "KMV_QUERIES",
     "KMV_ORACLES",
     "BURST_QUERIES",

@@ -1758,3 +1758,17 @@ def test_bfs_layers_bounded_rounds_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "InMemoryTableScan" in plan, plan  # edge spine persisted
+
+
+def test_url_canonical_codegen_no_udf_single_agg(spark, sf_dir):
+    """The canonicalizer is pure built-in string expressions — no
+    Python UDF node, no window; one hash aggregate chain (the distinct
+    rides inside it), no cartesian."""
+    from etl_pipeline_example_spark.operators.urlcanon import (
+        dedup_url_canonical,
+    )
+
+    plan = plan_str(dedup_url_canonical(spark, sf_dir), mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -438,3 +438,42 @@ def test_asof_nearest_hand_cases(spark, tmp_path):
         5: (4, 0),
         6: (None, None),
     }, got
+
+
+def test_url_canonical_hand_cases(spark, tmp_path):
+    """Canonical bucket (0,0) over docs [0,70): doc_ids ≡ 0 (mod 35)
+    are 0 and 35. Hand-walk: doc 0 spells
+    HTTP://WWW.Example0.COM:80/Path0/?b=2&a=1&utm_source=x; doc 35
+    (odd, 35//2 odd, 35//4 even, 35//8 even, 35//16 even, 35//32 odd)
+    spells http://www.example0.COM:80/Path0/?b=2&a=1 — two DISTINCT
+    raw spellings, one canonical
+    http://www.example0.com/path0?a=1&b=2."""
+    import os
+    import shutil
+
+    from etl_pipeline_example_spark.operators.urlcanon import (
+        dedup_url_canonical,
+    )
+
+    stage = str(tmp_path / "_s")
+    spark.createDataFrame(
+        [(d, "t") for d in range(70)], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(f"{stage}/{part}", str(tmp_path / "documents.parquet"))
+    shutil.rmtree(stage)
+    rows = {
+        r["canon_url"]: r
+        for r in dedup_url_canonical(spark, str(tmp_path)).collect()
+    }
+    key = "http://www.example0.com/path0?a=1&b=2"
+    assert key in rows
+    # docs with d%7==0 and d%5==0 in [0,70): 0 and 35
+    assert rows[key]["n_docs"] == 2
+    # doc 0 bits: 0b000000 -> all-messy spelling; doc 35 = 0b100011 ->
+    # different spelling: two DISTINCT raw variants
+    assert rows[key]["n_raw_variants"] == 2
+    # every canonical bucket is lowercase, portless, slashless, sorted
+    for u in rows:
+        assert u == u.lower() and ":80" not in u and "utm" not in u
+        assert "?a=1&b=2" in u
