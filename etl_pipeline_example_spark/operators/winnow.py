@@ -47,6 +47,10 @@ from etl_pipeline_example_spark.operators.hashing import (
     duck_tokens,
     spark_tokens,
 )
+from etl_pipeline_example_spark.operators.simcore import (
+    release_similarity_caches,
+    tracked_persist,
+)
 from etl_pipeline_example_spark.sources.readers import read_table
 
 WIN_K = 4  # tokens per k-gram
@@ -67,6 +71,17 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs by shared winnowing fingerprints (local guarantee: any
     shared run of WIN_W + WIN_K - 1 tokens produces at least one
     shared fingerprint)."""
+    # The short-doc gate lives INSIDE the window projection (the
+    # size(hs) >= W conditional below), not in a .filter().  The
+    # original `.filter(size(hs) >= W)` was equivalent row-wise, but
+    # Catalyst pushes deterministic filters through a round-robin
+    # repartition, and the predicate embeds the full md5 k-gram
+    # transform — so the entire md5 corpus pass ran INSIDE the
+    # single-task parquet-scan stage (13.5 s serial at sf0.1, twice),
+    # while the 32-way stage above recomputed it anyway.  As a
+    # projection conditional nothing sits below the exchange: the scan
+    # stage ships raw (doc_id, text) and tokenize + hash run once,
+    # post-exchange, at full width (guide §2.4 / §4.2).
     docs = read_table(spark, sf_dir, "documents", parallel=True)
     hashes = docs.select(
         "doc_id", F.expr(spark_tokens("text")).alias("tk")
@@ -80,16 +95,28 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     # winnowing selection: for each window start j (1-based) take the
-    # minimum of hs[j..j+W-1]; distinct selected hashes per doc
-    selected = hashes.filter(F.expr(f"size(hs) >= {WIN_W}")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(hs) - {WIN_W - 1}),"
-                f" j -> array_min(slice(hs, j, {WIN_W})))"
-            )
-        ).alias("fp"),
-    ).distinct()
+    # minimum of hs[j..j+W-1]; docs with fewer than W k-grams emit an
+    # empty window array (zero rows after the explode — exactly the
+    # rows the old filter dropped); distinct selected hashes per doc.
+    # PERSISTED (tracked): fp_counts, rare and both sides of the pair
+    # join all read this frame — without the persist the physical plan
+    # held TWELVE parquet-scan subtrees and re-ran the md5 pass per
+    # consumer.  The cached frame is narrow (doc_id, fp) int pairs and
+    # spills to disk at scale (MEMORY_AND_DISK default).
+    release_similarity_caches()
+    selected = tracked_persist(
+        hashes.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"if(size(hs) >= {WIN_W},"
+                    f" transform(sequence(1, size(hs) - {WIN_W - 1}),"
+                    f" j -> array_min(slice(hs, j, {WIN_W}))),"
+                    " array())"
+                )
+            ).alias("fp"),
+        ).distinct()
+    )
     fp_counts = selected.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp")
     )

@@ -61,7 +61,17 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("v").alias("node"))
     ).distinct()
     seeds = nodes.orderBy("node").limit(BFS_SEEDS)
-    dist = seeds.withColumn("d", F.lit(0))
+    # localCheckpoint per round (the graphiter/kcore discipline): round r
+    # references dist_{r-1} TWICE (the union and the frontier filter), so
+    # the un-checkpointed K=3 plan held 2^K copies of the dist subtree
+    # plus 3 references to bidir — AQE materialized them as ~58 separate
+    # stage-jobs, most of them concurrently RE-computing the persisted
+    # edge build before its cache filled (measured 4.9 s wall / 29 s of
+    # stage time at sf0.1).  Checkpointing linearizes the rounds into one
+    # short job each; the first round's job fills the edge cache exactly
+    # once.  Values are unchanged — a checkpoint is a plan cut, not a
+    # computation change (guide §3.3 "materialise an intermediate").
+    dist = seeds.withColumn("d", F.lit(0)).localCheckpoint()
     frontier = dist
     for r in range(1, BFS_K + 1):
         reached = (
@@ -72,7 +82,7 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionByName(reached)
             .groupBy("node")
             .agg(F.min("d").alias("d"))
-        )
+        ).localCheckpoint()
         frontier = dist.filter(F.col("d") == r)
     return (
         dist.groupBy(F.col("d").alias("layer"))

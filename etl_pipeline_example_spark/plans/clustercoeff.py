@@ -39,15 +39,26 @@ from etl_pipeline_example_spark.plans.graph import (
     _EDGES_SQL,
     _degrees,
     _edges,
-    graph_triangles,
+    _edges_broadcastable,
+    _triangles_from,
 )
 
 
 def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_vertices, n_edges, n_triangles, n_wedges, global_cc): the
-    triangle census plus wedge count and C = 3T/W."""
-    tri = graph_triangles(spark, sf_dir)
-    degrees = tracked_persist(_degrees(spark, _edges(spark, sf_dir)))
+    triangle census plus wedge count and C = 3T/W.
+
+    The edge list and degree table are built ONCE and shared by the
+    triangle pipeline and the wedge fold.  The previous shape called
+    `graph_triangles()` and then `_edges()` again — the second call's
+    cache-release unpinned the triangle pipeline's persisted frames
+    mid-plan, so the whole |E| self-join ran twice (measured ~10 s at
+    sf0.1; shared: the triangle cost plus one |V| aggregate)."""
+    edges = _edges(spark, sf_dir)
+    degrees = tracked_persist(_degrees(spark, edges))
+    tri = _triangles_from(
+        spark, edges, degrees, _edges_broadcastable(sf_dir)
+    )
     # Σ deg·(deg−1) = 2W accumulates in decimal; the halving happens in
     # the double rendering (exact: both engines halve the identical
     # cast of the identical exact decimal)

@@ -123,13 +123,40 @@ SELECT degree, count(*) AS n_parts FROM degrees GROUP BY 1 ORDER BY degree
 """
 
 
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(n_vertices, n_edges, n_triangles): global triangle census via
-    degree-ordered orientation."""
+# Broadcast the (u, v) edge list into the wedge-closure join when it is
+# provably small.  The gate is the RAW INPUT SIZE of the lineitem scan
+# (a driver-side file stat — no job, no barrier): baskets are
+# schema-bounded (≤ 7 lines/order → ≤ 21 pairs/order), so |E| is linear
+# in lineitem and a ≤ 256 MB lineitem bounds the two-long edge list to
+# a few tens of MB built — comfortable against the session's 8 g driver
+# and Spark's 8 GB broadcast cap.  The wedge side is Σ d_out² (>> |E|),
+# so broadcasting |E| removes the TWO big exchanges the plan otherwise
+# pays: the explicit wedge repartition AND the sort-merge shuffle of
+# the wedge fan-out (guide §3.1).  Size-adaptive, not a local[32]
+# constant: at 100 TB the gate fails and the plan falls back to the
+# shuffled shape unchanged.
+_BCAST_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _edges_broadcastable(sf_dir: str) -> bool:
+    import os
+
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
+            <= _BCAST_INPUT_BYTES
+        )
+    except OSError:  # non-local path (object store): never broadcast
+        return False
+
+
+def _triangles_from(
+    spark: SparkSession, edges: DataFrame, degrees: DataFrame, bcast: bool
+) -> DataFrame:
+    """Triangle census over a PERSISTED+materialized edge list and its
+    persisted degree table (shared with graph_clustering_coeff so the
+    expensive edge build runs once per query, not once per consumer)."""
     dp = spark.sparkContext.defaultParallelism
-    edges = _edges(spark, sf_dir)
-    # persisted (|V| rows): consumed by both endpoint joins below
-    degrees = tracked_persist(_degrees(spark, edges))
     # orient each edge from the lower-(degree, id) endpoint to the higher
     du = degrees.select(
         F.col("p").alias("u"), F.col("deg").alias("du")
@@ -156,11 +183,14 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(oriented.alias("e2"), "src")
         .filter(F.expr("e1.dst < e2.dst"))
         .selectExpr("e1.dst AS u", "e2.dst AS v")
-        .repartition(dp, "u")
     )
-    tri = wedges.join(edges, ["u", "v"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
+    if bcast:
+        # wedges never leave their generating stage: the closure probe
+        # runs map-side against the broadcast edge hash
+        closed = wedges.join(F.broadcast(edges), ["u", "v"])
+    else:
+        closed = wedges.repartition(dp, "u").join(edges, ["u", "v"])
+    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     vstats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     verts = degrees.agg(F.count(F.lit(1)).alias("n_vertices"))
     return (
@@ -168,6 +198,15 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_vertices, n_edges, n_triangles): global triangle census via
+    degree-ordered orientation."""
+    edges = _edges(spark, sf_dir)
+    # persisted (|V| rows): consumed by both endpoint joins below
+    degrees = tracked_persist(_degrees(spark, edges))
+    return _triangles_from(spark, edges, degrees, _edges_broadcastable(sf_dir))
 
 
 GRAPH_TRIANGLES_SQL = f"""
