@@ -208,7 +208,8 @@ def _bucket_expr(bits: int) -> str:
 
 
 def lsh_candidate_pairs(
-    spark: SparkSession, emb: DataFrame, tables: int, bits: int
+    spark: SparkSession, emb: DataFrame, tables: int, bits: int,
+    wide_cells: bool = False,
 ) -> DataFrame:
     """Narrow (vec_a, vec_b) candidate pairs: ids sharing a (table,
     bucket) cell in any of ``tables`` hash tables of ``bits`` bits.
@@ -228,6 +229,22 @@ def lsh_candidate_pairs(
         F.col("bucket").alias("bucket_b"),
         F.col("vec_id").alias("vec_b"),
     )
+    dp = spark.sparkContext.defaultParallelism
+    if wide_cells:
+        # Few-bit tables (the near-dup τ regime: 2^bits buckets/table,
+        # so a handful of HUGE cells): the join's INPUT is tiny narrow
+        # rows, so AQE coalesces the join read to a single partition by
+        # size — but the join's OUTPUT is the within-cell pair fan-out
+        # (measured: the whole fan-out + dedup map side ran as ONE
+        # 2.6 s task at sf0.1).  An explicit user-specified width is
+        # exempt from AQE coalescing and spreads the cells across the
+        # session's parallelism (guide §2.5: cost per OUTPUT row, not
+        # input bytes, decides this width).  Many-bit callers (knn
+        # join, cosine hist) have thousands of small cells and no
+        # fan-out problem — for them the extra exchanges measured as a
+        # pure loss, so the pin is opt-in.
+        a = a.repartition(dp, "tbl", "bucket")
+        b = b.repartition(dp, "tbl_b", "bucket_b")
     return (
         a.join(
             b,
@@ -237,6 +254,16 @@ def lsh_candidate_pairs(
         )
         .select("vec_a", "vec_b")
         .dropDuplicates(["vec_a", "vec_b"])
+        # restore full width for the CPU-bound scoring stage every
+        # consumer runs next: the deduped id-pairs are narrow (a few
+        # bytes/row), so AQE coalesces the post-dedup read to 1-10
+        # partitions by SIZE — and the per-pair cosine fold downstream
+        # is priced per ROW, so scoring was running near-serial
+        # (measured: 2.45 s single-task + 2.24 s ten-task stages at
+        # sf0.1).  One cheap narrow exchange re-spreads the pairs to
+        # the session's parallelism (guide §2.5 input-skew note: CPU
+        # cost per byte, not bytes, decides the width here).
+        .repartition(dp)
     )
 
 
@@ -473,7 +500,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature comparison is a higher-order-function lambda, which is
     # interpreted per joined row (no whole-stage codegen), and the join
     # output is ~2N² rows. The narrow dropDuplicates exchange wins.
-    cand = lsh_candidate_pairs(spark, emb, DEDUP_LSH_TABLES, DEDUP_LSH_BITS)
+    cand = lsh_candidate_pairs(
+        spark, emb, DEDUP_LSH_TABLES, DEDUP_LSH_BITS, wide_cells=True
+    )
     x = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),

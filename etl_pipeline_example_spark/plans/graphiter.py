@@ -107,7 +107,7 @@ edges2 AS (
 """
 
 
-def _cc_min_label(edges: DataFrame, dp: int) -> DataFrame:
+def _cc_min_label(edges: DataFrame, dp: int, bcast: bool = False) -> DataFrame:
     """Min-label propagation with pointer doubling — the loop certified
     in operators/cluster.connected_components (same semantics, same
     convergence probe), re-expressed with ``repartition(dp, key)`` at
@@ -121,6 +121,10 @@ def _cc_min_label(edges: DataFrame, dp: int) -> DataFrame:
         .union(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
         .repartition(dp, "b")
     )
+    # NOTE (r17 optimization round): lazy localCheckpoint (eager=False,
+    # probe materializes the checkpoint in the same job) was tried and
+    # MEASURED SLOWER (graph_cc 7.7 s -> 10.7 s at sf0.1): the
+    # checkpoint RDD compiles outside adaptive execution.  Eager stays.
     labels = (
         both.repartition(dp, "a")
         .groupBy(F.col("a").alias("node"))
@@ -131,17 +135,29 @@ def _cc_min_label(edges: DataFrame, dp: int) -> DataFrame:
         F.sum(F.col("component").cast("decimal(38,0)"))
     ).collect()[0][0]
     for _ in range(ITER_CAP):
+        # Under the size gate (bcast) every label-sized frame is
+        # BROADCAST into its join (guide §3.1): the per-round exchanges
+        # collapse to the single |E|-sized contribution fan-out, and the
+        # label tables never cross the wire.  Size-adaptive: at scale the
+        # gate fails and the repartition shape below runs unchanged.
         lab = labels.repartition(dp, "node")
+        neigh_join = (
+            both.join(F.broadcast(lab), both.b == lab.node)
+            if bcast
+            else both.join(lab, both.b == lab.node)
+        )
         neigh = (
-            both.join(lab, both.b == lab.node)
-            .select("a", "component")
+            neigh_join.select("a", "component")
             .repartition(dp, "a")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("neigh_min"))
         )
         stepped = (
-            labels.repartition(dp, "node")
-            .join(neigh, "node")
+            (
+                labels.join(F.broadcast(neigh), "node")
+                if bcast
+                else labels.repartition(dp, "node").join(neigh, "node")
+            )
             .select(
                 "node", F.least("component", "neigh_min").alias("component")
             )
@@ -150,8 +166,16 @@ def _cc_min_label(edges: DataFrame, dp: int) -> DataFrame:
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
         updated = (
-            stepped.repartition(dp, "component")
-            .join(hop.repartition(dp, "c_node"), F.col("component") == F.col("c_node"))
+            (
+                stepped.join(
+                    F.broadcast(hop), F.col("component") == F.col("c_node")
+                )
+                if bcast
+                else stepped.repartition(dp, "component").join(
+                    hop.repartition(dp, "c_node"),
+                    F.col("component") == F.col("c_node"),
+                )
+            )
             .select("node", F.least("component", "c_comp").alias("component"))
             .localCheckpoint()
         )
@@ -173,7 +197,11 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(component, n_parts): connected-component census of the repeat-
     co-purchase graph; component = min part key reachable."""
     dp = spark.sparkContext.defaultParallelism
-    comp = _cc_min_label(_co_edges(spark, sf_dir), dp)
+    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
+
+    comp = _cc_min_label(
+        _co_edges(spark, sf_dir), dp, bcast=_edges_broadcastable(sf_dir)
+    )
     return (
         comp.repartition(dp, "component")
         .groupBy("component")
