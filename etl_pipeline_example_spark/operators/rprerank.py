@@ -53,14 +53,29 @@ def _rpr_pattern() -> str:
     return "".join(_sign_pattern(j) for j in range(RPR_K))
 
 
-def _spark_proj(col: str) -> str:
-    big = _rpr_pattern()
-    return (
-        f"transform(sequence(0, {RPR_K - 1}), j -> {_RPR_SCALE} * "
-        f"aggregate(sequence(1, size({col})), cast(0 as double),"
-        f" (acc, i) -> acc + cast(element_at({col}, i) as double)"
-        f" * ({_sign_expr(big)})))"
-    )
+def _rpr_planes_df(spark: SparkSession):
+    """The RPR_K × RP_MAX_DIM ±1 sign matrix as ONE scalar row with an
+    array<array<double>> column, broadcast-cross-joined to the corpus.
+    The previous form decoded each sign with a substring into a
+    2048-char string LITERAL inside the fold lambda — ~4M interpreted
+    substring+compare evals per corpus pass at sf0.1 (the same hazard
+    class as the array-literal pitfall; guide §4.2).  Sign values are
+    the identical ±1.0 doubles, the fold order is unchanged, so every
+    projected component is bit-identical."""
+    pvs = [
+        [1.0 if c == "1" else -1.0 for c in _sign_pattern(j)]
+        for j in range(RPR_K)
+    ]
+    return spark.createDataFrame([(pvs,)], "pvs array<array<double>>")
+
+
+_SPARK_PROJ_PVS = (
+    f"transform(sequence(0, {RPR_K - 1}), j -> {_RPR_SCALE} * "
+    "aggregate(zip_with(embedding,"
+    " slice(element_at(pvs, j + 1), 1, size(embedding)),"
+    " (x, p) -> cast(x as double) * p),"
+    " cast(0 as double), (acc, v) -> acc + v))"
+)
 
 
 def _duck_proj(col: str) -> str:
@@ -89,7 +104,10 @@ def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "embeddings", parallel=True), "embedding", "nrm"
     ).filter(F.col("nrm") > 0)
     proj = tracked_persist(
-        emb.select("vec_id", "embedding", "nrm", F.expr(_spark_proj("embedding")).alias("proj"))
+        emb.crossJoin(F.broadcast(_rpr_planes_df(spark))).select(
+            "vec_id", "embedding", "nrm",
+            F.expr(_SPARK_PROJ_PVS).alias("proj"),
+        )
     )
     queries = proj.filter(F.col("vec_id") < ANN_NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"),
