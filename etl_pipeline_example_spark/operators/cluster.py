@@ -19,8 +19,8 @@ large-star/small-star, SoCC'14) makes label trees halve in height each
 round, so convergence is O(log diameter) — 2-3 rounds on the clique-ish
 blobs near-dup graphs produce, and a long chain of chained near-dups
 can't push it past the cap. Labels are ``localCheckpoint``-ed per round:
-the plan each round is 3 bounded shuffles over (node, component), never a
-lineage that grows with round count (Catalyst re-planning over an
+the plan each round is 2 bounded joins + 1 aggregation over
+(node, component), never a lineage that grows with round count (Catalyst re-planning over an
 iterated lineage is the classic silent O(rounds²) driver cost).
 Initialization folds the first propagation in (labels start at
 min(self, neighbours)); convergence is detected by the monotone label
@@ -79,23 +79,32 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # until the fixed point — an aggregate-only convergence probe, no join
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(ITER_CAP):
-        # 1) neighbour minimum (sym graph ⇒ every node appears as `a`)
-        neigh = (
-            both.join(labels, both.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("neigh_min"))
-        )
-        stepped = labels.join(neigh, "node").select(
-            "node", F.least("component", "neigh_min").alias("component")
+        # Two-join round (opt round r17): the old shape materialized a
+        # `stepped` frame (labels ⋈ neigh) and then pointer-doubled on
+        # it — 3 joins per round, with the stepped subtree planned
+        # twice. Folding the self-label into the neighbour aggregation
+        # via union and doubling on the PREVIOUS round's labels yields
+        # min(self, neigh labels, label(label)) in 2 joins + 1 groupBy.
+        # Same monotone update, same fixed point (min reachable id),
+        # verified label-identical; doubling on one-round-older labels
+        # can at worst add one (cheap) round, still O(log diameter).
+        # 1) neighbour labels (sym graph ⇒ every node appears as `a`)
+        contrib_n = both.join(labels, both.b == labels.node).select(
+            F.col("a").alias("node"), "component"
         )
         # 2) pointer doubling: follow the label one hop (components are
         # always node ids, so the self-join always hits)
-        hop = stepped.select(
+        hop = labels.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
+        contrib_p = labels.join(hop, labels.component == hop.c_node).select(
+            "node", F.col("c_comp").alias("component")
+        )
         updated = (
-            stepped.join(hop, stepped.component == hop.c_node)
-            .select("node", F.least("component", "c_comp").alias("component"))
+            contrib_n.union(contrib_p)
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
         new_sum = updated.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
