@@ -31,6 +31,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.streaming.events import _start_drained
+
 from etl_pipeline_example_spark.operators.cmsketch import (
     CMS_D,
     CMS_K,
@@ -63,15 +65,14 @@ def stream_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     sink = f"stream_cms_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_drained(
         counters_stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     counters = spark.table(sink)
     topk = (
         read_table(spark, sf_dir, "events")

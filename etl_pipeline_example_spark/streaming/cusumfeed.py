@@ -30,6 +30,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.streaming.events import _start_drained
+
 from etl_pipeline_example_spark.operators.cusum import (
     EVENTS_CUSUM_SHIFT_SQL,
 )
@@ -59,15 +61,14 @@ def stream_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("x"))
     )
     sink = f"stream_cusum_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_drained(
         daily.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     grid = spark.table(sink)
     # per-group scalars as partition windows over the SAME bounded grid
     # (a groupBy+self-join of a memory sink trips Spark's conflicting-

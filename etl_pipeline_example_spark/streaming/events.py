@@ -51,6 +51,48 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+@contextmanager
+def _skip_final_nodata_batch(spark: SparkSession):
+    """Scoped ``noDataMicroBatches.enabled=false`` for AvailableNow drains
+    whose trailing no-data micro-batch provably cannot add sink rows.
+
+    After the file source is exhausted the engine schedules one extra
+    empty batch to advance the watermark; that batch costs a full
+    incremental re-plan plus a commit of every state store (~1 s per
+    drain here) and can only affect the sink when (a) an append-mode
+    WATERMARKED AGGREGATION still holds unflushed windows, or (b) a
+    stateful op has event/processing-time TIMEOUTS to fire. No drained
+    query in this package is either: aggregations drain in complete or
+    update mode (complete re-emits identical full state, update emits
+    only deltas — an empty batch has none), stream-stream joins are
+    inner+append (rows emit at match time; the final batch only evicts
+    state that the throwaway checkpoint discards anyway), and both
+    ``applyInPandasWithState`` ops run ``GroupStateTimeout.NoTimeout``.
+    A 24/7 deployment must NOT use this: there the no-data batch is what
+    bounds state between bursts and flushes append-mode windows.
+    """
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def _start_drained(writer, spark: SparkSession):
+    """Start an AvailableNow ``DataStreamWriter`` under
+    ``_skip_final_nodata_batch`` and block until the drain finishes.
+
+    The conf must be live at ``start()`` (the query captures its session
+    conf then), which is why the writer is passed unstarted.
+    """
+    with _skip_final_nodata_batch(spark):
+        q = writer.start()
+        q.awaitTermination()
+    return q
+
+
 def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window aggregation as a stream over the events
     parquet, drain with AvailableNow, and return the final result.
@@ -72,7 +114,7 @@ def stream_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_events_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -117,7 +159,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select(F.expr(f"md5({spark_norm_text('text')})").alias("content_hash"))
     deduped = hashed.dropDuplicates(["content_hash"])
     sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(sink)
@@ -156,7 +198,7 @@ def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -196,7 +238,7 @@ def stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             agg.writeStream.format("memory")
             .queryName(sink)
@@ -263,7 +305,7 @@ def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)").alias("lag_us"),
     )
     sink = f"stream_join_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)

@@ -36,6 +36,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.streaming.events import _start_drained
+
 from etl_pipeline_example_spark.operators.hashing import spark_hexint
 from etl_pipeline_example_spark.operators.hll import (
     HLL_P,
@@ -75,15 +77,14 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("occ"))
     )
     sink = f"stream_hll_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_drained(
         cells.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     drained = spark.table(sink).select("register", "w")
     ladder = F.broadcast(
         spark.createDataFrame(

@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.streaming.events import _start_drained
+
 from etl_pipeline_example_spark.operators.hashing import (
     duck_hexint,
     spark_hexint,
@@ -70,15 +72,14 @@ def stream_kmv_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_kmv_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_drained(
         regs_stream.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     return (
         spark.table(sink)
         .select("grp", "register", "min_hash", "n_events")

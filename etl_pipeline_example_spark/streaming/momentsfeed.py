@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.streaming.events import _start_drained
+
 _DEC = "decimal(38,0)"
 
 
@@ -68,15 +70,14 @@ def stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_moments_{uuid.uuid4().hex[:8]}"
-    q = (
+    q = _start_drained(
         agg.writeStream.format("memory")
         .queryName(sink)
         .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
+        spark,
     )
-    q.awaitTermination()
     return (
         spark.table(sink)
         .select(

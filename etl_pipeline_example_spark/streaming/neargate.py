@@ -165,11 +165,12 @@ def _gate_flags(
     sink = f"{sink_prefix}_{uuid.uuid4().hex[:8]}"
     from etl_pipeline_example_spark.streaming.events import (
         _scoped_shuffle_partitions,
+        _skip_final_nodata_batch,
     )
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
-        with _scoped_shuffle_partitions(spark, GATE_STATE_PARTITIONS):
+        with _scoped_shuffle_partitions(spark, GATE_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
             q = (
                 flagged.writeStream.format("memory")
                 .queryName(sink)

@@ -113,10 +113,11 @@ def stream_shard_feed(
     from etl_pipeline_example_spark.streaming.events import (
         STREAM_STATE_PARTITIONS,
         _scoped_shuffle_partitions,
+        _skip_final_nodata_batch,
     )
 
     sink = f"stream_shard_feed_{uuid.uuid4().hex[:8]}"
-    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+    with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
         q = (
             assigned.writeStream.format("memory")
             .queryName(sink)

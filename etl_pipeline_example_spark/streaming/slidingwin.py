@@ -39,6 +39,7 @@ from etl_pipeline_example_spark.sources.readers import read_events_stream
 from etl_pipeline_example_spark.streaming.events import (
     STREAM_STATE_PARTITIONS,
     _scoped_shuffle_partitions,
+    _skip_final_nodata_batch,
 )
 
 
@@ -66,7 +67,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_")
     try:
-        with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS):
+        with _scoped_shuffle_partitions(spark, STREAM_STATE_PARTITIONS), _skip_final_nodata_batch(spark):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(sink)
