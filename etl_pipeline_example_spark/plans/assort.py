@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.simcore import tracked_persist
-from etl_pipeline_example_spark.plans.graph import _EDGES_SQL, _degrees, _edges
+from etl_pipeline_example_spark.plans.graph import (
+    _EDGES_SQL,
+    _degrees,
+    _edges,
+    _edges_broadcastable,
+)
 
 
 def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,12 +56,27 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dx = degrees.select(F.col("p").alias("src"), F.col("deg").alias("x"))
     dy = degrees.select(F.col("p").alias("dst"), F.col("deg").alias("y"))
+    if _edges_broadcastable(sf_dir):
+        # Both endpoint joins probe the |V|-sized degree table, which
+        # the lineitem-size gate bounds the same way it bounds |E|
+        # (guide §3.1): broadcasting it turns the two repartition +
+        # shuffle-join exchanges into map-side hash joins, so the one
+        # remaining pass is the cached edge list read twice (the two
+        # orientations) folding straight into the map-side-combined
+        # moment aggregate.  At 100 TB the gate fails and the shuffled
+        # shape below runs unchanged.
+        joined = directed.join(F.broadcast(dx), "src").join(
+            F.broadcast(dy), "dst"
+        )
+    else:
+        joined = (
+            directed.repartition(dp, "src")
+            .join(dx, "src")
+            .repartition(dp, "dst")
+            .join(dy, "dst")
+        )
     moments = (
-        directed.repartition(dp, "src")
-        .join(dx, "src")
-        .repartition(dp, "dst")
-        .join(dy, "dst")
-        .agg(
+        joined.agg(
             F.count(F.lit(1)).alias("n_directed"),
             F.sum(F.expr("cast(x as decimal(38,0))")).alias("sum_x"),
             F.sum(

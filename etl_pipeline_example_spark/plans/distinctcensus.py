@@ -42,7 +42,32 @@ def dq_distinct_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     column of every testdata table — one Expand pass per table."""
     outs = []
     for tbl, cols in _TABLES.items():
+        # Widen the Expand pass for any non-trivial input: each
+        # single-file testdata table scans as ONE partition, and the
+        # multi-distinct Expand (rows × audited columns) plus its
+        # partial aggregate ran INSIDE the scan stage — measured as a
+        # serial 2.4 s single-task job at sf0.1 (the whole census was
+        # ~20 sequential 1-task jobs).  A HASH exchange on the first
+        # audited column (the table's key — high-cardinality, so it
+        # spreads evenly) moves the raw bytes once WITHOUT round-
+        # robin's sort-before-repartition, and the Expand runs at
+        # session width (guide §2.5: width must follow per-row cost,
+        # not bytes).  Tiny dimension tables stay single-task — a
+        # 32-way exchange of 5 rows is pure scheduler overhead.
+        import os as _os
+
         df = read_table(spark, sf_dir, tbl)
+        try:
+            big = (
+                _os.path.getsize(_os.path.join(sf_dir, f"{tbl}.parquet"))
+                >= 512 << 10
+            )
+        except OSError:
+            big = True  # non-local path: assume big
+        if big:
+            df = df.repartition(
+                spark.sparkContext.defaultParallelism, cols[0]
+            )
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
             F.countDistinct(F.col(c)).alias(f"__d{i}")
             for i, c in enumerate(cols)

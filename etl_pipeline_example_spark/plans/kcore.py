@@ -51,6 +51,9 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the budget, so the flag reads true at every graded scale
     and the bounded answer IS the exact core."""
     dp = spark.sparkContext.defaultParallelism
+    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
+
+    bcast = _edges_broadcastable(sf_dir)
     edges = _co_edges(spark, sf_dir)
     sym = tracked_persist(
         edges.select(F.col("u").alias("c"), F.col("v").alias("n"))
@@ -60,27 +63,56 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(dp, "c")
     )
+
+    def _core_deg(alive_df: DataFrame, out: str) -> DataFrame:
+        """Degrees of sym restricted to alive×alive survivors.
+
+        Under the lineitem-size gate (the graph.py broadcast
+        discipline) BOTH survivor semi-joins probe a broadcast of the
+        ≤|V|-row alive set, so a round is ONE map-side pass over the
+        cached sym: sym stays hash(c, dp)-partitioned, broadcast joins
+        preserve that, and the groupBy("c") reuses it — zero exchanges
+        per round instead of three (guide §2.4/§3.1).  At 100 TB the
+        gate fails and the keyed-exchange shape runs unchanged.
+        """
+        if bcast:
+            joined = sym.join(
+                F.broadcast(alive_df.select(F.col("node").alias("c"))), "c"
+            ).join(
+                F.broadcast(alive_df.select(F.col("node").alias("n"))), "n"
+            )
+        else:
+            # repartition(dp, key) at every chain head (the graphiter
+            # width-bounding discipline): under a vanilla session each
+            # of the two joins + the groupBy would otherwise inherit
+            # the 200-partition shuffle default — 6 rounds × ~3
+            # exchanges of tiny node-sized frames at 200 tasks each was
+            # pure scheduler overhead (56 s → ~14 s at sf0.01 in the
+            # driver's harness).  sym is persisted hash(c, dp), so the
+            # c-join and the final groupBy add no new exchange once
+            # their other head matches.
+            joined = (
+                sym.join(
+                    alive_df.select(F.col("node").alias("c")).repartition(
+                        dp, "c"
+                    ),
+                    "c",
+                )
+                .repartition(dp, "n")
+                .join(
+                    alive_df.select(F.col("node").alias("n")).repartition(
+                        dp, "n"
+                    ),
+                    "n",
+                )
+                .repartition(dp, "c")
+            )
+        return joined.groupBy("c").agg(F.count(F.lit(1)).alias(out))
+
     alive = sym.select(F.col("c").alias("node")).distinct()
     counts = []
     for _ in range(KCORE_ROUNDS):
-        # repartition(dp, key) at every chain head (the graphiter
-        # width-bounding discipline): under a vanilla session each of
-        # the two joins + the groupBy would otherwise inherit the
-        # 200-partition shuffle default — 6 rounds × ~3 exchanges of
-        # tiny node-sized frames at 200 tasks each was pure scheduler
-        # overhead (56 s → ~14 s at sf0.01 in the driver's harness).
-        # sym is persisted hash(c, dp), so the c-join and the final
-        # groupBy add no new exchange once their other head matches.
-        a_c = alive.select(F.col("node").alias("c")).repartition(dp, "c")
-        a_n = alive.select(F.col("node").alias("n")).repartition(dp, "n")
-        deg = (
-            sym.join(a_c, "c")
-            .repartition(dp, "n")
-            .join(a_n, "n")
-            .repartition(dp, "c")
-            .groupBy("c")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
+        deg = _core_deg(alive, "deg")
         # localCheckpoint truncates the lineage each round (the
         # graph_cc discipline): without it the logical plan DOUBLES
         # per round — 2^R copies of the co-edge subtree blew the
@@ -90,16 +122,7 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         counts.append(alive.count())  # bounded driver scalar per round
     converged = counts[-1] == counts[-2]
-    final_deg = (
-        sym.join(
-            alive.select(F.col("node").alias("c")).repartition(dp, "c"), "c"
-        )
-        .repartition(dp, "n")
-        .join(alive.select(F.col("node").alias("n")).repartition(dp, "n"), "n")
-        .repartition(dp, "c")
-        .groupBy("c")
-        .agg(F.count(F.lit(1)).alias("core_deg"))
-    )
+    final_deg = _core_deg(alive, "core_deg")
     return final_deg.select(
         F.col("c").alias("node"),
         "core_deg",

@@ -36,8 +36,18 @@ def q_mutual_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_custkey, p_partkey, pair_spend): pairs where the part is the
     customer's top part by spend and the customer is the part's top
     customer, deterministic (spend DESC, key) tie-breaks."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey", "l_extendedprice"
+    # Hash-repartition on the JOIN key: the single-file lineitem scan
+    # is ONE partition, so the join probe + (custkey, partkey) partial
+    # aggregate ran as a near-serial ~1 s stage at sf0.1 (profiler).
+    # The keyed exchange moves the three pruned columns once, skips
+    # round-robin's sort-before-repartition, and doubles as the join's
+    # required clustering, so the wide join stage adds no new exchange
+    # (guide §2.4/§2.5).
+    dp = spark.sparkContext.defaultParallelism
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .repartition(dp, "l_orderkey")
     )
     orders = read_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey"
