@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.hashing import duck_hexint, spark_hexint
 from etl_pipeline_example_spark.operators.kmeans import KMEANS_ASSIGN_SQL, kmeans_assign
+from etl_pipeline_example_spark.operators.simcore import tracked_persist
 from etl_pipeline_example_spark.sources.readers import read_table
 
 SPLIT_MOD = 100  # hash buckets: 0-97 train, 98 val, 99 test
@@ -45,7 +46,10 @@ def cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings", parallel=True).select(
         "vec_id", "label"
     )
-    cont = (
+    # persisted: the K×labels contingency table feeds BOTH the totals
+    # aggregate and the majority window — unpersisted, the kmeans
+    # assignment join ran twice inside the one result job.
+    cont = tracked_persist(
         assign.join(emb, "vec_id")
         .groupBy("cluster_id", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))

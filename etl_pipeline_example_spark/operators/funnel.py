@@ -119,11 +119,22 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cap_rank") <= DOMAIN_CAP)
     )
 
+    # One count job per frame (each count below fed two report cells —
+    # the duplicate .count() calls were extra scheduler round-trips),
+    # and the independent train.count() overlaps the s1→s4 chain from a
+    # driver thread (guide §2.6: back-fill the stage tail with the next
+    # independent job; job descriptions are thread-local).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_train = pool.submit(train.count)
+        n1, n2, n3, n4 = s1.count(), s2.count(), s3.count(), s4.count()
+        n_train = fut_train.result()
     counts = [
-        ("1_c4_gate", train.count(), s1.count()),
-        ("2_exact_dedup", s1.count(), s2.count()),
-        ("3_decontam", s2.count(), s3.count()),
-        ("4_domain_cap", s3.count(), s4.count()),
+        ("1_c4_gate", n_train, n1),
+        ("2_exact_dedup", n1, n2),
+        ("3_decontam", n2, n3),
+        ("4_domain_cap", n3, n4),
     ]
     return spark.createDataFrame(counts, "stage string, n_in bigint, n_kept bigint")
 

@@ -100,16 +100,47 @@ def _with_norm(df: DataFrame, vec: str, out: str) -> DataFrame:
 # over a released cache silently recomputes.
 
 _LIVE_CACHES: list[DataFrame] = []
+_HOLD_DEPTH = 0
 
 
 def release_similarity_caches() -> None:
-    """Unpersist every cache registered by prior similarity operators."""
+    """Unpersist every cache registered by prior similarity operators.
+
+    Inside a ``hold_similarity_caches()`` scope this is a no-op: a
+    COMPOSITE operator (retrieval_agreement, ann_recall_matrix, ...)
+    builds one plan out of several sub-operators, and the second
+    sub-operator's entry release would otherwise unpin the first's
+    still-referenced caches BEFORE the composite ever materializes —
+    every reference then silently recomputes the whole sub-pipeline
+    (measured: the recompute, not the scoring, dominated those
+    queries). The hold keeps every sub-cache live until the composite
+    is done; the NEXT top-level operator's entry release drops them.
+    """
+    if _HOLD_DEPTH:
+        return
     while _LIVE_CACHES:
         df = _LIVE_CACHES.pop()
         try:
             df.unpersist()
         except Exception:  # session already stopped — nothing to release
             pass
+
+
+class hold_similarity_caches:
+    """Context manager for composite operators: release the PREVIOUS
+    top-level operator's caches once on entry, then suppress release so
+    each sub-operator's caches survive to the composite's single
+    materialization (lazy — no eager barrier; the caches fill during
+    the consumer's one action and serve every plan reference)."""
+
+    def __enter__(self) -> None:
+        global _HOLD_DEPTH
+        release_similarity_caches()
+        _HOLD_DEPTH += 1
+
+    def __exit__(self, *exc: object) -> None:
+        global _HOLD_DEPTH
+        _HOLD_DEPTH -= 1
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:

@@ -86,6 +86,27 @@ def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(col_a, col_b, r): the 6-pair Pearson matrix over lineitem's
     numeric columns, bit-exact from decimal moments."""
     li = read_table(spark, sf_dir, "lineitem").select(*COLS)
+    # Widen the moment pass for any non-trivial input: the single-file
+    # testdata table scans as ONE partition, and the 15 decimal
+    # multiply/cast/sum cells ran serially inside that scan task
+    # (guide §2.5: width must follow per-row cost, not bytes). A HASH
+    # exchange on the high-cardinality price column moves only the 4
+    # pruned columns once and the partial aggregate runs at session
+    # width; decimal sums are associative, so any partitioning yields
+    # the identical exact state. Tiny inputs stay single-task.
+    import os as _os
+
+    try:
+        big = (
+            _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet"))
+            >= 512 << 10
+        )
+    except OSError:
+        big = True  # non-local path: assume big
+    if big:
+        li = li.repartition(
+            spark.sparkContext.defaultParallelism, "l_extendedprice"
+        )
     moments = li.groupBy().agg(
         *[F.expr(e).alias(al) for e, al in _moment_exprs()]
     )
