@@ -101,6 +101,13 @@ def bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(par, "term")
     )
+    # Eager fill: the two PRF passes hold ~9 independent plan
+    # references to big-derived subtrees, and before the cache filled
+    # each materialized its OWN copy of the tokenize+bigram+explode
+    # spine (profiler: nine concurrent ~380 ms duplicate 65-task jobs
+    # saturating the session). One count() fills the cache exactly
+    # once; every consumer below then reads it.
+    big.count()
     cand = big.filter(F.col("source") != EVAL_SOURCE)
     cstats = F.broadcast(
         read_table(spark, sf_dir, "documents")
@@ -111,16 +118,22 @@ def bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dl").alias("len_total"),
         )
     )
-    postings = cand.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).alias("tf")
+    # persisted: postings and rare feed BOTH scoring passes (and rare
+    # additionally the vote gate), qterms feeds pass 1 + votes + the
+    # pass-2 union — unpersisted, each reference re-ran the aggregate
+    # over the cached spine as its own job.
+    postings = tracked_persist(
+        cand.groupBy("doc_id", "term", "dl").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
     )
     doc_terms = cand.select("doc_id", "term").distinct()
-    rare = (
+    rare = tracked_persist(
         doc_terms.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= BM25_DF_MAX)
     )
-    qterms = (
+    qterms = tracked_persist(
         big.filter(F.col("source") == EVAL_SOURCE)
         .select(F.col("doc_id").alias("query_id"), "term")
         .distinct()

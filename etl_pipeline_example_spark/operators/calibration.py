@@ -28,12 +28,10 @@ from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.dedup import (
     MH_NUM_HASHES,
-    MH_PRIME,
     MINHASH_PAIR_CTES,
-    _spark_shingle_table,
+    _minhash_signature_tables,
     dedup_minhash,
 )
-from etl_pipeline_example_spark.operators.hashing import spark_h32
 
 
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,21 +39,17 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_abs_err) over the verified pair set.
 
     Scale shape: the pair set is the (already candidate-bounded)
-    dedup_minhash output; signatures re-aggregate from the shingle
-    table exactly as the dedup does (map-side-combined 16-way min) and
-    join the pairs on doc id twice — pairs-bounded work throughout.
+    dedup_minhash output; signatures are the dedup's own persisted
+    signature table (cache-shared, not re-aggregated) and join the
+    pairs on doc id twice — pairs-bounded work throughout.
     """
     pairs = dedup_minhash(spark, sf_dir)
-    hashed = _spark_shingle_table(spark, sf_dir).select(
-        "doc_id",
-        F.expr(spark_h32("shingle", 1)).alias("h1"),
-        F.expr(spark_h32("shingle", 17)).alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
-            for i in range(MH_NUM_HASHES)
-        ]
+    # the signature table is the SAME aggregation dedup_minhash just
+    # built (and left persisted, module caching contract): reuse the
+    # cache instead of re-running shingle+hash+17-aggregate groupBy
+    _, sig = _minhash_signature_tables(spark, sf_dir)
+    sig = sig.select(
+        "doc_id", *[F.col(f"m{i}") for i in range(MH_NUM_HASHES)]
     )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),

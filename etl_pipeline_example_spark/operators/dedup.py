@@ -123,6 +123,35 @@ MH_TAU = 0.5
 MH_PRIME = 2147483647  # 2^31 - 1; h1 + 16*h2 < 2^37 — no 64-bit overflow
 
 
+def _minhash_signature_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, sig): the persisted shingle spine and the persisted
+    per-doc signature table (doc_id, n_sh, m0..m15).
+
+    Both persist (module caching contract above): ``sig`` alone has
+    THREE plan references inside ``dedup_minhash`` (band explode + both
+    shingle-count joins) and a fourth in ``minhash_calibration`` —
+    unpersisted, each reference re-ran the 17-aggregate groupBy over
+    the shingle table as its own concurrent job (profiler: a wave of
+    ~8 duplicate ~200 ms scan/aggregate jobs before any cache filled).
+    """
+    shingles = _spark_shingle_table(spark, sf_dir).persist()
+    hashed = shingles.select(
+        "doc_id",
+        F.expr(spark_h32("shingle", 1)).alias("h1"),
+        F.expr(spark_h32("shingle", 17)).alias("h2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
+            for i in range(MH_NUM_HASHES)
+        ],
+    ).persist()
+    return shingles, sig
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs, verified with exact Jaccard ≥ τ.
 
@@ -140,19 +169,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 hash functions for 1/16th the md5 cost, same theoretical minhash
     guarantees (Kirsch & Mitzenmacher, ESA'06).
     """
-    shingles = _spark_shingle_table(spark, sf_dir).persist()
-    hashed = shingles.select(
-        "doc_id",
-        F.expr(spark_h32("shingle", 1)).alias("h1"),
-        F.expr(spark_h32("shingle", 17)).alias("h2"),
-    )
-    sig = hashed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
-            for i in range(MH_NUM_HASHES)
-        ],
-    )
+    shingles, sig = _minhash_signature_tables(spark, sf_dir)
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),

@@ -102,7 +102,11 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp = spark.sparkContext.defaultParallelism
     bits = derived_lsh_bits(emb.count())
-    pairs = lsh_candidate_pairs(spark, emb, LSH_TABLES, bits)
+    # persisted: the symmetrize union below references `pairs` TWICE —
+    # unpersisted, the entire LSH candidate build (sign projection +
+    # bucket self-join + dedup) ran as two concurrent copies (profiler:
+    # 3×1.3 s duplicate projection jobs + 4×0.8 s duplicate join jobs).
+    pairs = tracked_persist(lsh_candidate_pairs(spark, emb, LSH_TABLES, bits))
     # symmetrize: each unordered candidate pair serves both endpoints.
     # repartition(dp, key) at each join head bounds the shuffle width
     # (vanilla 200-wide exchanges over narrow id-pair frames are pure

@@ -126,20 +126,25 @@ def train_quality_weights(
                     ).alias("sc")
                 )
             )
+            upd_df = (
+                scores.filter(F.expr("(y = 1) != (sc > 0)"))
+                .select("doc_id")
+                .join(feat, "doc_id")
+                .groupBy("b")
+                .agg(F.sum(F.expr("cast(y as bigint) * c")).alias("u"))
+            )
         else:
             # w0 = 0: every score is 0, so the misclassified set is
-            # exactly the positive-label docs
-            scores = feat.groupBy("doc_id", "y").agg(
-                F.lit(0).cast("bigint").alias("sc")
+            # exactly the positive-label docs — the per-bucket update
+            # Σ y·c over their feature rows reduces to ONE aggregation
+            # over the y=1 slice (y is constant per doc, so the doc_id
+            # score join the general round needs adds nothing here)
+            upd_df = (
+                feat.filter(F.expr("y = 1"))
+                .groupBy("b")
+                .agg(F.sum(F.expr("cast(y as bigint) * c")).alias("u"))
             )
-        upd = (
-            scores.filter(F.expr("(y = 1) != (sc > 0)"))
-            .select("doc_id")
-            .join(feat, "doc_id")
-            .groupBy("b")
-            .agg(F.sum(F.expr("cast(y as bigint) * c")).alias("u"))
-            .collect()  # bounded: <= QT_BUCKETS rows
-        )
+        upd = upd_df.collect()  # bounded: <= QT_BUCKETS rows
         for r in upd:
             w[int(r["b"])] = w.get(int(r["b"]), 0) + int(r["u"])
     return w

@@ -70,6 +70,11 @@ def q_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(dp, "l_orderkey")
         .distinct()
     )
+    # Eager fill: the basket spine has 7 plan references below (both
+    # pair-join sides twice over, plus the third-item probe) — before
+    # the cache filled they raced as four duplicate ~830 ms 32-task
+    # scan+distinct jobs (profiler). One count() fills the cache once.
+    li.count()
     pair_inst = (
         li.alias("a")
         .join(li.alias("b"), "l_orderkey")

@@ -90,6 +90,15 @@ def _incoming_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .filter(F.col("doc_id") >= INCR_SPLIT)
+        # widen BEFORE the tokenize+md5 signing chain: a single-file
+        # micro-batch scans as ONE task, and the whole per-row scalar
+        # minhash pass (2 md5 per shingle + 16 zip_with mins) ran
+        # serially inside it — measured 2.0 s of the gate's 3.1 s warm
+        # addBatch (guide §2.5: width follows per-row cost, not bytes).
+        # The exchange moves only the raw batch rows once; explicit
+        # width is exempt from the scoped 8-partition state conf, and
+        # state partitioning (shuffle.partitions) is untouched.
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.expr(spark_tokens("text")).alias("tk"))
         .filter(F.expr(f"size(tk) >= {SHINGLE_K}"))
         .select(
