@@ -79,6 +79,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(par, "sh")
         .distinct()
     )
+    # Eagerly filled: the five plan references (sizes, df aggregate,
+    # rare join, both exact-scoring sides) raced ~8 concurrent copies
+    # of the tokenize+md5 shingle build before the cache filled
+    # (profiler: eight near-identical ~0.5 s 32-task jobs). One count
+    # runs the spine exactly once; every consumer reads the cache AND
+    # reuses its (sh) hash partitioning.
+    shingles.count()
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = (
         shingles.groupBy("sh")

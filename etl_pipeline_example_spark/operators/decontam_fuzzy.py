@@ -87,13 +87,23 @@ def contamination_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(spark_h32("shingle", 1)).alias("h1"),
         F.expr(spark_h32("shingle", 17)).alias("h2"),
     )
-    sig = hashed.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
-            for i in range(MH_NUM_HASHES)
-        ],
+    sig = tracked_persist(
+        hashed.groupBy("doc_id", "source").agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            *[
+                F.min(F.expr(f"(h1 + {i + 1} * h2) % {MH_PRIME}")).alias(f"m{i}")
+                for i in range(MH_NUM_HASHES)
+            ],
+        )
     )
+    # The 17-aggregate signature table feeds FOUR plan references (both
+    # band sides via t/e, both n_sh count sides via ct/ce); unpersisted,
+    # the tokenize+shingle+hash spine and the signature aggregation each
+    # materialized several concurrent copies before any cache filled
+    # (profiler: six ~1.2 s duplicate shingle jobs + four 1.8-4.8 s
+    # duplicate aggregate jobs). One eager fill of the narrow scalar
+    # rows runs the spine exactly once — the dedup_minhash discipline.
+    sig.count()
     band_cols = [
         F.struct(
             F.lit(j).alias("band"),

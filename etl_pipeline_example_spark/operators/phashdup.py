@@ -52,8 +52,14 @@ def multimodal_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "hash_lo", "hash_hi"
     )
     # persisted: the self-join consumes bands twice — without the
-    # persist every candidate probe re-runs the PNG decode+hash pass
-    bands = tracked_persist(hashes).selectExpr(
+    # persist every candidate probe re-runs the PNG decode+hash pass.
+    # Eagerly filled: before the fill, the self-join's two sides raced
+    # two CONCURRENT copies of the mapInPandas decode (profiler: 1.8 s
+    # + 1.1 s duplicate 32-task decode jobs); the count runs the decode
+    # exactly once and everything downstream reads the 3-column cache.
+    hashes_cached = tracked_persist(hashes)
+    hashes_cached.count()
+    bands = hashes_cached.selectExpr(
         "doc_id",
         "hash_lo",
         "hash_hi",

@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.operators.simcore import tracked_persist
 from etl_pipeline_example_spark.sources.readers import read_table
 
 _LIFT = (
@@ -56,7 +57,7 @@ def q_dim_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
-    cells = (
+    cells = tracked_persist(
         li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -64,6 +65,12 @@ def q_dim_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "nation")
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
+    # The ≤ brands×nations cell table feeds FOUR plan references (cells
+    # itself, both marginals, the total); unpersisted, the fact-side
+    # 4-join pipeline materialized four times concurrently before any
+    # reuse could kick in (profiler: 4 near-identical 32-task jobs).
+    # One eager fill of the tiny aggregated panel scans the corpus once.
+    cells.count()
     b_tot = cells.groupBy("p_brand").agg(F.sum("cell_cnt").alias("b_cnt"))
     n_tot = cells.groupBy("nation").agg(F.sum("cell_cnt").alias("n_cnt"))
     total = cells.agg(F.sum("cell_cnt").alias("n_total"))
