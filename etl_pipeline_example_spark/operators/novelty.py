@@ -33,6 +33,7 @@ from etl_pipeline_example_spark.operators.hashing import (
     spark_tokens,
 )
 from etl_pipeline_example_spark.operators.kmeans import KMEANS_ASSIGN_SQL, kmeans_assign
+from etl_pipeline_example_spark.operators.simcore import tracked_persist
 from etl_pipeline_example_spark.sources.readers import read_table
 
 OUTLIER_PCTL = 0.95
@@ -117,7 +118,14 @@ def embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale swap in approx_percentile, the dq_profile_approx pattern)
     broadcast-joined back; the flag is a scan filter.
     """
-    assign = kmeans_assign(spark, sf_dir)
+    # persisted + eagerly filled: both the percentile aggregate and the
+    # flag join reference `assign`, and unpersisted each reference
+    # re-ran the ENTIRE two-iteration Lloyd pipeline (profiler: the
+    # assignment-pass and means jobs appeared twice). The cached frame
+    # is three narrow scalars per vector; the recompute is two corpus
+    # broadcast passes plus an explode-aggregate.
+    assign = tracked_persist(kmeans_assign(spark, sf_dir))
+    assign.count()
     cuts = assign.groupBy("cluster_id").agg(
         F.expr(f"round(percentile(dist, {OUTLIER_PCTL}), 6)").alias("p95")
     )
