@@ -74,6 +74,12 @@ def events_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .coalesce(par)
     )
+    # Eagerly filled: the hour spine and the minute-level report both
+    # reference `mu`, and before the cache filled each raced its own
+    # copy of the one full-data shuffle (profiler: duplicate ~0.5 s
+    # 32-task jobs). The count runs the events scan exactly once; the
+    # derived hour/day spines then aggregate the cache.
+    mu.count()
     hu = tracked_persist(
         mu.groupBy(
             F.date_trunc("hour", F.col("bucket_ts")).alias("bucket_ts"), F.col("user_id")
