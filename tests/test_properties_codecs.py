@@ -137,7 +137,10 @@ def test_jpegprog_ac_scan_pair_roundtrips_random_blocks(bb):
     for zz in blocks:
         _encode_ac_first(st1, zz, ss, se, al)
     st1.flush_eobrun()
-    data1 = bw1.flush()
+    # the writer emits the ON-WIRE stuffed form (T.81 B.1.1.5: ff -> ff00);
+    # destuff before the bit reader exactly as the scan decoder does
+    # (jpegprog.decode_progressive strips ff00 before _BitReader)
+    data1 = bw1.flush().replace(b"\xff\x00", b"\xff")
 
     state = {"eobrun": 0}
     br = _BitReader(data1)
@@ -156,7 +159,7 @@ def test_jpegprog_ac_scan_pair_roundtrips_random_blocks(bb):
     for zz in blocks:
         _encode_ac_refine(st2, zz, ss, se, 0)
     st2.flush_eobrun()
-    data2 = bw2.flush()
+    data2 = bw2.flush().replace(b"\xff\x00", b"\xff")
 
     state2 = {"eobrun": 0}
     br2 = _BitReader(data2)
