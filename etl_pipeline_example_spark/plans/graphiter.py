@@ -115,10 +115,22 @@ def _cc_min_label(edges: DataFrame, dp: int, bcast: bool = False) -> DataFrame:
     relative to the corpus, and letting each round fan out to the
     session's default shuffle width is pure overhead (the
     plans/graph.py width-bounding discipline)."""
-    # the two directions are disjoint (u < v), so the union IS distinct
+    # the two directions are disjoint (u < v), so symmetrization needs no
+    # distinct. ONE inline explode instead of a two-branch union: the
+    # union referenced the persisted edge build twice, and before its
+    # cache filled both branches raced duplicate copies of the
+    # lineitem self-join (profiler: two near-identical ~260 ms 67-task
+    # jobs in the query head). Same row multiset.
     both = tracked_persist(
-        edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .union(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .repartition(dp, "b")
     )
     # NOTE (r17 optimization round): lazy localCheckpoint (eager=False,
@@ -140,43 +152,44 @@ def _cc_min_label(edges: DataFrame, dp: int, bcast: bool = False) -> DataFrame:
         # collapse to the single |E|-sized contribution fan-out, and the
         # label tables never cross the wire.  Size-adaptive: at scale the
         # gate fails and the repartition shape below runs unchanged.
+        #
+        # Round shape = 2 joins + 1 union-aggregation (the
+        # operators/cluster.connected_components restructure, r17): the
+        # old neigh→stepped→hop chain referenced the `stepped` subtree
+        # twice (probe side + broadcast hop build), so the full |E|
+        # neighbour aggregation materialized TWICE per round (profiler:
+        # two near-identical ~400 ms 131-task jobs every round).  Both
+        # contributions now derive from the PREVIOUS round's
+        # checkpointed labels — nothing recomputes; same monotone
+        # min-update, same fixed point (min reachable id); doubling on
+        # one-round-older labels can at worst add one cheap round.
         lab = labels.repartition(dp, "node")
         neigh_join = (
-            both.join(F.broadcast(lab), both.b == lab.node)
+            both.join(F.broadcast(labels), both.b == labels.node)
             if bcast
             else both.join(lab, both.b == lab.node)
         )
-        neigh = (
-            neigh_join.select("a", "component")
-            .repartition(dp, "a")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("neigh_min"))
-        )
-        stepped = (
-            (
-                labels.join(F.broadcast(neigh), "node")
-                if bcast
-                else labels.repartition(dp, "node").join(neigh, "node")
-            )
-            .select(
-                "node", F.least("component", "neigh_min").alias("component")
-            )
-        )
-        hop = stepped.select(
+        contrib_n = neigh_join.select(F.col("a").alias("node"), "component")
+        hop = labels.select(
             F.col("node").alias("c_node"), F.col("component").alias("c_comp")
         )
-        updated = (
-            (
-                stepped.join(
-                    F.broadcast(hop), F.col("component") == F.col("c_node")
-                )
-                if bcast
-                else stepped.repartition(dp, "component").join(
-                    hop.repartition(dp, "c_node"),
-                    F.col("component") == F.col("c_node"),
-                )
+        doubled_join = (
+            labels.join(F.broadcast(hop), F.col("component") == F.col("c_node"))
+            if bcast
+            else labels.repartition(dp, "component").join(
+                hop.repartition(dp, "c_node"),
+                F.col("component") == F.col("c_node"),
             )
-            .select("node", F.least("component", "c_comp").alias("component"))
+        )
+        contrib_p = doubled_join.select(
+            "node", F.col("c_comp").alias("component")
+        )
+        updated = (
+            contrib_n.union(contrib_p)
+            .union(labels)
+            .repartition(dp, "node")
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
         new_sum = updated.agg(
@@ -236,10 +249,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     PR_ITERS power-iteration steps over the repeat-co-purchase graph."""
     dp = spark.sparkContext.defaultParallelism
     edges = _co_edges(spark, sf_dir)
-    # symmetric adjacency + degrees: persisted, reused every iteration
+    # symmetric adjacency + degrees: persisted, reused every iteration.
+    # One inline explode, not a two-branch unionAll — the union's two
+    # references raced duplicate edge builds before the cache filled
+    # (the _cc_min_label fix; same row multiset).
     sym = tracked_persist(
-        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
-        .unionAll(edges.select(F.col("v").alias("s"), F.col("u").alias("d")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+                    F.struct(F.col("v").alias("s"), F.col("u").alias("d")),
+                )
+            ).alias("e")
+        )
+        .select("e.s", "e.d")
         .repartition(dp, "s")
     )
     deg = tracked_persist(
