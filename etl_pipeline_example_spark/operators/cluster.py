@@ -63,9 +63,17 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     own label, its neighbours' labels, and its label's label (pointer
     doubling — O(log diameter) rounds).
     """
+    # one inline explode, not a two-branch union (r17): the union
+    # referenced the (expensive) pair-graph subtree twice and raced
+    # duplicate copies of it before the persist filled
     both = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
     both = both.distinct().persist()
     # initialization folds the first propagation round in: every node
     # starts at min(self, min neighbour) — one groupBy instead of a full

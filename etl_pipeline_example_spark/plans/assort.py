@@ -51,9 +51,16 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = spark.sparkContext.defaultParallelism
     edges = _edges(spark, sf_dir)
     degrees = tracked_persist(_degrees(spark, edges))
-    directed = edges.selectExpr("u AS src", "v AS dst").unionAll(
-        edges.selectExpr("v AS src", "u AS dst")
-    )
+    # one inline explode, not a two-branch unionAll (r17): the union's
+    # two references raced duplicate edge builds before the cache filled
+    directed = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     dx = degrees.select(F.col("p").alias("src"), F.col("deg").alias("x"))
     dy = degrees.select(F.col("p").alias("dst"), F.col("deg").alias("y"))
     if _edges_broadcastable(sf_dir):

@@ -52,14 +52,19 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(layer, n_nodes, sum_node): nodes first reached at each BFS
     depth 0..K from the 3 smallest node ids of the co-order graph."""
     edges = _co_edges(spark, sf_dir)
+    # one inline explode, not a two-branch union (r17): the union's two
+    # references raced duplicate edge builds before the cache filled;
+    # nodes derive from bidir (src covers both endpoints), cutting the
+    # edge-frame references from four to K+1 reads of the filled cache
     bidir = edges.select(
-        F.col("u").alias("src"), F.col("v").alias("dst")
-    ).unionByName(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    nodes = edges.select(F.col("u").alias("node")).unionByName(
-        edges.select(F.col("v").alias("node"))
-    ).distinct()
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    nodes = bidir.select(F.col("src").alias("node")).distinct()
     seeds = nodes.orderBy("node").limit(BFS_SEEDS)
     # localCheckpoint per round (the graphiter/kcore discipline): round r
     # references dist_{r-1} TWICE (the union and the frontier filter), so

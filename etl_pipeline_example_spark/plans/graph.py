@@ -91,9 +91,11 @@ edges AS (
 
 def _degrees(spark: SparkSession, edges: DataFrame) -> DataFrame:
     dp = spark.sparkContext.defaultParallelism
+    # one inline explode, not a two-branch unionAll: the union's two
+    # references raced duplicate copies of the persisted edge self-join
+    # before its cache filled (r17; same row multiset)
     return (
-        edges.select(F.col("u").alias("p"))
-        .unionAll(edges.select(F.col("v").alias("p")))
+        edges.select(F.explode(F.array("u", "v")).alias("p"))
         .repartition(dp, "p")
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("deg"))

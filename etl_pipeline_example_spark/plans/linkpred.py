@@ -51,9 +51,18 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges within 2 hops."""
     dp = spark.sparkContext.defaultParallelism
     edges = _co_edges(spark, sf_dir)
+    # one inline explode, not a two-branch unionAll (r17): the union's
+    # two references raced duplicate edge builds before the cache filled
     sym = tracked_persist(
-        edges.select(F.col("u").alias("c"), F.col("v").alias("n"))
-        .unionAll(edges.select(F.col("v").alias("c"), F.col("u").alias("n")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+                )
+            ).alias("e")
+        )
+        .select("e.c", "e.n")
         .repartition(dp, "c")
     )
     # PERSISTED (tracked): deg is read twice, once per join side
