@@ -179,20 +179,53 @@ def _triangles_from(
         )
         .repartition(dp, "src")
     )
-    # wedges at the lowest vertex, closed by an original (u<v) edge
-    wedges = (
-        oriented.alias("e1")
-        .join(oriented.alias("e2"), "src")
-        .filter(F.expr("e1.dst < e2.dst"))
-        .selectExpr("e1.dst AS u", "e2.dst AS v")
-    )
     if bcast:
-        # wedges never leave their generating stage: the closure probe
-        # runs map-side against the broadcast edge hash
-        closed = wedges.join(F.broadcast(edges), ["u", "v"])
+        # EDGE-ITERATOR under the broadcast gate (guide §1.2 — change
+        # the algorithm before the constants): a triangle {x,y,z} has
+        # exactly one edge whose BOTH endpoints point at the third
+        # vertex (the two in-edges of the triangle's sink), so
+        # n_triangles = Σ over oriented edges |N⁺(src) ∩ N⁺(dst)|.
+        # The wedge self-join + closure probe materialized Σ d_out²
+        # wedge rows (the profiled 5.4 s single stage at sf0.1) only to
+        # count the survivors; the adjacency-array intersect does the
+        # identical Σ d_out² element-compares INSIDE one map-side
+        # operator — no wedge rows, no probe per wedge. adj is |E|
+        # longs grouped into ≤ √|E|-long arrays, bounded by the same
+        # input gate that already bounds broadcasting the edge list.
+        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+        closed = (
+            oriented.join(
+                F.broadcast(adj.select(F.col("src").alias("u_"), F.col("nb").alias("nb_u"))),
+                F.col("src") == F.col("u_"),
+            )
+            .join(
+                F.broadcast(adj.select(F.col("src").alias("v_"), F.col("nb").alias("nb_v"))),
+                F.col("dst") == F.col("v_"),
+                "left",
+            )
+            .select(
+                F.when(F.col("nb_v").isNull(), F.lit(0))
+                .otherwise(F.size(F.array_intersect("nb_u", "nb_v")))
+                .alias("n_common")
+            )
+        )
+        tri = closed.agg(
+            F.coalesce(F.sum(F.expr("cast(n_common as bigint)")), F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            )
+        )
     else:
+        # at scale the gate fails: keep the shuffled wedge-closure shape
+        # (Suri & Vassilvitskii) — wedge rows are 2 longs and the
+        # closure is a keyed join, the proven 100 TB plan
+        wedges = (
+            oriented.alias("e1")
+            .join(oriented.alias("e2"), "src")
+            .filter(F.expr("e1.dst < e2.dst"))
+            .selectExpr("e1.dst AS u", "e2.dst AS v")
+        )
         closed = wedges.repartition(dp, "u").join(edges, ["u", "v"])
-    tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     vstats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     verts = degrees.agg(F.count(F.lit(1)).alias("n_vertices"))
     return (
