@@ -67,107 +67,102 @@ PQ_TRAIN_ROUNDS = 2
 # ------------------------------------------------------ codebook training
 
 
+def _round6(x: float) -> float:
+    """Spark's round(double, 6): BigDecimal.valueOf(x).setScale(6,
+    HALF_UP).toDouble — BigDecimal.valueOf parses Double.toString's
+    shortest round-trip decimal, which is exactly what Python's repr
+    produces, so the two are bit-identical on finite doubles."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _dec12(x: float):
+    """Spark's cast(double as decimal(30,12)): shortest-repr decimal of
+    the double, HALF_UP-rounded to 12 fractional digits."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(Decimal("1E-12"), ROUND_HALF_UP)
+
+
+def _sqd_fold(a: list[float], b: list[float]) -> float:
+    """The _SPARK_SQDIST left fold: acc + (x-y)*(x-y) per element in
+    order, IEEE doubles throughout — Python floats ARE binary64 and the
+    op sequence is identical, so the result is bit-identical."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
 def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
     """Trained per-subspace codebook: (m, c_id, cw) with ``cw`` the
     ``PQ_SUB``-dim centroid of subspace ``m``'s cluster ``c_id``.
 
     Init = the round-5 hash-sample codebook (PQ_KC hash-smallest
-    non-query vectors, subsliced per m), now serving as the Lloyd INIT
-    rather than the final answer; ``PQ_TRAIN_ROUNDS`` refinement rounds
-    run over the bounded hash-ordered training set. Each round is ONE Spark
-    job — a broadcast assignment over the cached sample subvectors whose
-    argmin carries the subvector inside the min-struct ((dist, c_id) is
-    unique per group, so the array never decides the comparison),
-    reduced by PQ_SUB element-wise exact-decimal means. Empty cells keep
-    their previous codeword, so the codebook never shrinks. The
-    M×KC-row codebook state lives on the DRIVER between rounds (the
-    ``kmeans_fit`` orchestration pattern — collecting the bounded
-    quantizer state is what keeps each round one job instead of a chain
-    of cache fills); all heavy work — assignment and means — stays
-    distributed and bounded by the SAMPLE, not the corpus. The full
-    corpus only ever meets the final 128-row broadcast codebook. The
-    means use the same 6-dp-rounded order-independent arithmetic as the
-    oracle's explode-shaped CTEs, so both engines derive bit-identical
-    codewords."""
+    non-query vectors, subsliced per m) serving as the Lloyd INIT;
+    ``PQ_TRAIN_ROUNDS`` refinement rounds run over the bounded
+    hash-ordered training set. ONE distributed job touches the corpus:
+    the TakeOrdered collect of the PQ_TRAIN_N sample vectors (bounded
+    at any corpus size — the same driver-side quantizer-state pattern
+    the previous shape already used for the codebook between rounds).
+    The Lloyd rounds themselves run on the DRIVER over that 512×64
+    array (r17: the distributed form spent ~1 s per query in serial
+    single-task collect round-trips — sample scan, init scan, and one
+    job per round — for microseconds of arithmetic; guide §1.2).
+    Arithmetic is a literal replication of the previous Spark
+    expressions — the _SPARK_SQDIST left fold in IEEE doubles,
+    assignment argmin on (dist, c_id), per-(m, code, dim) means as
+    exact decimal(30,12) sums cast to double, everything 6-dp
+    HALF_UP-rounded — so the codebook is bit-identical (pinned by
+    tests/test_similarity_quality.py::test_pq_codewords_match_spark_
+    expression_training against the old in-cluster expression chain).
+    Empty cells keep their previous codeword, so the codebook never
+    shrinks. The full corpus only ever meets the final 128-row
+    broadcast codebook."""
     hexid = spark_hexint("cast(vec_id as string)")
-    m_df = F.broadcast(spark.range(PQ_M).select(F.col("id").cast("int").alias("m")))
-    cw_src = (
-        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
-        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
-        .limit(PQ_KC)
-    )
-    w_cw = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
-    cw_rows = cw_src.select(
-        (F.row_number().over(w_cw) - 1).alias("c_id"),
-        F.col("embedding").alias("cw_emb"),
-    )
-    # codeword c's subspace-m entry is that sample vector's m-th
-    # subvector, rounded like every other centroid
-    cw_local: dict[tuple[int, int], list[float]] = {
-        (r["m"], r["c_id"]): r["cw"]
-        for r in cw_rows.crossJoin(m_df)
-        .select(
-            "m",
-            "c_id",
-            F.expr(
-                f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
-                " x -> round(cast(x as double), 6))"
-            ).alias("cw"),
-        )
-        .collect()
-    }
-    # training sample: the PQ_TRAIN_N hash-smallest non-query vectors
-    # (includes the init codewords by construction). Disjoint from the
-    # query ids, bounded at any corpus size.
-    samp = (
+    samp_rows = (
         emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
         .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
         .limit(PQ_TRAIN_N)
-        .select("vec_id", "embedding")
+        .select("embedding")
+        .collect()
     )
-    # persisted: every training round re-reads the sample subvectors —
-    # without the cache each round re-scans the corpus parquet. Narrow
-    # (vec_id, m, 8-double) rows; coalesce(1) because the set is
-    # PQ_TRAIN_N × M rows by construction — Lloyd rounds over it are
-    # single-task jobs, not 32-task stages of scheduling overhead.
-    sub = tracked_persist(
-        samp.crossJoin(m_df)
-        .select(
-            "vec_id",
-            "m",
-            F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
-        )
-        .coalesce(1)
-    )
-    sqd = _SPARK_SQDIST.format(a="sv", b="cw")
-    mean_cols = [
-        F.expr(
-            f"round(cast(sum(cast(element_at(sv, {i + 1}) as {KMEANS_DECIMAL}))"
-            f" as double) / count(sv), 6)"
-        ).alias(f"mv{i}")
-        for i in range(PQ_SUB)
+    embs = [list(r["embedding"]) for r in samp_rows]
+    # init: codeword c's subspace-m entry is sample vector c's m-th
+    # subvector (PQ_KC ≤ PQ_TRAIN_N shares the ordering), rounded like
+    # every other centroid
+    cw_local: dict[tuple[int, int], list[float]] = {
+        (m, c): [_round6(x) for x in embs[c][m * PQ_SUB : (m + 1) * PQ_SUB]]
+        for m in range(PQ_M)
+        for c in range(min(PQ_KC, len(embs)))
+    }
+    subs = [
+        [v[m * PQ_SUB : (m + 1) * PQ_SUB] for m in range(PQ_M)] for v in embs
     ]
-    cw_schema = "m int, c_id int, cw array<double>"
     for _ in range(PQ_TRAIN_ROUNDS):
-        cw_df = spark.createDataFrame(
-            [(m, c, v) for (m, c), v in sorted(cw_local.items())], cw_schema
-        )
-        trained = (
-            sub.join(F.broadcast(cw_df), "m")
-            .select(
-                "vec_id", "m", F.expr(f"round({sqd}, 6)").alias("dist"), "c_id", "sv"
-            )
-            .groupBy("vec_id", "m")
-            .agg(F.min(F.struct("dist", "c_id", "sv")).alias("s"))
-            .select("m", F.col("s.c_id").alias("code"), F.col("s.sv").alias("sv"))
-            .groupBy("m", "code")
-            .agg(*mean_cols)
-            .collect()
-        )
-        for r in trained:  # empty cells keep the previous codeword
-            cw_local[(r["m"], r["code"])] = [r[f"mv{i}"] for i in range(PQ_SUB)]
+        cells: dict[tuple[int, int], list[list[float]]] = {}
+        for sv_m in subs:
+            for m in range(PQ_M):
+                sv = sv_m[m]
+                code = min(
+                    (
+                        (_round6(_sqd_fold(sv, cw)), c)
+                        for (mm, c), cw in cw_local.items()
+                        if mm == m
+                    )
+                )[1]
+                cells.setdefault((m, code), []).append(sv)
+        for (m, code), members in cells.items():
+            n = len(members)
+            cw_local[(m, code)] = [
+                _round6(float(sum(_dec12(sv[i]) for sv in members)) / n)
+                for i in range(PQ_SUB)
+            ]
     return spark.createDataFrame(
-        [(m, c, v) for (m, c), v in sorted(cw_local.items())], cw_schema
+        [(m, c, v) for (m, c), v in sorted(cw_local.items())],
+        "m int, c_id int, cw array<double>",
     )
 
 

@@ -460,3 +460,110 @@ def test_embed_normalize_produces_unit_vectors(spark):
         assert sorted(c["dim"] for c in comps) == list(range(1, len(comps) + 1))
         n = math.sqrt(sum(c["value"] * c["value"] for c in comps))
         assert abs(n - 1.0) < 1e-9, (vec_id, n)
+
+
+def test_pq_codewords_match_spark_expression_training(spark):
+    """The r17 driver-side Lloyd training must be BIT-IDENTICAL to the
+    previous in-cluster expression chain (the oracle's arithmetic):
+    assignment by round6(_SPARK_SQDIST fold) argmin on (dist, c_id),
+    means as exact decimal(30,12) sums cast to double, 6-dp HALF_UP."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_pipeline_example_spark.operators.hashing import spark_hexint
+    from etl_pipeline_example_spark.operators.pq import (
+        PQ_KC,
+        PQ_M,
+        PQ_SUB,
+        PQ_TRAIN_N,
+        PQ_TRAIN_ROUNDS,
+        _pq_codewords,
+    )
+    from etl_pipeline_example_spark.operators.simcore import (
+        ANN_NUM_QUERIES,
+        KMEANS_DECIMAL,
+        _SPARK_SQDIST,
+        _with_norm,
+    )
+    from etl_pipeline_example_spark.sources.readers import read_table
+
+    emb = _with_norm(
+        read_table(spark, "/root/testdata/sf0.01", "embeddings"), "embedding", "nrm"
+    )
+    got = {
+        (r["m"], r["c_id"]): list(r["cw"])
+        for r in _pq_codewords(spark, emb).collect()
+    }
+
+    # ---- the previous distributed expression chain, verbatim
+    hexid = spark_hexint("cast(vec_id as string)")
+    m_df = F.broadcast(spark.range(PQ_M).select(F.col("id").cast("int").alias("m")))
+    w_cw = Window.orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+    cw_rows = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(PQ_KC)
+        .select(
+            (F.row_number().over(w_cw) - 1).alias("c_id"),
+            F.col("embedding").alias("cw_emb"),
+        )
+    )
+    cw_local = {
+        (r["m"], r["c_id"]): r["cw"]
+        for r in cw_rows.crossJoin(m_df)
+        .select(
+            "m",
+            "c_id",
+            F.expr(
+                f"transform(slice(cw_emb, m * {PQ_SUB} + 1, {PQ_SUB}),"
+                " x -> round(cast(x as double), 6))"
+            ).alias("cw"),
+        )
+        .collect()
+    }
+    sub = (
+        emb.filter(F.col("vec_id") >= ANN_NUM_QUERIES)
+        .orderBy(F.expr(hexid).asc(), F.col("vec_id").asc())
+        .limit(PQ_TRAIN_N)
+        .select("vec_id", "embedding")
+        .crossJoin(m_df)
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB})").alias("sv"),
+        )
+        .coalesce(1)
+        .persist()
+    )
+    sqd = _SPARK_SQDIST.format(a="sv", b="cw")
+    mean_cols = [
+        F.expr(
+            f"round(cast(sum(cast(element_at(sv, {i + 1}) as {KMEANS_DECIMAL}))"
+            f" as double) / count(sv), 6)"
+        ).alias(f"mv{i}")
+        for i in range(PQ_SUB)
+    ]
+    cw_schema = "m int, c_id int, cw array<double>"
+    for _ in range(PQ_TRAIN_ROUNDS):
+        cw_df = spark.createDataFrame(
+            [(m, c, v) for (m, c), v in sorted(cw_local.items())], cw_schema
+        )
+        trained = (
+            sub.join(F.broadcast(cw_df), "m")
+            .select(
+                "vec_id", "m", F.expr(f"round({sqd}, 6)").alias("dist"), "c_id", "sv"
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct("dist", "c_id", "sv")).alias("s"))
+            .select("m", F.col("s.c_id").alias("code"), F.col("s.sv").alias("sv"))
+            .groupBy("m", "code")
+            .agg(*mean_cols)
+            .collect()
+        )
+        for r in trained:
+            cw_local[(r["m"], r["code"])] = [r[f"mv{i}"] for i in range(PQ_SUB)]
+    sub.unpersist()
+
+    assert set(got) == set(cw_local)
+    for key in cw_local:
+        assert got[key] == cw_local[key], (key, got[key], cw_local[key])
