@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.operators.simcore import hold_similarity_caches
 from etl_pipeline_example_spark.operators.similarity import (
     ANN_BRUTEFORCE_SQL,
     ANN_IVF_SQL,
@@ -51,7 +52,19 @@ _METHODS: list[tuple[str, Callable[[SparkSession, str], DataFrame]]] = [
 
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(method, n_queries, n_possible, n_hits, recall): recall@k of
-    each approximate ANN method against the exact brute-force top-k."""
+    each approximate ANN method against the exact brute-force top-k.
+
+    COMPOSITE: holds sub-operator caches (simcore) so ann_lsh/ann_ivf's
+    entry release does not unpin ann_bruteforce's tracked frames before
+    the matrix materializes — each sub-pipeline's caches fill once and
+    serve every plan reference. LAZY hold only (r17: eager persists of
+    the top-K frames here measured SLOWER — the barrier serialized jobs
+    the scheduler previously overlapped — and were reverted)."""
+    with hold_similarity_caches():
+        return _ann_recall_matrix(spark, sf_dir)
+
+
+def _ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
     rows = None
     for method, fn in _METHODS:
