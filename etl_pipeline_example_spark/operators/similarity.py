@@ -223,6 +223,17 @@ def lsh_candidate_pairs(
     bucketed = emb.crossJoin(planes).select(
         "vec_id", "tbl", F.expr(_bucket_expr(bits)).alias("bucket")
     )
+    # The self-join below references the bucket table TWICE, so the
+    # tables × bits plane fold runs once per side (r17 profiler:
+    # duplicate ~1.3-1.8 s 32-task projection jobs in ann_knn_join).
+    # Persist the narrow (vec_id, tbl, bucket) rows ONLY when the fold
+    # is expensive relative to the cache write — A/B-measured: a win at
+    # ann_knn_join's derived ≥9-bit 12-table fold, a LOSS for the 2-bit
+    # near-dup tables where the fold is cheaper than the cache fill
+    # barrier (guide §5: persist when recompute is expensive RELATIVE
+    # to the cache's encoding cost).
+    if tables * bits >= 64:
+        bucketed = tracked_persist(bucketed)
     a = bucketed.select("tbl", "bucket", F.col("vec_id").alias("vec_a"))
     b = bucketed.select(
         F.col("tbl").alias("tbl_b"),

@@ -157,11 +157,16 @@ def main() -> None:
             ms = j.get("t1", j["t0"]) - j["t0"]
             tot_job_ms += ms
             sdesc = []
+            slow = []
             for sid in j["stages"]:
                 s = stages.get(sid)
                 if s:
                     sdesc.append(f"s{sid}:{s['ntasks']}t/{s['ms']}ms")
+                    if s["ms"] >= 500:
+                        slow.append(f"    s{sid} = {s['name']}")
             print(f"  job {jid}: {ms}ms  tasks={j['ntasks']}  [{' '.join(sdesc)}]")
+            for line in slow:
+                print(line)
         print(
             f"  sum(job wall)={tot_job_ms / 1000.0:.3f}s; "
             f"driver/plan gap={wall - tot_job_ms / 1000.0:.3f}s"
