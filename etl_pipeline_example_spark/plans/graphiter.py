@@ -121,25 +121,33 @@ def _cc_min_label(edges: DataFrame, dp: int, bcast: bool = False) -> DataFrame:
     # cache filled both branches raced duplicate copies of the
     # lineitem self-join (profiler: two near-identical ~260 ms 67-task
     # jobs in the query head). Same row multiset.
+    sym_rows = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    # Width follows the gate (r17, guide §2.5 inverted): when the edge
+    # list is broadcast-small the whole label loop is tiny frames, and
+    # the EXPLICIT dp-wide repartitions — added to bound vanilla
+    # 200-wide exchanges — are themselves the overhead (explicit width
+    # is exempt from AQE coalescing; profiler: 32-163 tasks of ~10-row
+    # partitions per round, ~450 ms/round of pure scheduling). Under
+    # the gate, coalesce the edge cache to one partition and let AQE
+    # coalesce each round's tiny aggregation exchange; at scale the
+    # gate fails and the dp-wide keyed shape runs unchanged.
     both = tracked_persist(
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
-                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
-                )
-            ).alias("e")
-        )
-        .select("e.a", "e.b")
-        .repartition(dp, "b")
+        sym_rows.coalesce(1) if bcast else sym_rows.repartition(dp, "b")
     )
     # NOTE (r17 optimization round): lazy localCheckpoint (eager=False,
     # probe materializes the checkpoint in the same job) was tried and
     # MEASURED SLOWER (graph_cc 7.7 s -> 10.7 s at sf0.1): the
     # checkpoint RDD compiles outside adaptive execution.  Eager stays.
+    labels_src = both if bcast else both.repartition(dp, "a")
     labels = (
-        both.repartition(dp, "a")
-        .groupBy(F.col("a").alias("node"))
+        labels_src.groupBy(F.col("a").alias("node"))
         .agg(F.least(F.min("b"), F.col("a")).alias("component"))
         .localCheckpoint()
     )
@@ -184,11 +192,11 @@ def _cc_min_label(edges: DataFrame, dp: int, bcast: bool = False) -> DataFrame:
         contrib_p = doubled_join.select(
             "node", F.col("c_comp").alias("component")
         )
+        unioned = contrib_n.union(contrib_p).union(labels)
+        if not bcast:
+            unioned = unioned.repartition(dp, "node")
         updated = (
-            contrib_n.union(contrib_p)
-            .union(labels)
-            .repartition(dp, "node")
-            .groupBy("node")
+            unioned.groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
