@@ -64,6 +64,13 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
+    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
+
+    if _edges_broadcastable(sf_dir):
+        # tiny-frame BFS rounds: one partition beats 32 tasks of ~100-row
+        # partitions per round (the graph_cc r17 width fix); at scale the
+        # gate fails and the cache's dp-wide layout is used unchanged
+        bidir = bidir.coalesce(1)
     nodes = bidir.select(F.col("src").alias("node")).distinct()
     seeds = nodes.orderBy("node").limit(BFS_SEEDS)
     # localCheckpoint per round (the graphiter/kcore discipline): round r

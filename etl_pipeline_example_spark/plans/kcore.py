@@ -57,17 +57,21 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's
     # two references raced duplicate edge builds before the cache filled
+    sym_rows = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.c", "e.n")
+    # Under the gate the whole peel iterates tiny frames, and explicit
+    # dp-wide partitioning IS the per-round overhead (the graph_cc r17
+    # width fix: explicit width is exempt from AQE coalescing) — one
+    # partition + AQE-coalesced aggregation exchanges; at scale the
+    # keyed dp-wide shape runs unchanged.
     sym = tracked_persist(
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
-                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
-                )
-            ).alias("e")
-        )
-        .select("e.c", "e.n")
-        .repartition(dp, "c")
+        sym_rows.coalesce(1) if bcast else sym_rows.repartition(dp, "c")
     )
 
     def _core_deg(alive_df: DataFrame, out: str) -> DataFrame:

@@ -53,17 +53,22 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's
     # two references raced duplicate edge builds before the cache filled
+    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
+
+    bcast = _edges_broadcastable(sf_dir)
+    sym_rows = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.c", "e.n")
+    # under the gate the wedge pass is tiny frames — one partition +
+    # AQE-coalesced exchanges beat explicit dp width (the graph_cc r17
+    # width fix); at scale the keyed dp-wide shape runs unchanged
     sym = tracked_persist(
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
-                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
-                )
-            ).alias("e")
-        )
-        .select("e.c", "e.n")
-        .repartition(dp, "c")
+        sym_rows.coalesce(1) if bcast else sym_rows.repartition(dp, "c")
     )
     # PERSISTED (tracked): deg is read twice, once per join side
     deg = tracked_persist(
@@ -73,14 +78,16 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # wedges at the shared neighbor c: every unordered 2-hop pair (u, v)
     # appears once per common neighbor — the groupBy count IS n_common
-    wedges = (
+    wedge_pairs = (
         sym.alias("a")
         .join(sym.alias("b"), "c")
         .filter(F.expr("a.n < b.n"))
         .select(F.expr("a.n").alias("u"), F.expr("b.n").alias("v"))
-        .repartition(dp, "u")
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if not bcast:
+        wedge_pairs = wedge_pairs.repartition(dp, "u")
+    wedges = wedge_pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("n_common")
     )
     # prediction = absent edges only
     absent = wedges.join(edges, ["u", "v"], "left_anti")

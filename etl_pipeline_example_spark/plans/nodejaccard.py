@@ -42,32 +42,39 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's
     # two references raced duplicate edge builds before the cache filled
+    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
+
+    bcast = _edges_broadcastable(sf_dir)
+    sym_rows = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
+                F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
+            )
+        ).alias("e")
+    ).select("e.c", "e.n")
+    # under the gate the wedge pass is tiny frames — one partition +
+    # AQE-coalesced exchanges beat explicit dp width (the graph_cc r17
+    # width fix); at scale the keyed dp-wide shape runs unchanged
     sym = tracked_persist(
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("u").alias("c"), F.col("v").alias("n")),
-                    F.struct(F.col("v").alias("c"), F.col("u").alias("n")),
-                )
-            ).alias("e")
-        )
-        .select("e.c", "e.n")
-        .repartition(dp, "c")
+        sym_rows.coalesce(1) if bcast else sym_rows.repartition(dp, "c")
     )
     deg = tracked_persist(
         sym.groupBy("c").agg(F.count(F.lit(1)).alias("deg"))
     )
     # wedges: two edges sharing midpoint m -> candidate (a, b), a < b
-    wedges = (
+    wedge_pairs = (
         sym.select(F.col("c").alias("m"), F.col("n").alias("a"))
         .join(
             sym.select(F.col("c").alias("m"), F.col("n").alias("b")),
             "m",
         )
         .filter(F.col("a") < F.col("b"))
-        .repartition(dp, "a")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    if not bcast:
+        wedge_pairs = wedge_pairs.repartition(dp, "a")
+    wedges = wedge_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("cn")
     )
     non_edges = wedges.join(
         edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
