@@ -15,9 +15,12 @@ the exact-arithmetic house variant:
   bigint long before 100 TB; decimal is exact to 38 digits) — no
   float ever enters the aggregation (the house no-float-summation
   rule);
-- the boundary renders each sum as double (one correctly-rounded
-  conversion of the same exact integer on both engines) next to the
-  exact bigint count.
+- the boundary emits each sum as DECIMAL(38,0) on BOTH engines. The
+  earlier double rendering diverged at driver scale: Spark renders
+  the exact integer through BigDecimal.doubleValue (one correctly
+  rounded conversion) while DuckDB casts HUGEINT→DOUBLE through
+  upper/lower double arithmetic (two roundings) — past 2^53 the last
+  bit can disagree (round-17 VERDICT). No float, no disagreement.
 
 Per event_type plus a ``__merged__`` row summed FROM THE PER-GROUP
 STATE (testing the merge-by-addition path the way kmv.py tests the
@@ -52,7 +55,7 @@ def _guarded(col: str) -> F.Column:
         f" CAST(raise_error('sketch_moments: decimal(38,0) power-sum"
         f" overflow — input magnitude exceeds the exactness bound')"
         f" AS {_DEC}) ELSE {col} END"
-    ).cast("double")
+    )
 
 
 def sketch_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,10 +119,10 @@ allrows AS (
   FROM per
 )
 SELECT grp, n,
-       CAST(d1 AS DOUBLE) AS s1,
-       CAST(d2 AS DOUBLE) AS s2,
-       CAST(d3 AS DOUBLE) AS s3,
-       CAST(d4 AS DOUBLE) AS s4
+       CAST(d1 AS DECIMAL(38,0)) AS s1,
+       CAST(d2 AS DECIMAL(38,0)) AS s2,
+       CAST(d3 AS DECIMAL(38,0)) AS s3,
+       CAST(d4 AS DECIMAL(38,0)) AS s4
 FROM allrows
 ORDER BY grp
 """

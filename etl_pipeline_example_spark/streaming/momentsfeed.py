@@ -37,7 +37,7 @@ def _guarded(col: str) -> F.Column:
         f" CAST(raise_error('stream_moments: decimal(38,0) power-sum"
         f" overflow — input magnitude exceeds the exactness bound')"
         f" AS {_DEC}) ELSE {col} END"
-    ).cast("double")
+    )
 
 _EVENTS_SCHEMA = (
     "event_id bigint, ts timestamp, user_id bigint, event_type string,"
@@ -99,10 +99,10 @@ WITH cents AS (
   FROM events
 )
 SELECT grp, count(*) AS n,
-       CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS s1,
-       CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) AS s2,
-       CAST(sum(CAST(c AS HUGEINT) * c * c) AS DOUBLE) AS s3,
-       CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DOUBLE) AS s4
+       CAST(sum(CAST(c AS HUGEINT)) AS DECIMAL(38,0)) AS s1,
+       CAST(sum(CAST(c AS HUGEINT) * c) AS DECIMAL(38,0)) AS s2,
+       CAST(sum(CAST(c AS HUGEINT) * c * c) AS DECIMAL(38,0)) AS s3,
+       CAST(sum(CAST(c AS HUGEINT) * c * c * c) AS DECIMAL(38,0)) AS s4
 FROM cents
 GROUP BY 1
 ORDER BY 1
