@@ -22,6 +22,9 @@ No reference counterpart; LLM-pipeline surface (SURVEY.md §2 rows
 
 from __future__ import annotations
 
+import decimal
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -71,18 +74,28 @@ def _round6(x: float) -> float:
     """Spark's round(double, 6): BigDecimal.valueOf(x).setScale(6,
     HALF_UP).toDouble — BigDecimal.valueOf parses Double.toString's
     shortest round-trip decimal, which is exactly what Python's repr
-    produces, so the two are bit-identical on finite doubles."""
+    produces, so the two are bit-identical on finite doubles.
+    Non-finite doubles pass through unchanged, as Spark's round()
+    does (round-17 ADVICE: Decimal('nan').quantize would raise)."""
+    import math
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+    x = float(x)
+    if not math.isfinite(x):
+        return x
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
 def _dec12(x: float):
     """Spark's cast(double as decimal(30,12)): shortest-repr decimal of
-    the double, HALF_UP-rounded to 12 fractional digits."""
-    from decimal import ROUND_HALF_UP, Decimal
+    the double, HALF_UP-rounded to 12 fractional digits. prec=50
+    locally (round-17 ADVICE): the default context (prec=28) raises
+    InvalidOperation quantizing magnitudes past ~1e16, where Spark's
+    decimal(30,12) carries 18 integer digits exactly."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
 
-    return Decimal(repr(float(x))).quantize(Decimal("1E-12"), ROUND_HALF_UP)
+    with localcontext(prec=50):
+        return Decimal(repr(float(x))).quantize(Decimal("1E-12"), ROUND_HALF_UP)
 
 
 def _sqd_fold(a: list[float], b: list[float]) -> float:
@@ -130,6 +143,14 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
         .collect()
     )
     embs = [list(r["embedding"]) for r in samp_rows]
+    # loud guard (round-17 ADVICE): the driver-side Lloyd replication is
+    # bit-identical to the old Spark expression chain only on finite
+    # values — a NaN/Inf embedding would diverge silently, so raise
+    if any(not math.isfinite(x) for v in embs for x in v):
+        raise ValueError(
+            "_pq_codewords: non-finite embedding value in the training"
+            " sample — codebook training requires finite vectors"
+        )
     # init: codeword c's subspace-m entry is sample vector c's m-th
     # subvector (PQ_KC ≤ PQ_TRAIN_N shares the ordering), rounded like
     # every other centroid
@@ -156,10 +177,15 @@ def _pq_codewords(spark: SparkSession, emb: DataFrame) -> DataFrame:
                 cells.setdefault((m, code), []).append(sv)
         for (m, code), members in cells.items():
             n = len(members)
-            cw_local[(m, code)] = [
-                _round6(float(sum(_dec12(sv[i]) for sv in members)) / n)
-                for i in range(PQ_SUB)
-            ]
+            # prec=50 (round-17 ADVICE): the default context (prec=28)
+            # would silently round a sum whose coefficient exceeds 28
+            # digits, where Spark's decimal(30,12) accumulates exactly
+            # to 18 integer digits
+            with decimal.localcontext(prec=50):
+                cw_local[(m, code)] = [
+                    _round6(float(sum(_dec12(sv[i]) for sv in members)) / n)
+                    for i in range(PQ_SUB)
+                ]
     return spark.createDataFrame(
         [(m, c, v) for (m, c), v in sorted(cw_local.items())],
         "m int, c_id int, cw array<double>",

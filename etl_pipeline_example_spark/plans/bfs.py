@@ -39,6 +39,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
 from etl_pipeline_example_spark.plans.graphiter import (
     _EDGES2_SQL,
     _co_edges,
@@ -64,8 +65,6 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst")
-    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
-
     if _edges_broadcastable(sf_dir):
         # tiny-frame BFS rounds: one partition beats 32 tasks of ~100-row
         # partitions per round (the graph_cc r17 width fix); at scale the

@@ -143,11 +143,17 @@ _BCAST_INPUT_BYTES = 256 * 1024 * 1024
 def _edges_broadcastable(sf_dir: str) -> bool:
     import os
 
+    path = os.path.join(sf_dir, "lineitem.parquet")
     try:
-        return (
-            os.path.getsize(os.path.join(sf_dir, "lineitem.parquet"))
-            <= _BCAST_INPUT_BYTES
-        )
+        # a dataset may be a directory of part files; sum the parts
+        # rather than trust the directory inode's size (round-17 ADVICE)
+        if os.path.isdir(path):
+            size = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            size = os.path.getsize(path)
+        return size <= _BCAST_INPUT_BYTES
     except OSError:  # non-local path (object store): never broadcast
         return False
 

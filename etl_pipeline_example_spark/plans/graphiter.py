@@ -49,6 +49,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
 from etl_pipeline_example_spark.operators.cluster import (
     ITER_CAP,
     ComponentsNotConverged,
@@ -218,8 +219,6 @@ def graph_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(component, n_parts): connected-component census of the repeat-
     co-purchase graph; component = min part key reachable."""
     dp = spark.sparkContext.defaultParallelism
-    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
-
     comp = _cc_min_label(
         _co_edges(spark, sf_dir), dp, bcast=_edges_broadcastable(sf_dir)
     )

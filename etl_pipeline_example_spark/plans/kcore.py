@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.simcore import tracked_persist
+from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
 from etl_pipeline_example_spark.plans.graphiter import _EDGES2_SQL, _co_edges
 
 KCORE_K = 2
@@ -51,8 +52,6 @@ def graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the budget, so the flag reads true at every graded scale
     and the bounded answer IS the exact core."""
     dp = spark.sparkContext.defaultParallelism
-    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
-
     bcast = _edges_broadcastable(sf_dir)
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's

@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
 from etl_pipeline_example_spark.plans.graphiter import (
     _EDGES2_SQL,
     _co_edges,
@@ -53,8 +54,6 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's
     # two references raced duplicate edge builds before the cache filled
-    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
-
     bcast = _edges_broadcastable(sf_dir)
     sym_rows = edges.select(
         F.explode(

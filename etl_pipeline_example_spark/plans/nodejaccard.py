@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_pipeline_example_spark.operators.simcore import tracked_persist
+from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
 from etl_pipeline_example_spark.plans.graphiter import _EDGES2_SQL, _co_edges
 
 NJ_TOP = 20
@@ -42,8 +43,6 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     # one inline explode, not a two-branch unionAll (r17): the union's
     # two references raced duplicate edge builds before the cache filled
-    from etl_pipeline_example_spark.plans.graph import _edges_broadcastable
-
     bcast = _edges_broadcastable(sf_dir)
     sym_rows = edges.select(
         F.explode(

@@ -103,6 +103,52 @@ def test_moments_duckdb_arrow_parity_past_2p53(spark, tmp_path):
     )
 
 
+def test_pq_round6_nonfinite_passthrough_and_wide_sum():
+    """Round-17 ADVICE hardening: _round6 passes non-finite doubles
+    through like Spark's round(), and the Lloyd mean sum runs at
+    prec=50 so coefficients past 28 digits stay exact."""
+    import decimal
+    import math
+
+    from etl_pipeline_example_spark.operators.pq import _dec12, _round6
+
+    assert math.isnan(_round6(float("nan")))
+    assert _round6(float("inf")) == float("inf")
+    assert _round6(float("-inf")) == float("-inf")
+    assert _round6(1.2345675) == 1.234568  # HALF_UP pin unchanged
+    # 21 integer digits + 12 fractional = 33-significant-digit sum: the
+    # default context (prec=28) rounds the small addend away entirely;
+    # prec=50 keeps the sum exact
+    big = _dec12(1e20)
+    with decimal.localcontext(prec=50):
+        exact = big + _dec12(1e-12)
+    assert exact == decimal.Decimal("100000000000000000000.000000000001")
+    with decimal.localcontext(prec=28):
+        lossy = big + _dec12(1e-12)
+    assert lossy == big and lossy != exact
+
+
+def test_edges_broadcastable_sums_directory_parts(tmp_path):
+    """Round-17 ADVICE: a dataset laid out as a directory of part
+    files must gate on the SUM of the parts, not the dir inode size."""
+    from etl_pipeline_example_spark.plans.graph import (
+        _BCAST_INPUT_BYTES,
+        _edges_broadcastable,
+    )
+
+    d = tmp_path / "dirset" / "lineitem.parquet"
+    d.mkdir(parents=True)
+    half = _BCAST_INPUT_BYTES // 2 + 16
+    for name in ("part-0.parquet", "part-1.parquet"):
+        (d / name).write_bytes(b"\0" * half)
+    assert not _edges_broadcastable(str(tmp_path / "dirset"))
+    small = tmp_path / "small" / "lineitem.parquet"
+    small.mkdir(parents=True)
+    (small / "part-0.parquet").write_bytes(b"\0" * 1024)
+    assert _edges_broadcastable(str(tmp_path / "small"))
+    assert not _edges_broadcastable(str(tmp_path / "missing"))
+
+
 def test_stream_moments_decimal_boundary(spark, tmp_path):
     from etl_pipeline_example_spark.streaming.momentsfeed import (
         stream_moments,
