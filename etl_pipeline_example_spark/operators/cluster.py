@@ -40,7 +40,9 @@ python_scripts/test_data.py) — data-driven, declaratively expressed.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,19 +51,88 @@ from etl_pipeline_example_spark.operators.dedup import MINHASH_PAIR_CTES, dedup_
 
 ITER_CAP = 20
 
+# Static narrow planning for the per-round label jobs when the INPUT is
+# provably small (the graph.py broadcast-gate discipline: a driver-side
+# file stat, no job). Profiled (r18): each pointer-doubling round over
+# the tiny cached label/edge frames ran as ~5 separate AQE stage-jobs
+# (one per exchange materialization plus re-planning between them), so
+# ~half the operator's wall was driver scheduling gap, not compute.
+# Under the gate the loop runs with AQE off at a fixed narrow width —
+# one checkpoint job + one probe job per round. Size-adaptive, not a
+# local[32] constant: past the gate (or on an object store) the loop
+# keeps AQE's runtime sizing unchanged.
+_TINY_LOOP_INPUT_BYTES = 256 * 1024 * 1024
+_TINY_LOOP_WIDTH = 4
+
+
+def _tiny_loop_width(sf_dir: str, table: str) -> int | None:
+    """``_TINY_LOOP_WIDTH`` when ``<sf_dir>/<table>.parquet`` is small
+    enough that the CC label frames are trivially narrow; None (keep
+    AQE) otherwise or when the input cannot be stat'ed (object store)."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                e.stat().st_size for e in os.scandir(path) if e.is_file()
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return None
+    return _TINY_LOOP_WIDTH if size <= _TINY_LOOP_INPUT_BYTES else None
+
+
+@contextmanager
+def _scoped_confs(spark: SparkSession, confs: dict[str, str]):
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+@contextmanager
+def _static_narrow_planning(spark: SparkSession, width: int | None):
+    """Scoped {AQE off, fixed narrow shuffle width, no broadcast joins}
+    for the label loop's tiny per-round jobs; a no-op when ``width`` is
+    None. Broadcast stays off because the r17 A/B measured the
+    broadcast-build job latency exceeding these tiny shuffles."""
+    if width is None:
+        yield
+        return
+    with _scoped_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.shuffle.partitions": str(width),
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        yield
+
 
 class ComponentsNotConverged(RuntimeError):
     """Raised when label propagation hits ITER_CAP before the fixed point —
     returning the unconverged labels would silently mis-cluster."""
 
 
-def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    loop_width: int | None = None,
+) -> DataFrame:
     """Components of an undirected graph given one-direction edge rows.
 
     Returns (node, component) with component = min node id reachable.
     Pure DataFrame iteration: per round every node takes the min of its
     own label, its neighbours' labels, and its label's label (pointer
-    doubling — O(log diameter) rounds).
+    doubling — O(log diameter) rounds). ``loop_width``: when the caller
+    proves the input tiny (``_tiny_loop_width``), the per-round jobs run
+    under ``_static_narrow_planning`` at that width; None keeps AQE.
     """
     # one inline explode, not a two-branch union (r17): the union
     # referenced the (expensive) pair-graph subtree twice and raced
@@ -86,45 +157,57 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst") -
     # labels only ever decrease, so sum(component) strictly decreases
     # until the fixed point — an aggregate-only convergence probe, no join
     prev_sum = labels.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(ITER_CAP):
-        # Two-join round (opt round r17): the old shape materialized a
-        # `stepped` frame (labels ⋈ neigh) and then pointer-doubled on
-        # it — 3 joins per round, with the stepped subtree planned
-        # twice. Folding the self-label into the neighbour aggregation
-        # via union and doubling on the PREVIOUS round's labels yields
-        # min(self, neigh labels, label(label)) in 2 joins + 1 groupBy.
-        # Same monotone update, same fixed point (min reachable id),
-        # verified label-identical; doubling on one-round-older labels
-        # can at worst add one (cheap) round, still O(log diameter).
-        # 1) neighbour labels (sym graph ⇒ every node appears as `a`)
-        contrib_n = both.join(labels, both.b == labels.node).select(
-            F.col("a").alias("node"), "component"
-        )
-        # 2) pointer doubling: follow the label one hop (components are
-        # always node ids, so the self-join always hits)
-        hop = labels.select(
-            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-        )
-        contrib_p = labels.join(hop, labels.component == hop.c_node).select(
-            "node", F.col("c_comp").alias("component")
-        )
-        updated = (
-            contrib_n.union(contrib_p)
-            .union(labels)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        new_sum = updated.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
-        labels = updated
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:
-        both.unpersist()
-        raise ComponentsNotConverged(
-            f"connected_components did not converge within {ITER_CAP} rounds"
-        )
+    # the pair graph and init labels above materialized WITH AQE (the
+    # heavy part); only the tiny per-round jobs run statically narrow
+    with _static_narrow_planning(edges.sparkSession, loop_width):
+        for _ in range(ITER_CAP):
+            # Two-join round (opt round r17): the old shape materialized
+            # a `stepped` frame (labels ⋈ neigh) and then pointer-
+            # doubled on it — 3 joins per round, with the stepped
+            # subtree planned twice. Folding the self-label into the
+            # neighbour aggregation via union and doubling on the
+            # PREVIOUS round's labels yields min(self, neigh labels,
+            # label(label)) in 2 joins + 1 groupBy. Same monotone
+            # update, same fixed point (min reachable id), verified
+            # label-identical; doubling on one-round-older labels can at
+            # worst add one (cheap) round, still O(log diameter).
+            # 1) neighbour labels (sym graph ⇒ every node appears as `a`)
+            contrib_n = both.join(labels, both.b == labels.node).select(
+                F.col("a").alias("node"), "component"
+            )
+            # 2) pointer doubling: follow the label one hop (components
+            # are always node ids, so the self-join always hits)
+            hop = labels.select(
+                F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+            )
+            contrib_p = labels.join(hop, labels.component == hop.c_node).select(
+                "node", F.col("c_comp").alias("component")
+            )
+            # under the gate the checkpoint is LAZY so the convergence
+            # probe's collect materializes the round in ONE job (the
+            # r17 lazy-checkpoint rejection was about compiling outside
+            # adaptive execution — moot here, the loop is static);
+            # past the gate the eager checkpoint keeps AQE's per-stage
+            # sizing for the big-label rounds
+            updated = (
+                contrib_n.union(contrib_p)
+                .union(labels)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint(eager=loop_width is None)
+            )
+            new_sum = updated.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            labels = updated
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        else:
+            both.unpersist()
+            raise ComponentsNotConverged(
+                f"connected_components did not converge within {ITER_CAP} rounds"
+            )
     both.unpersist()
     return labels
 
@@ -136,7 +219,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable; the representative (is_kept) is the component id itself.
     """
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(
+        pairs, "doc_a", "doc_b", loop_width=_tiny_loop_width(sf_dir, "documents")
+    )
     return comp.select(
         F.col("node").alias("doc_id"),
         "component",

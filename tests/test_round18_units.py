@@ -149,6 +149,60 @@ def test_edges_broadcastable_sums_directory_parts(tmp_path):
     assert not _edges_broadcastable(str(tmp_path / "missing"))
 
 
+def test_cc_static_narrow_loop_labels_identical(spark):
+    """The gated static-narrow CC loop (r18) must produce labels
+    bit-identical to the AQE loop, and restore every scoped conf."""
+    from etl_pipeline_example_spark.operators.cluster import (
+        connected_components,
+    )
+
+    # two components incl. a chain that needs pointer doubling
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12)],
+        "src bigint, dst bigint",
+    )
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    aqe = sorted(
+        tuple(r) for r in connected_components(edges).collect()
+    )
+    narrow = sorted(
+        tuple(r)
+        for r in connected_components(edges, loop_width=4).collect()
+    )
+    assert narrow == aqe
+    assert narrow == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+        (10, 10), (11, 10), (12, 10),
+    ]
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
+
+
+def test_tiny_loop_width_gate(tmp_path):
+    from etl_pipeline_example_spark.operators.cluster import (
+        _TINY_LOOP_INPUT_BYTES,
+        _TINY_LOOP_WIDTH,
+        _tiny_loop_width,
+    )
+
+    (tmp_path / "documents.parquet").write_bytes(b"\0" * 1024)
+    assert _tiny_loop_width(str(tmp_path), "documents") == _TINY_LOOP_WIDTH
+    big = tmp_path / "big" / "documents.parquet"
+    big.mkdir(parents=True)
+    half = _TINY_LOOP_INPUT_BYTES // 2 + 16
+    (big / "part-0.parquet").write_bytes(b"\0" * half)
+    (big / "part-1.parquet").write_bytes(b"\0" * half)
+    assert _tiny_loop_width(str(tmp_path / "big"), "documents") is None
+    assert _tiny_loop_width(str(tmp_path), "missing") is None
+
+
 def test_stream_moments_decimal_boundary(spark, tmp_path):
     from etl_pipeline_example_spark.streaming.momentsfeed import (
         stream_moments,

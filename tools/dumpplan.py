@@ -1,7 +1,7 @@
 """Dump .explain('formatted') for registered queries to files.
 
 Usage: python tools/dumpplan.py SUFFIX key1 [key2 ...]
-Writes plans/r17/<key>_<SUFFIX>.txt on the bench session.
+Writes plans/r18/<key>_<SUFFIX>.txt on the bench session.
 """
 from __future__ import annotations
 
@@ -23,15 +23,15 @@ def main() -> None:
     spark = get_spark("plan-dump")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
-    os.makedirs("plans/r17", exist_ok=True)
+    os.makedirs("plans/r18", exist_ok=True)
     for k in keys:
         df = queries[k](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        with open(f"plans/r17/{k}_{suffix}.txt", "w") as f:
+        with open(f"plans/r18/{k}_{suffix}.txt", "w") as f:
             f.write(plan)
-        print(f"wrote plans/r17/{k}_{suffix}.txt")
+        print(f"wrote plans/r18/{k}_{suffix}.txt")
 
 
 if __name__ == "__main__":

@@ -12,7 +12,7 @@ Spark event log enabled, then reports per query:
 Usage:
     python tools/profile_query.py q1_pricing graph_cc ...
     python tools/profile_query.py --plans q1_pricing   # also dump
-        .explain(formatted) to plans/r17/<key>_profile.txt
+        .explain(formatted) to plans/r18/<key>_profile.txt
 
 The event log parse is offline (no UI needed): one JSON object per
 line, SparkListenerJobStart/JobEnd + StageCompleted carry everything.
@@ -77,13 +77,13 @@ def main() -> None:
             continue
         df = queries[name](spark, sf_dir)
         if dump_plans:
-            os.makedirs("plans/r17", exist_ok=True)
+            os.makedirs("plans/r18", exist_ok=True)
             txt = df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
-            with open(f"plans/r17/{name}_profile.txt", "w") as fh:
+            with open(f"plans/r18/{name}_profile.txt", "w") as fh:
                 fh.write(txt)
         spark.sparkContext.setJobDescription(f"profile:{name}")
         t0 = time.perf_counter()
