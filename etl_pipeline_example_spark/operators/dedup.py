@@ -412,7 +412,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("df") <= NJ_DF_CAP
     )
     capped = sh.join(F.broadcast(df_ok.select("shingle")), "shingle").persist()
-    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # persisted (r18): both final joins broadcast `counts`, and the two
+    # broadcast builds each re-ran the groupBy over the capped spine
+    # (plan: two BroadcastExchange subtrees aggregating capped); cached,
+    # the second build reads G tiny (doc_id, n_sh) rows. ~1 row per doc
+    # at any scale — two longs per row, safe to hold at 100 TB.
+    counts = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh")).persist()
     a, b = capped.alias("a"), capped.alias("b")
     common = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
