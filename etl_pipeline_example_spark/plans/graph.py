@@ -198,20 +198,24 @@ def _triangles_from(
         # operator — no wedge rows, no probe per wedge. adj is |E|
         # longs grouped into ≤ √|E|-long arrays, bounded by the same
         # input gate that already bounds broadcasting the edge list.
-        adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+        # ONE broadcast adjacency, joined twice under aliases (r17
+        # ADVICE): the per-side renamed projections made the two
+        # broadcast subtrees non-identical, so the collect_list
+        # aggregation ran and broadcast TWICE; with identical subtrees
+        # the second side is a ReusedExchange — one build, one copy in
+        # executor memory
+        adj = F.broadcast(
+            oriented.groupBy("src").agg(F.collect_list("dst").alias("nb"))
+        )
         closed = (
-            oriented.join(
-                F.broadcast(adj.select(F.col("src").alias("u_"), F.col("nb").alias("nb_u"))),
-                F.col("src") == F.col("u_"),
-            )
-            .join(
-                F.broadcast(adj.select(F.col("src").alias("v_"), F.col("nb").alias("nb_v"))),
-                F.col("dst") == F.col("v_"),
-                "left",
-            )
+            oriented.alias("e")
+            .join(adj.alias("au"), F.col("e.src") == F.col("au.src"))
+            .join(adj.alias("av"), F.col("e.dst") == F.col("av.src"), "left")
             .select(
-                F.when(F.col("nb_v").isNull(), F.lit(0))
-                .otherwise(F.size(F.array_intersect("nb_u", "nb_v")))
+                F.when(F.col("av.nb").isNull(), F.lit(0))
+                .otherwise(
+                    F.size(F.array_intersect(F.col("au.nb"), F.col("av.nb")))
+                )
                 .alias("n_common")
             )
         )
